@@ -1,0 +1,147 @@
+"""Named-table catalog over parquet directories.
+
+The reference registers every materialized asset as a SQL temp view by
+name (``etl_textreuse/spark_utils.py:57-65`` ``register``; ``:113-122``
+``materialise_s3`` = write-parquet-then-read-back). This module gives the
+same contract over any filesystem Spark's Hadoop layer can reach, plus the
+exists/delete/rename utilities (``spark_utils.py:67-111``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the driver-generated synthetic tables (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register(spark: SparkSession, df: DataFrame, name: str, cache: bool = False) -> DataFrame:
+    """Register ``df`` as temp view ``name`` (optionally eagerly cached).
+
+    Mirrors ``spark_utils.py:57-65`` (CACHE TABLE path) without the
+    SQL-string indirection.
+    """
+    if cache:
+        df = df.cache()
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def table_path(base_dir: str, name: str) -> str:
+    return os.path.join(base_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, register_view: bool = True) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    df = _normalize_nanos(df)
+    if register_view:
+        df.createOrReplaceTempView(name)
+    return df
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """Parquet TIMESTAMP(NANOS) columns arrive as long nanoseconds (see
+    ``nanosAsLong`` in session.py); convert to Spark's µs timestamps.
+    Truncation (ns → µs) matches DuckDB's ``epoch_us`` on TIMESTAMP_NS."""
+    from pyspark.sql import functions as F
+
+    for field in df.schema.fields:
+        md = field.metadata or {}
+        if md.get("__is_nanos_ts") or (
+            field.name == "ts" and field.dataType.simpleString() == "bigint"
+        ):
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
+    return df
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Read + register the synthetic tables for a scale factor dir."""
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+# ---------------------------------------------------------------------------
+# Hadoop-FS utilities (work on local FS, HDFS, S3A alike)
+# ---------------------------------------------------------------------------
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """``spark_utils.py:67-80`` equivalent."""
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    fs, hpath = _hadoop_fs(spark, path)
+    return bool(fs.delete(hpath, True))
+
+
+def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
+    fs, hsrc = _hadoop_fs(spark, src)
+    _, hdst = _hadoop_fs(spark, dst)
+    return bool(fs.rename(hsrc, hdst))
+
+
+# ---------------------------------------------------------------------------
+# Materialization (write-once snapshot semantics)
+# ---------------------------------------------------------------------------
+
+
+def materialise(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    name: str | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Write parquet snapshot, read back, register. Downstream consumers
+    see on-disk data (lineage truncation), matching the reference's
+    immutable-snapshot contract (``spark_utils.py:113-122``)."""
+    writer = df.write.mode("overwrite").option("compression", "zstd")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    out = spark.read.parquet(path)
+    if name:
+        out.createOrReplaceTempView(name)
+    return out
+
+
+def materialise_if_absent(
+    spark: SparkSession,
+    builder,
+    path: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Skip recompute when the output already exists
+    (``spark_utils.py:125-136``). ``builder`` is a zero-arg callable
+    returning the DataFrame, so the plan isn't even constructed on skip."""
+    if path_exists(spark, path):
+        out = spark.read.parquet(path)
+        if name:
+            out.createOrReplaceTempView(name)
+        return out
+    return materialise(spark, builder(), path, name)

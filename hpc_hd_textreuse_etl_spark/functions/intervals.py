@@ -1,0 +1,93 @@
+"""Gaps-and-islands interval merging (the reference's coverage core).
+
+The reference merges possibly-overlapping character-offset spans per
+document pair with a three-window pipeline
+(``etl_textreuse/assets/coverages.py:36-139``):
+
+1. ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY start, end)``
+2. running ``MAX(end) OVER (... ROWS UNBOUNDED PRECEDING TO 1 PRECEDING)``
+   — preferred over LAG because an earlier interval can swallow later ones
+3. island id = running ``SUM(CASE WHEN previous_end + gap >= start THEN 0
+   ELSE 1 END)`` — note ``+ gap``: with ``adjacency_gap=1`` touching
+   ranges (1,6),(7,12) merge, matching ``coverages.py:81-85``.
+
+All three windows share one partitioning (group cols) and one sort, so
+Spark executes a single shuffle + single sort for the whole pipeline —
+this holds at any scale as long as no single group exceeds a task's
+memory (groups here are document pairs / users: naturally bounded).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def mark_islands(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    adjacency_gap: int = 1,
+    island_col: str = "island_id",
+) -> DataFrame:
+    """Tag each row with the id of the merged interval ("island") it
+    belongs to within its group. Island ids are dense 1..K per group."""
+    part = [F.col(c) for c in group_cols]
+    w_order = Window.partitionBy(*part).orderBy(F.col(start_col), F.col(end_col))
+    prev_end = (
+        F.max(F.col(end_col))
+        .over(w_order.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    new_island = F.when(
+        prev_end.isNull() | (prev_end + F.lit(adjacency_gap) < F.col(start_col)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # running sum over the same window ⇒ same single sort/shuffle
+    island = F.sum(new_island).over(
+        w_order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(island_col, island)
+
+
+def merge_intervals(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    adjacency_gap: int = 1,
+) -> DataFrame:
+    """Collapse overlapping/adjacent intervals per group.
+
+    Returns one row per island: group cols + ``island_id``,
+    ``island_start`` (min start), ``island_end`` (max end), ``n_rows``
+    (source-interval count). Length conventions are left to the caller
+    (the reference uses ``max(end) - min(start)`` at
+    ``coverages.py:95``, i.e. end-exclusive spans).
+    """
+    marked = mark_islands(df, group_cols, start_col, end_col, adjacency_gap)
+    return marked.groupBy(*group_cols, "island_id").agg(
+        F.min(start_col).alias("island_start"),
+        F.max(end_col).alias("island_end"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def coverage(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    adjacency_gap: int = 1,
+) -> DataFrame:
+    """Per-group totals over merged intervals: covered length, island
+    count, source-interval count — the two-level aggregation of
+    ``coverages.py:88-139`` (islands → per-pair totals)."""
+    islands = merge_intervals(df, group_cols, start_col, end_col, adjacency_gap)
+    return islands.groupBy(*group_cols).agg(
+        F.sum(F.col("island_end") - F.col("island_start")).alias("covered_len"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("n_rows").alias("n_intervals"),
+    )

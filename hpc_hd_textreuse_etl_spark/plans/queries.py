@@ -1,0 +1,594 @@
+"""Benchmark/correctness query registry.
+
+Each :class:`QuerySpec` pairs a Spark DataFrame builder with the
+equivalent ANSI SQL for the DuckDB oracle, exercising one or more
+operators from SURVEY.md §2 on the driver's synthetic tables
+(``TESTDATA.md``). Registered here once; consumed by
+``__spark_entry__.py`` (driver contract), ``bench.py`` and
+``tests/test_oracle_parity.py``.
+
+Cross-engine exactness rules (so the driver's value-hash matches):
+
+- Sums of doubles are NOT associative-safe across engines. Every double
+  aggregate is computed as ``sum(cast(x as decimal(30, s)))`` — decimal
+  addition is exact, so both engines produce the identical value — then
+  cast back to double (IEEE conversion of equal decimals is equal).
+- Per-row double arithmetic (a*b, a/b) is IEEE-deterministic given the
+  same operand order; safe to compare directly.
+- Counts/sums of integers: cast to bigint on both sides (DuckDB sums
+  integers into hugeint).
+- Timestamps are rendered to microsecond ISO strings; dates to
+  ``yyyy-MM-dd`` strings (avoids dialect-specific date physical types).
+- No ``first()``-style nondeterministic aggregates; min/max instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.catalog import load_testdata
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            load_testdata(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = QuerySpec(name, wrapped, oracle, tags, bench)
+        return wrapped
+
+    return deco
+
+
+def dsum(col, scale: int = 4, alias: str | None = None):
+    """Exact cross-engine double sum: decimal-accumulate, emit double."""
+    out = F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4) — flagship pricing summary (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A3", "A11", "P6"),
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.table("lineitem")
+    price = F.col("l_extendedprice")
+    disc_price = price * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 4, "sum_qty"),
+            dsum(price, 4, "sum_base_price"),
+            dsum(disc_price, 6, "sum_disc_price"),
+            dsum(charge, 6, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J1", "O2", "A3"),
+    bench=True,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = spark.table("orders")
+    li = spark.table("lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue, 6, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "region_order_stats",
+    oracle="""
+    SELECT r_name,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT CASE WHEN o_totalprice > 150000 THEN o_custkey END) AS BIGINT) AS n_big_spenders,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total_price
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+                JOIN customer ON n_nationkey = c_nationkey
+                JOIN orders ON c_custkey = o_custkey
+    GROUP BY r_name
+    """,
+    tags=("J9", "J4", "A4"),
+    bench=True,
+)
+def region_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join with broadcast dims + conditional COUNT(DISTINCT CASE…)
+    (reference shape: assets/source_piece_statistics.py:24-61)."""
+    region = spark.table("region")
+    nation = spark.table("nation")
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct(
+                F.when(F.col("o_totalprice") > 150000, F.col("o_custkey"))
+            ).alias("n_big_spenders"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 4, "total_price"),
+        )
+    )
+
+
+@query(
+    "customers_without_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    """,
+    tags=("J5",),
+)
+def customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native left_anti — the idiomatic rewrite of the reference's
+    right-join + IS NULL pattern (assets/reception.py:21-25)."""
+    cust = spark.table("customer")
+    orders = spark.table("orders").filter(F.col("o_orderstatus") == "O")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("J11",),
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_acctbal")
+
+
+@query(
+    "supplier_part_pairs",
+    oracle="""
+    SELECT s_suppkey, p_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS total_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 10
+    GROUP BY s_suppkey, p_partkey
+    """,
+    tags=("J2", "J8"),
+)
+def supplier_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.table("lineitem")
+    supp = spark.table("supplier")
+    part = spark.table("part").filter(F.col("p_size") <= 10)
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("s_suppkey", "p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_quantity"), 4, "total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / CASE / scalar functions (SURVEY §2.2, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_price_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("P2", "A9"),
+)
+def order_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.table("orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.withColumn("bucket", bucket)
+        .groupBy("bucket", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "part_string_ops",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           split_part(p_type, ' ', 1) AS type_head,
+           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           substring(p_name, 1, 5) AS name_prefix
+    FROM part
+    """,
+    tags=("P1", "scalar-string"),
+)
+def part_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface (reference splits ids with SUBSTRING_INDEX /
+    LOCATE / SUBSTRING / CONCAT, assets/raw_textreuses.py:150-170)."""
+    part = spark.table("part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring_index(F.col("p_type"), " ", 1).alias("type_head"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.substring(F.col("p_name"), 1, 5).alias("name_prefix"),
+    )
+
+
+@query(
+    "orders_per_year",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY 1 ORDER BY y
+    """,
+    tags=("A9", "scalar-date"),
+)
+def orders_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.table("orders")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice"), 4, "total"),
+        )
+        .orderBy("y")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "active_custkeys_union",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    """,
+    tags=("U1", "U4"),
+)
+def active_custkeys_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        spark.table("orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    b = (
+        spark.table("customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return a.union(b).distinct()
+
+
+@query(
+    "nation_branches_union_all",
+    oracle="""
+    SELECT 'customer' AS side, c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT 'supplier' AS side, s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("U2", "U3"),
+)
+def nation_branches_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = spark.table("customer").select(
+        F.lit("customer").alias("side"), F.col("c_nationkey").alias("nationkey")
+    )
+    b = spark.table("supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_nationkey").alias("nationkey")
+    )
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.5) + dense ids (§2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "part_type_dense_ids",
+    oracle="""
+    SELECT p_type, CAST(row_number() OVER (ORDER BY p_type) AS BIGINT) AS type_id
+    FROM (SELECT DISTINCT p_type FROM part)
+    """,
+    tags=("ids", "O1"),
+)
+def part_type_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense stable id assignment (spark_utils.py:140-230 equivalent)."""
+    from hpc_hd_textreuse_etl_spark.functions.ids import dense_ids
+
+    part = spark.table("part")
+    out = dense_ids(part.select("p_type").distinct(), ["p_type"], "type_id")
+    return out.select("p_type", F.col("type_id").cast("long"))
+
+
+@query(
+    "first_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=("W2",),
+)
+def first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.table("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "running_prev_max_value",
+    oracle="""
+    SELECT event_id, user_id, value,
+           max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM events
+    """,
+    tags=("W3",),
+)
+def running_prev_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running max of *previous* rows — the gaps-and-islands core window
+    (assets/coverages.py:57-70)."""
+    ev = spark.table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ev.select(
+        "event_id", "user_id", "value", F.max("value").over(w).alias("prev_max")
+    )
+
+
+@query(
+    "earliest_order_with_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             min(o_orderdate) OVER (PARTITION BY o_custkey) AS min_date
+      FROM orders
+    ) WHERE o_orderdate = min_date
+    """,
+    tags=("W5", "P4"),
+)
+def earliest_order_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-in-group keeping ALL ties — semantically required by the
+    reference (assets/downstream_clusters.py:132-148); row_number()=1
+    would silently drop tied rows."""
+    from hpc_hd_textreuse_etl_spark.operators.reception import earliest_in_group
+
+    orders = spark.table("orders")
+    return earliest_in_group(orders, ["o_custkey"], "o_orderdate").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands / coverage (SURVEY §2.5 W3-W4, §2.4 A3)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
+
+
+@query(
+    "user_sessions",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events
+    ), marked AS (
+      SELECT user_id, t,
+             CASE WHEN max(t) OVER (PARTITION BY user_id ORDER BY t, t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       + {SESSION_GAP_US} >= t
+                  THEN 0 ELSE 1 END AS is_new,
+             CASE WHEN max(t) OVER (PARTITION BY user_id ORDER BY t, t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE
+             CASE WHEN max(t) OVER (PARTITION BY user_id ORDER BY t, t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       + {SESSION_GAP_US} >= t THEN 0 ELSE 1 END END AS new_island
+      FROM pts
+    ), islands AS (
+      SELECT user_id, t,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY t, t
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM marked
+    ), merged AS (
+      SELECT user_id, island_id, min(t) AS island_start, max(t) AS island_end,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(island_end - island_start) AS BIGINT) AS total_session_us,
+           CAST(sum(n_rows) AS BIGINT) AS n_events
+    FROM merged GROUP BY user_id
+    """,
+    tags=("W3", "W4", "A3"),
+    bench=True,
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization = gaps-and-islands over event times (the coverage
+    machinery of assets/coverages.py:36-139 applied to point events)."""
+    from hpc_hd_textreuse_etl_spark.functions.intervals import coverage
+
+    ev = spark.table("events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    pts = ev.withColumn("t_end", F.col("t"))
+    cov = coverage(
+        pts, ["user_id"], "t", "t_end", adjacency_gap=SESSION_GAP_US
+    )
+    return cov.select(
+        "user_id",
+        F.col("n_islands").alias("n_sessions"),
+        F.col("covered_len").cast("long").alias("total_session_us"),
+        F.col("n_intervals").alias("n_events"),
+    )
+
+
+@query(
+    "interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+      FROM events
+    ), marked AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       + 1 >= s THEN 0 ELSE 1 END END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM marked
+    ), merged AS (
+      SELECT user_id, island_id, min(s) AS island_start, max(e) AS island_end,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(sum(island_end - island_start) AS BIGINT) AS covered_len,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(n_rows) AS BIGINT) AS n_intervals
+    FROM merged GROUP BY user_id
+    """,
+    tags=("W2", "W3", "W4", "A3"),
+    bench=True,
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage totals per group — the reference's
+    coverages query shape (assets/coverages.py:36-139) on synthetic
+    intervals derived from events."""
+    from hpc_hd_textreuse_etl_spark.functions.intervals import coverage
+
+    ev = spark.table("events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 1_000_000).cast("long")
+        ).alias("e"),
+    )
+    cov = coverage(ev, ["user_id"], "s", "e", adjacency_gap=1)
+    return cov.select(
+        "user_id",
+        F.col("covered_len").cast("long").alias("covered_len"),
+        F.col("n_islands"),
+        F.col("n_intervals"),
+    )

@@ -1,0 +1,34 @@
+"""Every registered query with an oracle must match DuckDB exactly at
+sf0.001 (fast local gate; the driver re-runs the same contract at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hpc_hd_textreuse_etl_spark.plans.queries import QUERIES
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import compare_spark_duckdb, duckdb_connection
+
+ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    spec = QUERIES[name]
+    df = spec.builder(spark, SF_SMOKE)
+    ok, msg = compare_spark_duckdb(df, duck, spec.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_QUERIES)))
+def test_query_runs(spark, name):
+    """Non-SQL-expressible operators: rows-only smoke (driver parity)."""
+    df = QUERIES[name].builder(spark, SF_SMOKE)
+    assert df.count() >= 0
