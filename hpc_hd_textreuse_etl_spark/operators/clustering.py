@@ -1,0 +1,247 @@
+"""Chinese Whispers label propagation over a piece graph.
+
+Re-implementation of the reference's iterative clustering
+(``etl_textreuse/assets/chinese_label_propagation.py:32-200``) as a
+self-contained operator. Same algorithm:
+
+- state per vertex: ``(piece_id, cluster_id, cluster_counts: map<long,long>,
+  active: bool)``; initially each vertex is its own cluster and sees one
+  vote per neighbor;
+- each iteration, active vertices pick the arg-max cluster from their
+  vote map with uniform tie-breaking (reservoir trick: accept a tied key
+  with probability ``1/(ties_seen+1)``), apply the change with
+  probability 0.9, then push ``-1``/``+1`` vote deltas to neighbors via
+  the adjacency list, folded into per-vertex delta maps and merged with
+  ``map_zip_with`` + ``map_filter`` (all Catalyst higher-order functions,
+  no UDFs);
+- convergence when no vertex is active, capped at ``max_iter``.
+
+Deliberate improvements over the reference (its README documents the
+loop as unstable, ``assets/README.md:250-251``):
+
+- **Seeded determinism**: the reference uses ``rand()`` (re-evaluated,
+  partition-dependent). We derive every coin from
+  ``xxhash64(vertex, key, iteration, seed)`` and fold over
+  ``array_sort(map_keys(...))``, so the run is reproducible bit-for-bit
+  regardless of partitioning or retries.
+- **Lineage truncation** via ``localCheckpoint`` per iteration (or
+  parquet round-trip when a checkpoint dir is given — the durable,
+  resumable option matching the reference's alternating
+  ``clusters_counts_{0,1}`` tables).
+
+Scale notes: the big-side join per iteration is against the adjacency
+list; pass ``adjacency`` pre-bucketed by ``piece_id`` (see
+:func:`write_bucketed_adjacency`) to make it shuffle-free, exactly like
+the reference's 256-bucket layout. The delta fold is repartitioned on
+``piece_id`` before grouping (the reference scales 256 → 4096 partitions
+past 512M active vertices; we defer to AQE + an explicit knob).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_COIN = "(pmod(xxhash64({args}), 1000000000) / 1000000000.0)"
+
+
+def _coin(*args: str) -> str:
+    return _COIN.format(args=", ".join(args))
+
+
+def symmetrize_edges(edges: DataFrame, src: str = "piece1_id", dst: str = "piece2_id") -> DataFrame:
+    """Undirected edge list → both directions (reference ``:36-41``)."""
+    a = edges.select(F.col(src).alias("piece_id"), F.col(dst).alias("other_piece_id"))
+    b = edges.select(F.col(dst).alias("piece_id"), F.col(src).alias("other_piece_id"))
+    return a.unionAll(b)
+
+
+def adjacency_list(edges: DataFrame, src: str = "piece1_id", dst: str = "piece2_id") -> DataFrame:
+    """``(piece_id, other_piece_ids: array<long>)`` (reference ``:36-44``)."""
+    return (
+        symmetrize_edges(edges, src, dst)
+        .groupBy("piece_id")
+        .agg(F.collect_list("other_piece_id").alias("other_piece_ids"))
+    )
+
+
+def write_bucketed_adjacency(
+    spark: SparkSession, adj: DataFrame, table: str = "adjacency_list",
+    buckets: int = 256, path: str | None = None,
+) -> DataFrame:
+    """Persist the adjacency list bucketed+sorted by ``piece_id`` so every
+    per-iteration join co-locates without a shuffle (reference ``:45-50``)."""
+    writer = adj.write.bucketBy(buckets, "piece_id").sortBy("piece_id")
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table, mode="overwrite", format="parquet", compression="zstd")
+    return spark.read.table(table)
+
+
+def chinese_whispers(
+    adj: DataFrame,
+    max_iter: int = 100,
+    seed: int = 42,
+    update_prob: float = 0.9,
+    repartition: int | None = None,
+    checkpoint: str | None = None,
+    verbose: bool = False,
+) -> tuple[DataFrame, int]:
+    """Run the loop; returns ``(state, iterations)`` where state has
+    ``(piece_id, cluster_id, cluster_counts, active)``.
+
+    ``adj`` must be an adjacency list (see :func:`adjacency_list`).
+    """
+    spark = adj.sparkSession
+    if checkpoint is None:
+        # Durable per-iteration round-trip is mandatory: an in-memory
+        # localCheckpoint empirically fails to cut the *physical*
+        # recomputation chain (iteration time grows ~2.5× per step), the
+        # same instability that drove the reference to its alternating
+        # saveAsTable checkpoints.
+        import tempfile
+
+        checkpoint = tempfile.mkdtemp(prefix="clp-checkpoint-")
+    state = (
+        adj.withColumn(
+            "cluster_counts",
+            F.map_from_entries(F.expr("transform(other_piece_ids, o -> (o, bigint(1)))")),
+        )
+        .select("piece_id", "cluster_counts")
+        .withColumn("cluster_id", F.col("piece_id"))
+        .withColumn("active", F.lit(True))
+        .select("piece_id", "cluster_id", "cluster_counts", "active")
+    )
+    state = _truncate_lineage(spark, state, checkpoint, 0)
+    active_count = state.filter("active").count()
+
+    it = 0
+    while active_count > 0 and it < max_iter:
+        # 1. arg-max vote with deterministic reservoir tie-breaking.
+        # Fold over sorted keys so the outcome is partition-independent.
+        pick = f"""
+        aggregate(
+          array_sort(map_keys(cluster_counts)),
+          (bigint(-1) as cluster_id, bigint(-1) as count, bigint(-1) as same_count),
+          (acc, y) ->
+            IF(acc.count <= cluster_counts[y],
+              IF(acc.count < cluster_counts[y],
+                (y as cluster_id, cluster_counts[y] as count, 1 as same_count),
+                IF({_coin("piece_id", "y", f"int({it})", f"int({seed})")} < 1.0/(acc.same_count + 1),
+                  (y as cluster_id, acc.count as count, acc.same_count + 1 as same_count),
+                  (acc.cluster_id as cluster_id, acc.count as count, acc.same_count + 1 as same_count))),
+              acc),
+          acc -> (acc.cluster_id as cluster_id, acc.same_count > 1 as tied)
+        )
+        """
+        gate = f"{_coin('piece_id', f'int({it})', f'int({seed + 1})')} <= {update_prob}"
+        updates = (
+            state.filter(F.col("active"))
+            .select("piece_id", F.col("cluster_id").alias("old_cluster_id"), "cluster_counts")
+            .withColumn("picked", F.expr(pick))
+            .select(
+                "piece_id",
+                "old_cluster_id",
+                F.col("picked.cluster_id").alias("new_cluster_id"),
+                F.col("picked.tied").alias("tied"),
+            )
+            .withColumn(
+                "do_update",
+                (F.col("old_cluster_id") != F.col("new_cluster_id")) & F.expr(gate),
+            )
+            .filter(F.col("tied") | F.col("do_update"))
+            .persist()
+        )
+
+        # 2. push ±count deltas to all neighbors of changed vertices
+        changed = updates.filter(F.col("do_update")).join(adj, "piece_id")
+        exploded = changed.select(
+            F.explode("other_piece_ids").alias("piece_id"),
+            "old_cluster_id",
+            "new_cluster_id",
+        )
+        if repartition:
+            exploded = exploded.repartition(repartition, "piece_id")
+        deltas = (
+            exploded.groupBy("piece_id", "old_cluster_id", "new_cluster_id")
+            .count()
+            .groupBy("piece_id")
+            .agg(
+                F.expr(
+                    """
+            aggregate(
+              collect_list(struct(old_cluster_id, new_cluster_id, count)),
+              cast(map() AS MAP<BIGINT, BIGINT>),
+              (acc, u) -> map_concat(
+                map(u.old_cluster_id, coalesce(acc[u.old_cluster_id], 0) - u.count,
+                    u.new_cluster_id, coalesce(acc[u.new_cluster_id], 0) + u.count),
+                map_filter(acc, (k, v) -> k != u.old_cluster_id and k != u.new_cluster_id))
+            )
+            """
+                ).alias("count_updates")
+            )
+        )
+
+        # 3. merge deltas + recompute active
+        state = (
+            state.join(updates.select("piece_id", "do_update", "new_cluster_id", "tied"), "piece_id", "left")
+            .withColumn(
+                "cluster_id",
+                F.when(F.col("do_update") == True, F.col("new_cluster_id")).otherwise(  # noqa: E712
+                    F.col("cluster_id")
+                ),
+            )
+            .join(deltas, "piece_id", "left")
+            .withColumn(
+                "cluster_counts",
+                F.expr(
+                    """
+          IF(isnull(count_updates), cluster_counts,
+            map_filter(
+              map_zip_with(cluster_counts, count_updates, (k, v1, v2) -> coalesce(v1, 0) + coalesce(v2, 0)),
+              (k, v) -> v != 0))
+          """
+                ),
+            )
+            .withColumn(
+                "active",
+                (F.coalesce(F.col("tied"), F.lit(False)))
+                | F.col("count_updates").isNotNull(),
+            )
+            .select("piece_id", "cluster_id", "cluster_counts", "active")
+        )
+        it += 1
+        state = _truncate_lineage(spark, state, checkpoint, it)
+        updates.unpersist()
+        active_count = state.filter("active").count()
+        if verbose:
+            import time
+
+            plan_len = len(state._jdf.queryExecution().optimizedPlan().toString())
+            print(
+                f"iter={it} active={active_count} plan_chars={plan_len} t={time.time():.1f}",
+                flush=True,
+            )
+    return state, it
+
+
+def clustered_pieces(state: DataFrame) -> DataFrame:
+    """Final ``(piece_id, cluster_id)`` (reference:
+    assets/downstream_clusters.py:13-33)."""
+    return state.select("piece_id", "cluster_id")
+
+
+def _truncate_lineage(
+    spark: SparkSession, df: DataFrame, checkpoint: str, it: int
+) -> DataFrame:
+    """Stop the iterative plan (and physical recomputation chain) from
+    growing: parquet round-trip on alternating paths, the durable /
+    resumable pattern of the reference (``:189-197``)."""
+    path = f"{checkpoint}/clusters_counts_{it % 2}"
+    df.write.mode("overwrite").option("compression", "zstd").partitionBy(
+        "active"
+    ).parquet(path)
+    # partition columns come back as strings; restore the boolean
+    return spark.read.parquet(path).withColumn(
+        "active", F.col("active") == "true"
+    )

@@ -592,3 +592,144 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_islands"),
         F.col("n_intervals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array/map functions (SURVEY §2.8 — the reference's most
+# Spark-idiomatic surface: aggregate/transform folds, kept verbatim)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_elem,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+    tags=("A6", "scalar-array"),
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst higher-order fold over an array column — same machinery
+    as the reference's vote-map folds (chinese_label_propagation.py:113-134)."""
+    emb = spark.table("embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reception analytics (SURVEY §2.3 J5/J6, §2.5 W5) — earliest source →
+# later destination edges, the reference's reception_edges shape
+# (assets/reception.py:14-102) on the orders table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_reception_edges",
+    oracle="""
+    WITH members AS (
+      SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+    ), earliest AS (
+      SELECT o_custkey, o_orderkey FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               min(o_orderdate) OVER (PARTITION BY o_custkey) AS min_date
+        FROM members
+      ) WHERE o_orderdate = min_date
+    ), non_source AS (
+      SELECT m.o_custkey, m.o_orderkey FROM members m
+      WHERE NOT EXISTS (SELECT 1 FROM earliest e WHERE e.o_orderkey = m.o_orderkey)
+    )
+    SELECT e.o_custkey AS custkey,
+           e.o_orderkey AS src_o_orderkey,
+           n.o_orderkey AS dst_o_orderkey
+    FROM earliest e JOIN non_source n ON e.o_custkey = n.o_custkey
+    """,
+    tags=("J5", "J6", "W5"),
+    bench=True,
+)
+def order_reception_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpc_hd_textreuse_etl_spark.operators.reception import reception_edges
+
+    members = spark.table("orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    edges = reception_edges(members, "o_custkey", "o_orderkey", "o_orderdate")
+    return edges.select(
+        F.col("o_custkey").alias("custkey"), "src_o_orderkey", "dst_o_orderkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (driver records rows-only checks):
+# defragmentation scan + Chinese Whispers clustering
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_pieces_from_events(spark: SparkSession) -> DataFrame:
+    """Deterministic span table shaped like orig_pieces (trs_id,
+    trs_start, trs_end, piece_id) derived from the events table."""
+    ev = spark.table("events")
+    start = F.floor(F.col("value") * 100).cast("int")
+    length = (F.lit(50) + F.pmod(F.col("event_id"), F.lit(300))).cast("int")
+    return ev.select(
+        F.col("user_id").alias("trs_id"),
+        start.alias("trs_start"),
+        (start + length).alias("trs_end"),
+        (F.col("event_id") + 1).alias("piece_id"),
+    )
+
+
+@query("defrag_piece_mappings", oracle=None, tags=("A12", "W1"), bench=True)
+def defrag_piece_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-document defrag scan (the reference's only UDAF,
+    piece_id_mappings.ipynb cell 2) as applyInPandas; see
+    operators/defrag.py."""
+    from hpc_hd_textreuse_etl_spark.operators.defrag import piece_id_mappings
+
+    pieces = _synthetic_pieces_from_events(spark)
+    return piece_id_mappings(pieces)
+
+
+@query("defrag_pieces_merged", oracle=None, tags=("A1", "A12"))
+def defrag_pieces_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpc_hd_textreuse_etl_spark.operators.defrag import (
+        defrag_pieces,
+        piece_id_mappings,
+    )
+
+    pieces = _synthetic_pieces_from_events(spark)
+    return defrag_pieces(pieces, piece_id_mappings(pieces))
+
+
+@query("chinese_whispers_clusters", oracle=None, tags=("§2.10", "A5", "A6"))
+def chinese_whispers_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Chinese-Whispers label propagation on a customer–nation
+    bipartite graph (operators/clustering.py). Deterministic row count =
+    vertex count for the driver's rows-only check."""
+    from hpc_hd_textreuse_etl_spark.operators.clustering import (
+        adjacency_list,
+        chinese_whispers,
+        clustered_pieces,
+    )
+
+    edges = (
+        spark.table("customer")
+        .select(
+            F.col("c_custkey").alias("piece1_id"),
+            (F.col("c_nationkey").cast("long") + 10_000_000).alias("piece2_id"),
+        )
+        .distinct()
+    )
+    state, _ = chinese_whispers(adjacency_list(edges), max_iter=20, seed=42)
+    return clustered_pieces(state)

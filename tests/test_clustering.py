@@ -1,0 +1,49 @@
+"""Chinese Whispers clustering: deterministic (seeded) convergence on
+known graph shapes (FIXTURES.md §8: disjoint cliques + bridging chain)."""
+
+from __future__ import annotations
+
+import itertools
+
+from hpc_hd_textreuse_etl_spark.operators.clustering import (
+    adjacency_list,
+    chinese_whispers,
+    clustered_pieces,
+)
+
+
+def _clique(nodes):
+    return [(a, b) for a, b in itertools.combinations(nodes, 2)]
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "piece1_id long, piece2_id long")
+    adj = adjacency_list(df)
+    state, iters = chinese_whispers(adj, **kw)
+    return {r.piece_id: r.cluster_id for r in clustered_pieces(state).collect()}, iters
+
+
+def test_disjoint_cliques_converge(spark):
+    edges = _clique(range(1, 6)) + _clique(range(10, 15))
+    clusters, iters = _run(spark, edges, max_iter=30, seed=42)
+    assert iters < 30  # converged, not capped
+    assert len(clusters) == 10
+    a = {clusters[n] for n in range(1, 6)}
+    b = {clusters[n] for n in range(10, 15)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_bridged_cliques_converge(spark):
+    edges = _clique(range(1, 7)) + _clique(range(10, 16)) + [(6, 10)]
+    clusters, iters = _run(spark, edges, max_iter=50, seed=42)
+    assert iters < 50
+    # each clique interior agrees on a single label
+    assert len({clusters[n] for n in range(1, 6)}) == 1
+    assert len({clusters[n] for n in range(11, 16)}) == 1
+
+
+def test_seeded_runs_reproduce(spark):
+    edges = _clique(range(1, 6)) + [(5, 6), (6, 7)] + _clique(range(7, 12))
+    c1, _ = _run(spark, edges, max_iter=30, seed=7)
+    c2, _ = _run(spark, edges, max_iter=30, seed=7)
+    assert c1 == c2
