@@ -1,0 +1,164 @@
+"""Text-analysis building blocks for large-scale corpus pipelines.
+
+All hot-path expressions are Catalyst built-ins / higher-order functions
+(JVM-side, codegen'd) — no Python UDFs. This extends the engine beyond
+the reference's surface (its only text functions are id-splitting and
+LENGTH, SURVEY §2.8) toward the operations a training-data pipeline
+needs: tokenization, quality scoring, language ID, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingles
+# ---------------------------------------------------------------------------
+
+
+def tokens(col: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokens (array<string>); drops empty trailing tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, pattern), lambda t: t != "")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Approximate subword token count: words plus punctuation runs plus
+    digit runs, the usual pre-BPE segmentation regex. JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            F.split(c, r"(?=[^\w])|(?<=[^\w])"),
+            lambda t: (t != "") & (t != " "),
+        )
+    )
+
+
+def char_shingles_of(colname: str, n: int = 5) -> Column:
+    """Character n-grams of a named column (array<string>)."""
+    c = F.col(colname)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+
+
+def token_shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-grams joined by a separator (array<string>)."""
+    toks = tokens(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality metrics
+# ---------------------------------------------------------------------------
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+
+def token_stats(col: Column | str) -> dict[str, Column]:
+    """Reusable quality columns; compose into a select/withColumns."""
+    toks = tokens(col)
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.size(toks)
+    return {
+        "n_chars": F.length(c),
+        "n_tokens": n,
+        "n_unique_tokens": F.size(F.array_distinct(toks)),
+        "avg_token_len": F.when(
+            n > 0,
+            F.aggregate(
+                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+            )
+            / n,
+        ),
+        "type_token_ratio": F.when(
+            n > 0, F.size(F.array_distinct(toks)).cast("double") / n
+        ),
+    }
+
+
+def stopword_ratio(
+    col: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
+) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks))
+
+
+# ---------------------------------------------------------------------------
+# Language identification (profile-scoring heuristic)
+# ---------------------------------------------------------------------------
+
+#: tiny built-in stopword profiles; callers supply corpus-specific ones
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist", "zu", "ein"),
+    "es": ("el", "la", "de", "y", "es", "en", "un"),
+}
+
+
+def lang_scores(col: Column | str, profiles: dict[str, tuple[str, ...]] = LANG_PROFILES) -> dict[str, Column]:
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in profiles.items()
+    }
+
+
+def lang_guess(
+    col: Column | str,
+    profiles: dict[str, tuple[str, ...]] = LANG_PROFILES,
+    default: str = "unknown",
+) -> Column:
+    """Arg-max language over stopword-hit counts; ``default`` when no
+    profile scores > 0. Deterministic tie-break: profile order."""
+    scores = lang_scores(col, profiles)
+    langs = list(scores)
+    best = None
+    for lang in langs:
+        cond = F.lit(True)
+        seen_before = langs[: langs.index(lang)]
+        after = langs[langs.index(lang) + 1 :]
+        for o in seen_before:  # earlier profiles win ties
+            cond = cond & (scores[lang] > scores[o])
+        for o in after:
+            cond = cond & (scores[lang] >= scores[o])
+        cond = cond & (scores[lang] > 0)
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    return best.otherwise(default)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def normalized_md5(col: Column | str) -> Column:
+    """Canonical document fingerprint: md5 of lower-cased,
+    whitespace-collapsed text (stable across engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+ROLLING_HASH_MOD = 1_000_000_007
+ROLLING_HASH_BASE = 31
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash over whitespace tokens (each token hashed
+    with xxhash64 first): ``h = (h*31 + |xxhash64(tok)|) mod 1e9+7``.
+    Pure Catalyst fold — deterministic at any scale."""
+    toks = tokens(col)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * ROLLING_HASH_BASE + F.abs(F.xxhash64(t)) % ROLLING_HASH_MOD
+        )
+        % ROLLING_HASH_MOD,
+    )

@@ -1,0 +1,354 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-duplicates.
+
+Beyond the reference's surface (its defragmentation is a span-level
+near-dup merge; these generalize to document level, the core of a
+training-data pipeline). Design rules for 100 TB:
+
+- candidate generation NEVER compares all pairs: LSH band buckets /
+  blocking keys bound the join fan-out;
+- everything is hash-based and seed-deterministic (xxhash64), so reruns
+  and retries are stable — no ``rand()``;
+- all expressions are Catalyst built-ins (JVM): the MinHash signature is
+  ``k`` min-aggregates, SimHash is a higher-order bit fold, Jaccard is an
+  explode + equi-join + count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.functions.text import char_shingles_of, tokens
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated content value with
+    the keeper (min id) and the group size.
+
+    Grouping key is ``sha2(text, 256)`` so the shuffle moves 32-byte
+    digests, not document bodies — the difference between shuffling
+    ~100 TB and ~3 TB at corpus scale.
+    """
+    hashed = df.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash")
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """``(id, signature: array<long>)`` — k independent min-hashes over
+    the document's distinct character shingles.
+
+    One explode + one grouped aggregation with ``k`` min() columns: a
+    single shuffle on the id, map-side combined. xxhash64(shingle, i)
+    gives the i-th hash family member; fully deterministic.
+    """
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(char_shingles_of(text_col, shingle_size))).alias(
+            "shingle"
+        ),
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingled.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banding: documents agreeing on ALL rows of ≥1 band become a
+    candidate pair ``(id_a < id_b)``. The self-join runs per (band,
+    band_hash) bucket — bounded fan-out, no all-pairs comparison."""
+    bands = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ),
+                        F.lit(b),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    num_bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """End-to-end MinHash near-dup: LSH candidates verified by estimated
+    Jaccard (signature agreement fraction) ≥ threshold."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / num_hashes,
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(colname: str, bits: int = 64) -> Column:
+    """SimHash of whitespace tokens: per bit position, sum ±1 votes over
+    token hashes; bit set where the vote sum is positive. One Catalyst
+    fold carrying an ``array<long>`` of bit votes, evaluated once, then a
+    zip_with pack. Written as a SQL expression because SQL-level
+    shiftleft/shiftright accept column shift amounts (the Python wrapper
+    does not). Near-duplicate docs differ in few bits (Hamming)."""
+    toks_sql = f"filter(split({colname}, '\\\\s+'), t -> t != '')"
+    return F.expr(
+        f"""
+      aggregate(
+        zip_with(
+          aggregate(
+            {toks_sql},
+            array_repeat(0L, {bits}),
+            (acc, t) -> zip_with(
+              acc,
+              transform(sequence(0, {bits - 1}),
+                        b -> IF((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)),
+              (a, v) -> a + v)
+          ),
+          sequence(0, {bits - 1}),
+          (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)
+        ),
+        0L,
+        (acc, x) -> acc | x
+      )"""
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup with banded blocking: split the 64-bit signature
+    into 64/band_bits chunks; by pigeonhole, pairs within Hamming ≤
+    (64/band_bits - 1) share at least one exact chunk — join only within
+    chunk buckets, then verify exact Hamming distance."""
+    n_bands = 64 // band_bits
+    sigs = df.select(F.col(id_col), simhash(text_col).alias("sig"))
+    chunks = sigs.select(
+        F.col(id_col),
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sig"), b * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_distance(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram / token Jaccard
+# ---------------------------------------------------------------------------
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact Jaccard over distinct whitespace tokens for all pairs that
+    share ≥1 token (and agree on optional blocking columns). The
+    token-level equi-join bounds the candidate set; blocking columns
+    (language, length bucket, …) bound it further at corpus scale."""
+    tok = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    a = tok.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        "tok",
+    )
+    b = tok.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        "tok",
+    )
+    cond = [a.tok == b.tok] + [
+        F.col(f"{c}_a") == F.col(f"{c}_b") for c in block_cols
+    ]
+    inter = (
+        a.join(b, cond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, computed in double
+    with sequential folds (deterministic)."""
+    prod = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return prod / (na * nb)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """All pairs (within blocks) with cosine ≥ threshold. Blocking keys
+    (cluster/label/LSH bucket) keep the join from being all-pairs."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        *[F.col(c) for c in block_cols],
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        *[F.col(c) for c in block_cols],
+    )
+    joined = a.join(b, list(block_cols)) if block_cols else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

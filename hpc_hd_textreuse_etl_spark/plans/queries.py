@@ -733,3 +733,278 @@ def chinese_whispers_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state, _ = chinese_whispers(adjacency_list(edges), max_iter=20, seed=42)
     return clustered_pieces(state)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (beyond-parity: training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+_TOK = "list_filter(string_split_regex(text, '\\s+'), t -> t != '')"
+
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len({_TOK}) AS INT) AS n_tokens,
+           CAST(len(list_distinct({_TOK})) AS INT) AS n_unique_tokens,
+           list_sum(list_transform({_TOK}, t -> CAST(length(t) AS DOUBLE)))
+             / CAST(len({_TOK}) AS INT) AS avg_token_len,
+           CAST(len(list_distinct({_TOK})) AS DOUBLE) / CAST(len({_TOK}) AS INT)
+             AS type_token_ratio
+    FROM documents
+    """,
+    tags=("text-analysis",),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpc_hd_textreuse_etl_spark.functions.text import token_stats
+
+    docs = spark.table("documents")
+    stats = token_stats("text")
+    return docs.select(
+        "doc_id",
+        stats["n_chars"].alias("n_chars"),
+        stats["n_tokens"].alias("n_tokens"),
+        stats["n_unique_tokens"].alias("n_unique_tokens"),
+        stats["avg_token_len"].alias("avg_token_len"),
+        stats["type_token_ratio"].alias("type_token_ratio"),
+    )
+
+
+@query(
+    "doc_quality",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len({_TOK}) AS INT) AS n_tokens,
+             CAST(len(list_filter({_TOK},
+                  t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+               / CAST(len({_TOK}) AS INT) AS stop_ratio
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, stop_ratio,
+           CASE WHEN n_tokens < 20 THEN 'too_short'
+                WHEN stop_ratio < 0.05 THEN 'low_stopword'
+                ELSE 'ok' END AS quality_label
+    FROM q
+    """,
+    tags=("text-analysis",),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpc_hd_textreuse_etl_spark.functions.text import stopword_ratio, tokens
+
+    docs = spark.table("documents")
+    n = F.size(tokens("text"))
+    out = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stopword_ratio("text").alias("stop_ratio"),
+    )
+    label = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("stop_ratio") < 0.05, "low_stopword")
+        .otherwise("ok")
+    )
+    return out.withColumn("quality_label", label)
+
+
+@query(
+    "doc_lang_guess",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        len(list_filter({_TOK}, t -> t IN ('the','a','of','and','is','to','in'))) AS s_en,
+        len(list_filter({_TOK}, t -> t IN ('der','die','das','und','ist','zu','ein'))) AS s_de,
+        len(list_filter({_TOK}, t -> t IN ('el','la','de','y','es','en','un'))) AS s_es
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de > s_en AND s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_es > s_en AND s_es > s_de AND s_es > 0 THEN 'es'
+                ELSE 'unknown' END AS lang_guess
+    FROM s
+    """,
+    tags=("text-analysis",),
+)
+def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpc_hd_textreuse_etl_spark.functions.text import lang_guess
+
+    docs = spark.table("documents")
+    return docs.select("doc_id", "lang", lang_guess("text").alias("lang_guess"))
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+    tags=("text-analysis",),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpc_hd_textreuse_etl_spark.functions.text import normalized_md5
+
+    docs = spark.table("documents")
+    return docs.select("doc_id", normalized_md5("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (beyond-parity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_duplicate_groups",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+    )
+    SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, CAST(count(*) AS BIGINT) AS group_size
+    FROM u GROUP BY text HAVING count(*) > 1
+    """,
+    tags=("dedup-exact",),
+)
+def exact_duplicate_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy. The corpus has no exact
+    dups, so the query plants deterministic copies (doc_id < 50) first —
+    exercising the operator with non-trivial output."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import exact_duplicate_groups
+
+    docs = spark.table("documents").select("doc_id", "text")
+    copies = (
+        docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    groups = exact_duplicate_groups(docs.unionByName(copies), "doc_id", "text")
+    return groups.select("keep_id", "group_size")
+
+
+@query(
+    "token_jaccard_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(list_distinct({_TOK})) AS tok FROM documents
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) AS jaccard
+    FROM inter JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.95
+    """,
+    tags=("dedup-jaccard",),
+)
+def token_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpc_hd_textreuse_etl_spark.operators.dedup import token_jaccard_pairs
+
+    docs = spark.table("documents")
+    return token_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.95, block_cols=("lang",)
+    )
+
+
+@query("minhash_near_duplicates", oracle=None, tags=("dedup-minhash",), bench=True)
+def minhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join).
+    Hash-deterministic; validated against exact Jaccard in
+    tests/test_dedup.py (no SQL oracle — DuckDB lacks xxhash64)."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.table("documents")
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", num_hashes=32, num_bands=8, threshold=0.7
+    )
+
+
+@query("simhash_near_duplicates", oracle=None, tags=("dedup-simhash",))
+def simhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hpc_hd_textreuse_etl_spark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.table("documents")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+           (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+          (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.25
+    """,
+    tags=("dedup-embedding",),
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup within label blocks. The Spark fold and
+    the DuckDB explicit-double formula are bit-identical (verified over
+    1225 pairs), so raw doubles compare exactly."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import embedding_near_duplicates
+
+    emb = spark.table("embeddings")
+    return embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.25, block_cols=("label",)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (beyond-parity)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity-bruteforce",),
+    bench=True,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k — the ANN baseline (broadcast
+    queries, streaming corpus side)."""
+    from hpc_hd_textreuse_etl_spark.operators.similarity import cosine_topk
+
+    emb = spark.table("embeddings")
+    return cosine_topk(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding", k=5
+    )
+
+
+@query("ann_lsh_topk", oracle=None, tags=("similarity-lsh",))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (the scale path; recall vs brute force
+    checked in tests/test_similarity.py)."""
+    from hpc_hd_textreuse_etl_spark.operators.similarity import lsh_topk
+
+    emb = spark.table("embeddings")
+    return lsh_topk(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
+        k=5, num_planes=4, num_tables=8,
+    )

@@ -1,0 +1,104 @@
+"""Dedup-family semantics beyond the SQL-oracle gate: the hash-based
+operators (MinHash, SimHash) are validated against exact similarity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hpc_hd_textreuse_etl_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash,
+    simhash_near_duplicates,
+    token_jaccard_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("quick", "swift")),  # near dup
+        (4, base.replace("today", "tomorrow morning")),  # near dup
+        (5, "completely different content about spark shuffle partitions and joins"),
+        (6, "another unrelated text mentioning catalyst optimizer rules only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups(spark, corpus):
+    groups = exact_duplicate_groups(corpus, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0].keep_id == 1 and groups[0].group_size == 2
+
+
+def test_minhash_signature_shape_and_determinism(spark, corpus):
+    sigs1 = {r.doc_id: r.signature for r in minhash_signatures(corpus, "doc_id", "text", 16).collect()}
+    sigs2 = {r.doc_id: r.signature for r in minhash_signatures(corpus, "doc_id", "text", 16).collect()}
+    assert sigs1 == sigs2  # hash-deterministic
+    assert all(len(s) == 16 for s in sigs1.values())
+    assert sigs1[1] == sigs1[2]  # identical docs → identical signatures
+
+
+def test_minhash_finds_near_dups_and_skips_distinct(spark, corpus):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            corpus, "doc_id", "text", num_hashes=32, num_bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always survives
+    # near dups 1-3 / 1-4 should be found (high shingle overlap)
+    assert (1, 3) in pairs and (2, 3) in pairs
+    # unrelated docs must not pair with the dup cluster
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_simhash_properties(spark, corpus):
+    sigs = {
+        r.doc_id: r.sig
+        for r in corpus.select("doc_id", simhash("text").alias("sig")).collect()
+    }
+    assert sigs[1] == sigs[2]
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    # near-dup pair closer in Hamming space than unrelated pair
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[5])
+
+
+def test_simhash_near_duplicates(spark, corpus):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(corpus, "doc_id", "text", max_hamming=10).collect()
+    }
+    assert (1, 2) in pairs
+    assert not any({5, 6} & set(p) for p in pairs if p != (5, 6))
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    # estimated jaccard from 64 hashes should be within ~0.25 of the
+    # exact shingle jaccard for found pairs (statistical, seed-fixed)
+    rows = [
+        (i, f"shared prefix tokens run along here variant {i % 3} tail section {i}")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_near_duplicates(
+            df, "doc_id", "text", num_hashes=64, num_bands=16, threshold=0.0
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in token_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    checked = 0
+    for pair, e in est.items():
+        if pair in exact:
+            assert abs(e - exact[pair]) < 0.35, (pair, e, exact[pair])
+            checked += 1
+    assert checked > 0
