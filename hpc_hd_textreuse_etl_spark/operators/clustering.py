@@ -102,12 +102,19 @@ def chinese_whispers(
         import tempfile
 
         checkpoint = tempfile.mkdtemp(prefix="clp-checkpoint-")
+    # Initial votes: one per neighbor occurrence. Parallel edges (a pair
+    # surviving defrag in both directions) are summed into one map entry
+    # — map_from_entries would reject the duplicate key otherwise.
     state = (
-        adj.withColumn(
-            "cluster_counts",
-            F.map_from_entries(F.expr("transform(other_piece_ids, o -> (o, bigint(1)))")),
+        adj.select("piece_id", F.explode("other_piece_ids").alias("o"))
+        .groupBy("piece_id", "o")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+        .groupBy("piece_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("o"), F.col("votes")))
+            ).alias("cluster_counts")
         )
-        .select("piece_id", "cluster_counts")
         .withColumn("cluster_id", F.col("piece_id"))
         .withColumn("active", F.lit(True))
         .select("piece_id", "cluster_id", "cluster_counts", "active")

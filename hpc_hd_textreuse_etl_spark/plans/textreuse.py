@@ -1,0 +1,366 @@
+"""The text-reuse pipeline: the reference's full asset DAG, Spark-first.
+
+Stage map (reference asset → builder here):
+
+- ``textreuse_ids``       ← assets/raw_textreuses.py:141-173
+- ``textreuses``          ← assets/raw_textreuses.py:181-208
+- ``orig_pieces``         ← assets/orig_textreuses.py:14-38
+- ``orig_textreuses``     ← assets/orig_textreuses.py:41-65
+- defrag tables           ← operators/defrag.py (ipynb cells 2-6)
+- ``adjacency_list`` / clusters ← operators/clustering.py (:32-200)
+- ``textreuse_source_lengths``  ← assets/coverages.py:13-28
+- ``coverages``           ← assets/coverages.py:36-165
+- earliest / non-source / ``reception_edges`` ← assets/downstream_clusters.py:114-150, assets/reception.py:14-102
+- ``source_piece_statistics``   ← assets/source_piece_statistics.py:13-85
+
+Differences by design (SURVEY §7): native ``left_anti`` instead of
+right-join+IS NULL; ``row_number``/zipWithIndex dense ids instead of an
+RDD helper everywhere; the defrag UDAF is an ``applyInPandas`` scan; no
+orchestrator — stages are plain functions returning DataFrames, composed
+by :func:`build_pipeline` (materialization is the caller's choice via
+catalog.materialise).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.functions.ids import dense_ids
+from hpc_hd_textreuse_etl_spark.functions.intervals import merge_intervals
+from hpc_hd_textreuse_etl_spark.operators import defrag as D
+from hpc_hd_textreuse_etl_spark.operators import clustering as C
+from hpc_hd_textreuse_etl_spark.operators.reception import (
+    earliest_in_group,
+    non_source_members,
+)
+
+# ---------------------------------------------------------------------------
+# Identity layer
+# ---------------------------------------------------------------------------
+
+
+def textreuse_ids(raw_hits: DataFrame) -> DataFrame:
+    """Distinct document ids from both hit sides, split into
+    ``(manifestation_id, structure_name)`` on the first ``.``, densely
+    numbered by full text_name (reference raw_textreuses.py:141-173).
+
+    ECCO (``0287901000``) and newspaper ids have no dot → NULL
+    structure_name; EEBO (``A00003.headed_1…``) splits at the first dot.
+    """
+    names = (
+        raw_hits.select(F.col("text1_id").alias("text_name"))
+        .union(raw_hits.select(F.col("text2_id").alias("text_name")))
+        .distinct()
+    )
+    ids = dense_ids(names, ["text_name"], "trs_id")
+    has_dot = F.instr(F.col("text_name"), ".") > 0
+    return ids.select(
+        "trs_id",
+        "text_name",
+        F.substring_index("text_name", ".", 1).alias("manifestation_id"),
+        F.when(
+            has_dot,
+            F.expr("substring(text_name, instr(text_name, '.') + 1)"),
+        ).alias("structure_name"),
+    )
+
+
+def textreuses(raw_hits: DataFrame, trs_ids: DataFrame) -> DataFrame:
+    """Re-key raw hits to int trs ids; left joins keep unmatched hits
+    with NULL ids (reference raw_textreuses.py:181-208) and a dense
+    ``textreuse_id`` is assigned in a stable sorted order."""
+    t1 = trs_ids.select(
+        F.col("text_name").alias("text1_id"), F.col("trs_id").alias("trs1_id")
+    )
+    t2 = trs_ids.select(
+        F.col("text_name").alias("text2_id"), F.col("trs_id").alias("trs2_id")
+    )
+    joined = (
+        raw_hits.join(t1, "text1_id", "left")
+        .join(t2, "text2_id", "left")
+        .select(
+            "trs1_id",
+            F.col("text1_text_start").alias("trs1_start"),
+            F.col("text1_text_end").alias("trs1_end"),
+            "trs2_id",
+            F.col("text2_text_start").alias("trs2_start"),
+            F.col("text2_text_end").alias("trs2_end"),
+            "align_length",
+            "positives_percent",
+        )
+    )
+    return dense_ids(
+        joined,
+        ["trs1_id", "trs1_start", "trs1_end", "trs2_id", "trs2_start", "trs2_end"],
+        "textreuse_id",
+    )
+
+
+def orig_pieces(textreuses_df: DataFrame) -> DataFrame:
+    """Distinct spans from both sides → dense ``piece_id`` ordered by
+    (trs_id, start, end) (reference orig_textreuses.py:14-38). UNION
+    (not UNION ALL) — bidirectional duplicates collapse."""
+    spans = (
+        textreuses_df.select(
+            F.col("trs1_id").alias("trs_id"),
+            F.col("trs1_start").alias("trs_start"),
+            F.col("trs1_end").alias("trs_end"),
+        )
+        .union(
+            textreuses_df.select(
+                F.col("trs2_id"), F.col("trs2_start"), F.col("trs2_end")
+            )
+        )
+        .distinct()
+    )
+    return dense_ids(spans, ["trs_id", "trs_start", "trs_end"], "piece_id")
+
+
+def orig_textreuses(textreuses_df: DataFrame, pieces: DataFrame) -> DataFrame:
+    """Edge list piece1↔piece2 via composite-key joins (reference
+    orig_textreuses.py:41-65)."""
+    p1 = pieces.select(
+        F.col("trs_id").alias("trs1_id"),
+        F.col("trs_start").alias("trs1_start"),
+        F.col("trs_end").alias("trs1_end"),
+        F.col("piece_id").alias("piece1_id"),
+    )
+    p2 = pieces.select(
+        F.col("trs_id").alias("trs2_id"),
+        F.col("trs_start").alias("trs2_start"),
+        F.col("trs_end").alias("trs2_end"),
+        F.col("piece_id").alias("piece2_id"),
+    )
+    return (
+        textreuses_df.join(p1, ["trs1_id", "trs1_start", "trs1_end"])
+        .join(p2, ["trs2_id", "trs2_start", "trs2_end"])
+        .select("textreuse_id", "piece1_id", "piece2_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coverage path
+# ---------------------------------------------------------------------------
+
+
+def textreuse_source_lengths(sources: DataFrame, trs_ids: DataFrame) -> DataFrame:
+    """``(trs_id, text_length)`` (reference coverages.py:13-28; join is
+    broadcast — the id dim is small relative to texts)."""
+    return (
+        sources.join(
+            F.broadcast(trs_ids.select("trs_id", F.col("text_name"))),
+            sources.doc_id == F.col("text_name"),
+        )
+        .select("trs_id", F.length("text").alias("text_length"))
+    )
+
+
+def coverages(
+    defrag_textreuses: DataFrame,
+    defrag_pieces: DataFrame,
+    lengths: DataFrame,
+) -> DataFrame:
+    """Per-document-pair reuse coverage, both directions (reference
+    coverages.py:36-165): for each (trs1, trs2) merge the t1-side spans
+    (gaps-and-islands) and the t2-side spans, sum merged lengths, join
+    the two aggregate branches and the length dim, emit ratios ×100.
+
+    One shuffle per side keyed by the pair; islands machinery is
+    functions/intervals (single window sort per side)."""
+    p1 = defrag_pieces.select(
+        F.col("piece_id").alias("piece1_id"),
+        F.col("trs_id").alias("trs1_id"),
+        F.col("trs_start").alias("t1_start"),
+        F.col("trs_end").alias("t1_end"),
+    )
+    p2 = defrag_pieces.select(
+        F.col("piece_id").alias("piece2_id"),
+        F.col("trs_id").alias("trs2_id"),
+        F.col("trs_start").alias("t2_start"),
+        F.col("trs_end").alias("t2_end"),
+    )
+    edges = defrag_textreuses.join(p1, "piece1_id").join(p2, "piece2_id")
+
+    def side(df: DataFrame, a: str, b: str, start: str, end: str, prefix: str) -> DataFrame:
+        islands = merge_intervals(
+            df.select(a, b, start, end), [a, b], start, end, adjacency_gap=1
+        )
+        return islands.groupBy(a, b).agg(
+            F.sum(F.col("island_end") - F.col("island_start")).alias(
+                f"{prefix}_reuses_length"
+            ),
+            F.count(F.lit(1)).alias(f"{prefix}_num_merged"),
+            F.sum("n_rows").alias(f"{prefix}_num_orig"),
+        )
+
+    t1 = side(edges, "trs1_id", "trs2_id", "t1_start", "t1_end", "t1")
+    t2 = side(edges, "trs1_id", "trs2_id", "t2_start", "t2_end", "t2")
+    both = t1.join(t2, ["trs1_id", "trs2_id"], "left")
+
+    l1 = F.broadcast(
+        lengths.select(F.col("trs_id").alias("trs1_id"), F.col("text_length").alias("t1_length"))
+    )
+    l2 = F.broadcast(
+        lengths.select(F.col("trs_id").alias("trs2_id"), F.col("text_length").alias("t2_length"))
+    )
+    return (
+        both.join(l1, "trs1_id")
+        .join(l2, "trs2_id")
+        .select(
+            "trs1_id",
+            "trs2_id",
+            "t1_reuses_length",
+            "t2_reuses_length",
+            "t1_num_merged",
+            "t2_num_merged",
+            (F.col("t1_reuses_length") * 100.0 / F.col("t1_length")).alias(
+                "reuse_t1_t2"
+            ),
+            (F.col("t2_reuses_length") * 100.0 / F.col("t2_length")).alias(
+                "reuse_t2_t1"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clusters → reception
+# ---------------------------------------------------------------------------
+
+
+def cluster_pieces(defrag_textreuses: DataFrame, max_iter: int = 50, seed: int = 42) -> DataFrame:
+    adj = C.adjacency_list(defrag_textreuses)
+    state, _ = C.chinese_whispers(adj, max_iter=max_iter, seed=seed)
+    return C.clustered_pieces(state)
+
+
+def earliest_pieces_by_cluster(
+    clustered: DataFrame,
+    defrag_pieces: DataFrame,
+    manifestation_dates: DataFrame,
+) -> DataFrame:
+    """All pieces of the manifestations tied for the earliest publication
+    date within each cluster (reference downstream_clusters.py:114-150;
+    ties kept deliberately)."""
+    members = (
+        clustered.join(defrag_pieces, "piece_id")
+        .join(F.broadcast(manifestation_dates), "trs_id", "left")
+    )
+    return earliest_in_group(members, ["cluster_id"], "publication_date").select(
+        "cluster_id", "piece_id", "trs_id", "publication_date"
+    )
+
+
+def reception_edges(
+    clustered: DataFrame,
+    earliest: DataFrame,
+) -> DataFrame:
+    """Source piece × every non-source piece of its cluster (reference
+    reception.py:14-102; anti-join is native)."""
+    non_source = non_source_members(clustered, earliest.select("piece_id"), ["piece_id"])
+    src = earliest.select("cluster_id", F.col("piece_id").alias("src_piece_id"))
+    dst = non_source.select("cluster_id", F.col("piece_id").alias("dst_piece_id"))
+    return src.join(dst, "cluster_id")
+
+
+def source_piece_statistics(
+    edges: DataFrame,
+    defrag_pieces: DataFrame,
+    clustered: DataFrame,
+) -> DataFrame:
+    """Per-source-piece fanout stats (reference
+    source_piece_statistics.py:13-85, metadata joins elided to the
+    document level): reception count, distinct destination documents,
+    span length."""
+    dst_pieces = defrag_pieces.select(
+        F.col("piece_id").alias("dst_piece_id"),
+        F.col("trs_id").alias("dst_trs_id"),
+    )
+    stats = (
+        edges.join(dst_pieces, "dst_piece_id")
+        .groupBy("src_piece_id")
+        .agg(
+            F.count(F.lit(1)).alias("num_reception_edges"),
+            F.countDistinct("dst_trs_id").alias("num_different_documents"),
+        )
+    )
+    src_info = defrag_pieces.select(
+        F.col("piece_id").alias("src_piece_id"),
+        (F.col("trs_end") - F.col("trs_start")).alias("piece_length"),
+    )
+    cluster_of = clustered.select(
+        F.col("piece_id").alias("src_piece_id"), "cluster_id"
+    )
+    return stats.join(src_info, "src_piece_id").join(cluster_of, "src_piece_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end assembly
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TextReusePipeline:
+    trs_ids: DataFrame
+    textreuses: DataFrame
+    orig_pieces: DataFrame
+    orig_textreuses: DataFrame
+    piece_id_mappings: DataFrame
+    defrag_pieces: DataFrame
+    defrag_textreuses: DataFrame
+    clustered: DataFrame
+    coverages: DataFrame | None = None
+    earliest: DataFrame | None = None
+    reception_edges: DataFrame | None = None
+    source_piece_statistics: DataFrame | None = None
+
+
+def build_pipeline(
+    raw_hits: DataFrame,
+    sources: DataFrame | None = None,
+    manifestation_dates: DataFrame | None = None,
+    cluster_max_iter: int = 50,
+    seed: int = 42,
+) -> TextReusePipeline:
+    """Run ingestion → ids → pieces → defrag → clusters (+ coverage and
+    reception when the optional inputs are given). Each stage is lazily
+    composed; call ``catalog.materialise`` on the stages you want
+    snapshotted — at production scale every stage boundary should be
+    materialized, exactly like the reference's asset DAG."""
+    ids = textreuse_ids(raw_hits)
+    trs = textreuses(raw_hits, ids)
+    pieces = orig_pieces(trs)
+    otr = orig_textreuses(trs, pieces)
+    mappings = D.piece_id_mappings(pieces)
+    dpieces = D.defrag_pieces(pieces, mappings)
+    dtr = D.defrag_textreuses(otr.select("piece1_id", "piece2_id"), mappings)
+    clustered = cluster_pieces(dtr, max_iter=cluster_max_iter, seed=seed)
+
+    cov = None
+    if sources is not None:
+        lengths = textreuse_source_lengths(sources, ids)
+        cov = coverages(dtr, dpieces, lengths)
+
+    earliest = edges = stats = None
+    if manifestation_dates is not None:
+        earliest = earliest_pieces_by_cluster(clustered, dpieces, manifestation_dates)
+        edges = reception_edges(clustered, earliest)
+        stats = source_piece_statistics(edges, dpieces, clustered)
+
+    return TextReusePipeline(
+        trs_ids=ids,
+        textreuses=trs,
+        orig_pieces=pieces,
+        orig_textreuses=otr,
+        piece_id_mappings=mappings,
+        defrag_pieces=dpieces,
+        defrag_textreuses=dtr,
+        clustered=clustered,
+        coverages=cov,
+        earliest=earliest,
+        reception_edges=edges,
+        source_piece_statistics=stats,
+    )

@@ -1,0 +1,104 @@
+"""Multimodal plumbing (stub decoders, real Spark distribution) and the
+Structured Streaming surface."""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+    DecoderNotAvailable,
+    extract_features,
+    media_stats,
+    sample_frames,
+)
+from hpc_hd_textreuse_etl_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory,
+    streaming_sessions,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", 64, 64, None, bytes(range(256)) * 4),
+        (2, "image", "image/jpeg", 32, 16, None, b"\x00" * 100),
+        (3, "audio", "audio/wav", None, None, 2000, b"\x10\x20" * 500),
+        (4, "video", "video/mp4", 128, 128, 3500, b"\xff" * 2048),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "media_id long, modality string, mime string, width int, height int, "
+        "duration_ms int, payload binary",
+    )
+
+
+def test_extract_features_stub(spark, media):
+    out = {r.media_id: r for r in extract_features(media).collect()}
+    assert len(out) == 4
+    assert len(out[1].feature) == 16
+    assert abs(sum(out[1].feature) - 1.0) < 1e-6
+    assert out[2].digest == hashlib.md5(b"\x00" * 100).hexdigest()
+    assert out[3].n_bytes == 1000
+
+
+def test_unknown_modality_raises(spark, media):
+    bad = media.withColumn("modality", F.lit("hologram"))
+    with pytest.raises(Exception, match="hologram"):
+        extract_features(bad).collect()
+
+
+def test_media_stats_prunes_payload(spark, media):
+    stats = {r.modality: r.n_items for r in media_stats(media).collect()}
+    assert stats == {"image": 2, "audio": 1, "video": 1}
+
+
+def test_sample_frames(spark, media):
+    frames = sample_frames(media, every_ms=1000).collect()
+    # 3500ms video sampled at 0,1000,2000,3000
+    assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for uid, offsets in [(1, [0, 60, 120, 7200]), (2, [30, 90])]:
+        for i, off in enumerate(offsets):
+            rows.append(
+                (uid * 100 + i, base + datetime.timedelta(seconds=off), uid, "click", 1.0)
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_windowed_counts_stream(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    assert stream.isStreaming
+    run_to_memory(windowed_event_counts(stream, window="1 hour"), "win_counts", output_mode="complete")
+    rows = spark.sql("select * from win_counts").collect()
+    got = {(r.window_start, r.n) for r in rows}
+    assert sum(r.n for r in rows) == 6
+    assert len(rows) == 2  # hour 0 (5 events) and hour 2 (1 event)
+
+
+def test_streaming_sessions_match_batch_semantics(spark, event_dir):
+    stream = read_event_stream(spark, event_dir)
+    run_to_memory(streaming_sessions(stream, gap="30 minutes"), "sessions", output_mode="complete")
+    rows = spark.sql("select * from sessions").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    # user 1: events at 0,60,120s then 7200s → 2 sessions
+    assert len(by_user[1]) == 2
+    # user 2: 30,90s → 1 session
+    assert len(by_user[2]) == 1
