@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 #: above this estimated row count, prefer the zipWithIndex path
 ROW_NUMBER_MAX_ROWS = 50_000_000
@@ -30,14 +29,34 @@ ROW_NUMBER_MAX_ROWS = 50_000_000
 def zip_with_index(df: DataFrame, id_col: str = "id", offset: int = 1) -> DataFrame:
     """Prepend a dense LongType ordinal preserving current row order.
 
-    Parallel-safe at any scale: Spark's ``zipWithIndex`` runs one job to
-    count rows per partition, then labels each partition independently.
+    JVM-only equivalent of ``rdd.zipWithIndex`` (which in PySpark would
+    pickle every row through Python — unusable at fact-table scale):
+    ``monotonically_increasing_id`` encodes ``partition_id * 2^33 +
+    local_offset`` with consecutive local offsets, so decoding it and
+    adding per-partition cumulative counts (a tiny driver collect +
+    broadcast join) yields the exact global ordinal. Two scans of the
+    input, zero shuffles of the data itself.
     """
-    schema = T.StructType(
-        [T.StructField(id_col, T.LongType(), False)] + list(df.schema.fields)
+    tagged = df.withColumn("__mono", F.monotonically_increasing_id())
+    counts = (
+        tagged.groupBy(F.shiftright("__mono", 33).alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
     )
-    rdd = df.rdd.zipWithIndex().map(lambda pair: (pair[1] + offset, *pair[0]))
-    return df.sparkSession.createDataFrame(rdd, schema)
+    cum: list[tuple[int, int]] = []
+    acc = offset
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        cum.append((row["__pid"], acc))
+        acc += row["__n"]
+    offsets = df.sparkSession.createDataFrame(cum, "__pid long, __off long")
+    local = F.col("__mono").bitwiseAND(F.lit((1 << 33) - 1))
+    out = (
+        tagged.withColumn("__pid", F.shiftright("__mono", 33))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.col("__off") + local).cast("long"))
+        .drop("__pid", "__mono", "__off")
+    )
+    return out.select(id_col, *df.columns)
 
 
 def dense_ids(

@@ -68,12 +68,20 @@ def minhash_signatures(
     single shuffle on the id, map-side combined. xxhash64(shingle, i)
     gives the i-th hash family member; fully deterministic.
     """
+    # no array_distinct before the explode: min() is duplicate-insensitive,
+    # and the distinct scan would cost more than the duplicate rows do
+    # array_distinct first: every exploded row costs k hash evaluations
+    # below, so deduplicating shingles up front is map-side reduction
     shingled = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(char_shingles_of(text_col, shingle_size))).alias(
             "shingle"
         ),
     )
+    # k independent seeded hashes per shingle. NOT a linear family
+    # a_i*h+b_i over one base hash: without wrapping (ANSI mode forbids
+    # overflow) a monotone transform makes every member pick the same
+    # min-shingle, degenerating the whole signature.
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -136,7 +144,9 @@ def minhash_near_duplicates(
     """End-to-end MinHash near-dup: LSH candidates verified by estimated
     Jaccard (signature agreement fraction) ≥ threshold."""
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    # signatures feed banding AND both sides of the verify join — persist
+    # (at production scale, materialize the signature table to parquet)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))

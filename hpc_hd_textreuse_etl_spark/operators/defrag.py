@@ -76,9 +76,108 @@ def piece_id_mappings(
     start_col: str = "trs_start",
     end_col: str = "trs_end",
     piece_col: str = "piece_id",
+    strategy: str = "join",
 ) -> DataFrame:
     """``orig_piece_id -> defrag_piece_id`` mapping with dense renumbered
-    targets (reference: ipynb cells 4-6)."""
+    targets (reference: ipynb cells 4-6).
+
+    ``strategy='join'`` (default) uses the JVM-only range-join
+    formulation (:func:`raw_mappings_join`); ``'scan'`` uses the
+    applyInPandas sequential scan (:func:`raw_mappings_scan`). Both are
+    property-tested equal; the join path is the 100 TB default."""
+    raw = (
+        raw_mappings_join(pieces, doc_col, start_col, end_col, piece_col)
+        if strategy == "join"
+        else raw_mappings_scan(pieces, doc_col, start_col, end_col, piece_col)
+    )
+    # the renumber consumes raw three times (distinct targets, the two
+    # zip_with_index passes, final join) — persist it; at production
+    # scale materialize it to parquet instead (the reference snapshots
+    # piece_id_mappings_tmp for the same reason, ipynb cell 4)
+    raw = raw.persist()
+    # renumber distinct mapping targets densely, sorted (ipynb cell 5)
+    targets = dense_ids(
+        raw.select("defrag_mapping").distinct(),
+        order_by=["defrag_mapping"],
+        id_col="defrag_piece_id",
+        use_window=False,  # piece cardinality can exceed window-path comfort
+    )
+    return raw.join(targets, "defrag_mapping").select(
+        "orig_piece_id", "defrag_piece_id"
+    )
+
+
+def raw_mappings_join(
+    pieces: DataFrame,
+    doc_col: str = "trs_id",
+    start_col: str = "trs_start",
+    end_col: str = "trs_end",
+    piece_col: str = "piece_id",
+) -> DataFrame:
+    """Defrag mapping as a bounded self-range-join — pure Catalyst.
+
+    Equivalence to the reference's sequential buffer scan: the buffer at
+    step *i* holds exactly the prior pieces with ``start >= s_i - 180``
+    (starts are scanned in ascending order, so a piece pruned once can
+    never re-qualify), and the validity threshold ``|Δstart| <= limit <=
+    180`` already implies membership in that window. Hence
+    ``mapping(i) = argmin_(start_j, piece_j) { j : (start_j, piece_j) <=
+    (start_i, piece_i), start_j >= start_i - 180, both offset deltas
+    within limit }`` — the "first" buffered match is the scan-order
+    minimum. The self-match is always valid, so the argmin is total.
+
+    Scale: the join fans out only to pieces within a 180-char window per
+    document (same work the buffer scan does), stays in whole-stage
+    codegen, and parallelizes within documents — a 10M-piece document is
+    no longer a single sequential task.
+    """
+    a = pieces.select(
+        F.col(doc_col).alias("doc"),
+        F.col(start_col).alias("s_a"),
+        F.col(end_col).alias("e_a"),
+        F.col(piece_col).alias("p_a"),
+    )
+    b = pieces.select(
+        F.col(doc_col).alias("doc"),
+        F.col(start_col).alias("s_b"),
+        F.col(end_col).alias("e_b"),
+        F.col(piece_col).alias("p_b"),
+    )
+    limit = F.least(
+        F.greatest(
+            F.floor(F.least(F.col("e_a") - F.col("s_a"), F.col("e_b") - F.col("s_b")) / 4),
+            F.lit(MIN_LIMIT),
+        ),
+        F.lit(MAX_LIMIT),
+    )
+    cand = (
+        a.join(b, "doc")
+        .filter(
+            (F.col("s_b") >= F.col("s_a") - BUFFER_WINDOW)
+            & (
+                (F.col("s_b") < F.col("s_a"))
+                | ((F.col("s_b") == F.col("s_a")) & (F.col("p_b") <= F.col("p_a")))
+            )
+        )
+        .filter(
+            (F.abs(F.col("s_b") - F.col("s_a")) <= limit)
+            & (F.abs(F.col("e_b") - F.col("e_a")) <= limit)
+        )
+    )
+    return cand.groupBy("p_a").agg(
+        F.min(F.struct("s_b", "p_b")).getField("p_b").alias("defrag_mapping")
+    ).withColumnRenamed("p_a", "orig_piece_id")
+
+
+def raw_mappings_scan(
+    pieces: DataFrame,
+    doc_col: str = "trs_id",
+    start_col: str = "trs_start",
+    end_col: str = "trs_end",
+    piece_col: str = "piece_id",
+) -> DataFrame:
+    """Defrag mapping via the applyInPandas ordered scan (direct
+    restatement of the reference UDAF; one sequential pass per doc)."""
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([start_col, piece_col], kind="mergesort")
@@ -89,18 +188,8 @@ def piece_id_mappings(
             {"orig_piece_id": pdf[piece_col].values, "defrag_mapping": mapping}
         )
 
-    raw = pieces.select(doc_col, start_col, end_col, piece_col).groupBy(doc_col).applyInPandas(
+    return pieces.select(doc_col, start_col, end_col, piece_col).groupBy(doc_col).applyInPandas(
         scan, schema="orig_piece_id long, defrag_mapping long"
-    )
-    # renumber distinct mapping targets densely, sorted (ipynb cell 5)
-    targets = dense_ids(
-        raw.select("defrag_mapping").distinct(),
-        order_by=["defrag_mapping"],
-        id_col="defrag_piece_id",
-        use_window=False,  # piece cardinality can exceed window-path comfort
-    )
-    return raw.join(targets, "defrag_mapping").select(
-        "orig_piece_id", "defrag_piece_id"
     )
 
 

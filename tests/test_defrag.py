@@ -110,6 +110,16 @@ def test_spark_mapping_matches_pure_scan(spark):
     assert got == expected
 
 
+def test_join_strategy_equals_scan_strategy(spark):
+    """The JVM range-join formulation must be row-identical to the
+    sequential applyInPandas scan on varied span data."""
+    rows = _synthetic_pieces(n_docs=30, per_doc=60, seed=11)
+    df = spark.createDataFrame(rows, "trs_id int, trs_start int, trs_end int, piece_id long")
+    join_m = {(r.orig_piece_id, r.defrag_piece_id) for r in piece_id_mappings(df, strategy="join").collect()}
+    scan_m = {(r.orig_piece_id, r.defrag_piece_id) for r in piece_id_mappings(df, strategy="scan").collect()}
+    assert join_m == scan_m
+
+
 def test_defrag_pieces_and_textreuses(spark):
     pieces = spark.createDataFrame(
         [(1, 100, 500, 1), (1, 104, 504, 2), (1, 900, 1200, 3), (2, 10, 80, 4)],

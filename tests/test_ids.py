@@ -1,0 +1,50 @@
+"""Dense-id assignment: both strategies must produce identical dense,
+stable, order-preserving ids."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hpc_hd_textreuse_etl_spark.functions.ids import (
+    dense_ids,
+    with_int_id,
+    zip_with_index,
+)
+
+
+def test_zip_with_index_preserves_sorted_order(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 37 % 10_000).alias("k")
+    ).repartition(8)
+    out = zip_with_index(df.orderBy("k"), id_col="rid")
+    rows = out.orderBy("rid").collect()
+    assert [r.rid for r in rows[:3]] == [1, 2, 3]
+    assert len(rows) == 10_000
+    # ids dense 1..N and aligned with sort order
+    ks = [r.k for r in rows]
+    assert ks == sorted(ks)
+    assert rows[-1].rid == 10_000
+
+
+def test_dense_ids_strategies_agree(spark):
+    df = spark.createDataFrame(
+        [(f"v{i:04d}",) for i in range(500)], "val string"
+    ).repartition(7)
+    w = {(r.val, r.i) for r in dense_ids(df, ["val"], "i", use_window=True).collect()}
+    z = {(r.val, r.i) for r in dense_ids(df, ["val"], "i", use_window=False).collect()}
+    assert w == z
+    assert {i for _, i in w} == set(range(1, 501))
+
+
+def test_with_int_id_mapping(spark):
+    df = spark.createDataFrame(
+        [("b", 1), ("a", 2), ("b", 3)], "name string, x int"
+    )
+    rekeyed, mapping = with_int_id(df, "name", keep_value=True)
+    m = {r.name: r.name_id for r in mapping.collect()}
+    assert m == {"a": 1, "b": 2}  # sorted order → dense ids
+    assert {(r.name, r.name_id) for r in rekeyed.collect()} == {
+        ("b", 2),
+        ("a", 1),
+        ("b", 2),
+    }
