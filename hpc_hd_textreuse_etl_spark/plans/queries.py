@@ -338,6 +338,25 @@ def orders_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "brand_title_dedup",
+    oracle="""
+    SELECT p_brand, max(p_name) AS canonical_name,
+           CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM part GROUP BY p_brand
+    """,
+    tags=("A8", "A10"),
+)
+def brand_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX(string) grouped — the reference's multi-mapped-title dedup
+    (assets/titles.py:26-28)."""
+    part = spark.table("part")
+    return part.groupBy("p_brand").agg(
+        F.max("p_name").alias("canonical_name"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+@query(
     "active_custkeys_union",
     oracle="""
     SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
@@ -592,6 +611,108 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_islands"),
         F.col("n_intervals"),
     )
+
+
+def _islands_sql(src: str, part: str, s: str, e: str, out: str) -> str:
+    """DuckDB gaps-and-islands CTE chain over ``src`` partitioned by
+    ``part`` on span columns ``s``/``e`` → per-partition merged totals."""
+    return f"""
+    {out}_marked AS (
+      SELECT {part}, {s} AS s, {e} AS e,
+             CASE WHEN max({e}) OVER (PARTITION BY {part} ORDER BY {s}, {e}
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE
+             CASE WHEN max({e}) OVER (PARTITION BY {part} ORDER BY {s}, {e}
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       + 1 >= {s} THEN 0 ELSE 1 END END AS new_island
+      FROM {src}
+    ), {out}_islands AS (
+      SELECT {part}, s, e,
+             sum(new_island) OVER (PARTITION BY {part} ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM {out}_marked
+    ), {out} AS (
+      SELECT {part}, CAST(sum(island_end - island_start) AS BIGINT) AS reuses_length,
+             CAST(count(*) AS BIGINT) AS num_merged
+      FROM (
+        SELECT {part}, island_id, min(s) AS island_start, max(e) AS island_end
+        FROM {out}_islands GROUP BY {part}, island_id
+      ) GROUP BY {part}
+    )"""
+
+
+@query(
+    "pair_coverage",
+    oracle=f"""
+    WITH edges AS (
+      SELECT user_id AS trs1_id, CAST(event_id % 20 AS BIGINT) AS trs2_id,
+             CAST(floor(value * 100) AS BIGINT) AS s1,
+             CAST(floor(value * 100) AS BIGINT) + 50 + CAST(event_id % 200 AS BIGINT) AS e1,
+             CAST((event_id * 37) % 1000 AS BIGINT) AS s2,
+             CAST((event_id * 37) % 1000 AS BIGINT) + 30 + CAST(event_id % 150 AS BIGINT) AS e2
+      FROM events
+    ),
+    {_islands_sql("edges", "trs1_id, trs2_id", "s1", "e1", "t1_final")},
+    {_islands_sql("edges", "trs1_id, trs2_id", "s2", "e2", "t2_final")}
+    SELECT t1_final.trs1_id AS trs1_id, t1_final.trs2_id AS trs2_id,
+           t1_final.reuses_length AS t1_reuses_length,
+           t2_final.reuses_length AS t2_reuses_length,
+           t1_final.num_merged AS t1_num_merged,
+           t2_final.num_merged AS t2_num_merged,
+           CAST(t1_final.reuses_length AS DOUBLE) * CAST(100.0 AS DOUBLE)
+             / CAST(5000 + t1_final.trs1_id AS DOUBLE) AS reuse_t1_t2,
+           CAST(t2_final.reuses_length AS DOUBLE) * CAST(100.0 AS DOUBLE)
+             / CAST(5000 + t1_final.trs2_id AS DOUBLE) AS reuse_t2_t1
+    FROM t1_final LEFT JOIN t2_final
+      ON t1_final.trs1_id = t2_final.trs1_id AND t1_final.trs2_id = t2_final.trs2_id
+    """,
+    tags=("J4", "J7", "W2", "W3", "W4", "A3"),
+    bench=True,
+)
+def pair_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship coverages query (assets/coverages.py:36-165)
+    on synthetic pair spans: merged-interval totals per document pair on
+    both sides, outer-joined, with length-normalized ratios."""
+    from hpc_hd_textreuse_etl_spark.plans.textreuse import coverages
+
+    ev = spark.table("events")
+    eid = F.col("event_id")
+    s1 = F.floor(F.col("value") * 100).cast("long")
+    s2 = (eid * 37) % 1000
+    edges = ev.select(
+        F.col("user_id").alias("trs1_id"),
+        (eid % 20).cast("long").alias("trs2_id"),
+        s1.alias("s1"),
+        (s1 + 50 + eid % 200).alias("e1"),
+        s2.alias("s2"),
+        (s2 + 30 + eid % 150).alias("e2"),
+        (eid * 2).alias("piece1_id"),
+        (eid * 2 + 1).alias("piece2_id"),
+    )
+    pieces = edges.select(
+        F.col("piece1_id").alias("piece_id"),
+        F.col("trs1_id").alias("trs_id"),
+        F.col("s1").alias("trs_start"),
+        F.col("e1").alias("trs_end"),
+    ).unionByName(
+        edges.select(
+            F.col("piece2_id").alias("piece_id"),
+            F.col("trs2_id").alias("trs_id"),
+            F.col("s2").alias("trs_start"),
+            F.col("e2").alias("trs_end"),
+        )
+    )
+    # NOTE the t2 side must group by the PAIR, not the piece's own doc:
+    # coverages() handles this by joining pieces back to the edge list
+    lengths = (
+        pieces.select("trs_id")
+        .distinct()
+        .select("trs_id", (F.lit(5000) + F.col("trs_id")).alias("text_length"))
+    )
+    cov = coverages(
+        edges.select("piece1_id", "piece2_id"), pieces, lengths
+    )
+    return cov
 
 
 # ---------------------------------------------------------------------------
