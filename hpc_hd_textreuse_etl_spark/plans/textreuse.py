@@ -297,6 +297,44 @@ def source_piece_statistics(
     return stats.join(src_info, "src_piece_id").join(cluster_of, "src_piece_id")
 
 
+def reception_edges_denorm(edges: DataFrame, defrag_pieces: DataFrame) -> DataFrame:
+    """Span-denormalized reception edges for serving (reference
+    reception.py:70-102): a query-time double join traded for storage —
+    the reference's deliberate materialization-granularity choice
+    (assets/README.md:500-506)."""
+    dp1 = defrag_pieces.select(
+        F.col("piece_id").alias("src_piece_id"),
+        F.col("trs_id").alias("src_trs_id"),
+        F.col("trs_start").alias("src_trs_start"),
+        F.col("trs_end").alias("src_trs_end"),
+    )
+    dp2 = defrag_pieces.select(
+        F.col("piece_id").alias("dst_piece_id"),
+        F.col("trs_id").alias("dst_trs_id"),
+        F.col("trs_start").alias("dst_trs_start"),
+        F.col("trs_end").alias("dst_trs_end"),
+    )
+    return (
+        edges.join(dp1, "src_piece_id")
+        .join(dp2, "dst_piece_id")
+        .select(
+            "src_trs_id", "src_trs_start", "src_trs_end",
+            "dst_trs_id", "dst_trs_start", "dst_trs_end",
+        )
+    )
+
+
+def source_piece_statistics_denorm(
+    stats: DataFrame, defrag_pieces: DataFrame, trs_edition_mapping: DataFrame
+) -> DataFrame:
+    """Statistics denormalized with piece spans and edition links
+    (reference source_piece_statistics.py:65-85)."""
+    dp = defrag_pieces.select(
+        F.col("piece_id").alias("src_piece_id"), "trs_id", "trs_start", "trs_end"
+    )
+    return stats.join(dp, "src_piece_id").join(trs_edition_mapping, "trs_id")
+
+
 # ---------------------------------------------------------------------------
 # End-to-end assembly
 # ---------------------------------------------------------------------------

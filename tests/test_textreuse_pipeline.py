@@ -150,3 +150,13 @@ def test_reception_with_date_ties(spark, pipeline):
     s = {r.src_piece_id: r for r in stats.collect()}
     assert all(r.num_reception_edges == 1 for r in s.values())
     assert all(r.num_different_documents == 1 for r in s.values())
+
+    from hpc_hd_textreuse_etl_spark.plans.textreuse import reception_edges_denorm
+
+    denorm = reception_edges_denorm(edges, pipe.defrag_pieces).collect()
+    assert len(denorm) == 3
+    # every denorm row carries full span info for both sides
+    assert all(
+        r.src_trs_end > r.src_trs_start and r.dst_trs_end > r.dst_trs_start
+        for r in denorm
+    )
