@@ -35,11 +35,15 @@ def main() -> None:
     QUERIES[names[0]].builder(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     for name in names:
-        start = time.perf_counter()
-        df = QUERIES[name].builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        best = float("inf")
+        for _ in range(repeats):
+            start = time.perf_counter()
+            df = QUERIES[name].builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

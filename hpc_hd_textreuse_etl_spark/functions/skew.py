@@ -1,0 +1,79 @@
+"""Skew-handling primitives: key salting for hot-key aggregations and
+joins.
+
+AQE's skew-join handling (enabled in session.py) covers sort-merge join
+splits at runtime; salting is the complementary manual tool for
+aggregation skew and for broadcast-averse hot keys — e.g. the text-reuse
+piece graph, where a handful of viral quotes dominate the reception
+fan-out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, key_cols: Sequence[str], buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic salt derived from the whole row's hash — spreads a
+    hot key over ``buckets`` partitions without a random source."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    )
+
+
+def salted_aggregate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    aggs: dict[str, tuple],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    ``aggs`` maps output column → ("sum"|"count"|"min"|"max", input col).
+    Phase 1 aggregates on (key, salt) — hot keys split across tasks;
+    phase 2 re-aggregates partials on the key. Associative aggregates
+    only (that's what makes the split sound).
+    """
+    salted = with_salt(df, key_cols, buckets)
+    partial_exprs, final_exprs = [], []
+    for out, (fn, col) in aggs.items():
+        p = f"__p_{out}"
+        if fn == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "sum":
+            partial_exprs.append(F.sum(col).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif fn == "min":
+            partial_exprs.append(F.min(col).alias(p))
+            final_exprs.append(F.min(p).alias(out))
+        elif fn == "max":
+            partial_exprs.append(F.max(col).alias(p))
+            final_exprs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"non-associative aggregate {fn!r} cannot be salted")
+    phase1 = salted.groupBy(*key_cols, "__salt").agg(*partial_exprs)
+    return phase1.groupBy(*key_cols).agg(*final_exprs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_cols: Sequence[str],
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi-join: salt the big side, replicate the small side
+    ``buckets``× with an exploded salt, join on (keys + salt).
+
+    Use when the small side is too big to broadcast but the big side's
+    key distribution is pathological. Replication factor = ``buckets``."""
+    b = with_salt(big, key_cols, buckets)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = b.join(s, [*key_cols, "__salt"], how)
+    return out.drop("__salt")
