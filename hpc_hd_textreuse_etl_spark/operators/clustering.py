@@ -85,12 +85,20 @@ def chinese_whispers(
     update_prob: float = 0.9,
     repartition: int | None = None,
     checkpoint: str | None = None,
+    resume: bool = False,
     verbose: bool = False,
 ) -> tuple[DataFrame, int]:
     """Run the loop; returns ``(state, iterations)`` where state has
     ``(piece_id, cluster_id, cluster_counts, active)``.
 
     ``adj`` must be an adjacency list (see :func:`adjacency_list`).
+
+    ``resume=True`` with a durable ``checkpoint`` dir continues from the
+    last completed iteration (fixing the reference's hard-coded
+    ``iter=0`` + manual-resume procedure, chinese_label_propagation.py:77
+    and assets/README.md:250-251). Coins are keyed on the absolute
+    iteration number, so a resumed run follows the identical trajectory
+    an uninterrupted run would have taken.
     """
     spark = adj.sparkSession
     if checkpoint is None:
@@ -102,27 +110,34 @@ def chinese_whispers(
         import tempfile
 
         checkpoint = tempfile.mkdtemp(prefix="clp-checkpoint-")
-    # Initial votes: one per neighbor occurrence. Parallel edges (a pair
-    # surviving defrag in both directions) are summed into one map entry
-    # — map_from_entries would reject the duplicate key otherwise.
-    state = (
-        adj.select("piece_id", F.explode("other_piece_ids").alias("o"))
-        .groupBy("piece_id", "o")
-        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
-        .groupBy("piece_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("o"), F.col("votes")))
-            ).alias("cluster_counts")
-        )
-        .withColumn("cluster_id", F.col("piece_id"))
-        .withColumn("active", F.lit(True))
-        .select("piece_id", "cluster_id", "cluster_counts", "active")
-    )
-    state = _truncate_lineage(spark, state, checkpoint, 0)
-    active_count = state.filter("active").count()
 
+    from hpc_hd_textreuse_etl_spark.catalog import path_exists
+
+    meta_path = f"{checkpoint}/clp_meta"
     it = 0
+    if resume and path_exists(spark, meta_path):
+        it = spark.read.parquet(meta_path).first()["iter"]
+        state = _read_checkpoint(spark, checkpoint, it)
+    else:
+        # Initial votes: one per neighbor occurrence. Parallel edges (a
+        # pair surviving defrag in both directions) are summed into one
+        # map entry — map_from_entries would reject the duplicate key.
+        state = (
+            adj.select("piece_id", F.explode("other_piece_ids").alias("o"))
+            .groupBy("piece_id", "o")
+            .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+            .groupBy("piece_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("o"), F.col("votes")))
+                ).alias("cluster_counts")
+            )
+            .withColumn("cluster_id", F.col("piece_id"))
+            .withColumn("active", F.lit(True))
+            .select("piece_id", "cluster_id", "cluster_counts", "active")
+        )
+        state = _truncate_lineage(spark, state, checkpoint, 0)
+    active_count = state.filter("active").count()
     while active_count > 0 and it < max_iter:
         # 1. arg-max vote with deterministic reservoir tie-breaking.
         # Fold over sorted keys so the outcome is partition-independent.
@@ -219,6 +234,9 @@ def chinese_whispers(
         )
         it += 1
         state = _truncate_lineage(spark, state, checkpoint, it)
+        spark.createDataFrame([(it,)], "iter int").write.mode("overwrite").parquet(
+            meta_path
+        )
         updates.unpersist()
         active_count = state.filter("active").count()
         if verbose:
@@ -248,7 +266,11 @@ def _truncate_lineage(
     df.write.mode("overwrite").option("compression", "zstd").partitionBy(
         "active"
     ).parquet(path)
+    return _read_checkpoint(spark, checkpoint, it)
+
+
+def _read_checkpoint(spark: SparkSession, checkpoint: str, it: int) -> DataFrame:
     # partition columns come back as strings; restore the boolean
-    return spark.read.parquet(path).withColumn(
+    return spark.read.parquet(f"{checkpoint}/clusters_counts_{it % 2}").withColumn(
         "active", F.col("active") == "true"
     )

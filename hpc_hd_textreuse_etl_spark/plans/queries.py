@@ -811,18 +811,67 @@ def _synthetic_pieces_from_events(spark: SparkSession) -> DataFrame:
     )
 
 
-@query("defrag_piece_mappings", oracle=None, tags=("A12", "W1"), bench=True)
+_DEFRAG_PIECES_SQL = """
+    pieces AS (
+      SELECT user_id AS trs_id,
+             CAST(floor(value * 100) AS BIGINT) AS s,
+             CAST(floor(value * 100) AS BIGINT) + 50 + (event_id % 300) AS e,
+             event_id + 1 AS pid
+      FROM events
+    ), cand AS (
+      SELECT a.pid AS pa, b.pid AS pb, b.s AS sb
+      FROM pieces a JOIN pieces b ON a.trs_id = b.trs_id
+       AND b.s >= a.s - 180
+       AND (b.s < a.s OR (b.s = a.s AND b.pid <= a.pid))
+       AND abs(b.s - a.s) <= least(greatest(CAST(floor(least(a.e - a.s, b.e - b.s) / 4) AS BIGINT), 10), 180)
+       AND abs(b.e - a.e) <= least(greatest(CAST(floor(least(a.e - a.s, b.e - b.s) / 4) AS BIGINT), 10), 180)
+    ), raw AS (
+      SELECT pa AS orig_piece_id, pb AS defrag_mapping FROM (
+        SELECT pa, pb, row_number() OVER (PARTITION BY pa ORDER BY sb, pb) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "defrag_piece_mappings",
+    oracle=f"""
+    WITH {_DEFRAG_PIECES_SQL}
+    SELECT orig_piece_id,
+           CAST(dense_rank() OVER (ORDER BY defrag_mapping) AS BIGINT) AS defrag_piece_id
+    FROM raw
+    """,
+    tags=("A12", "W1"),
+    bench=True,
+)
 def defrag_piece_mappings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered per-document defrag scan (the reference's only UDAF,
-    piece_id_mappings.ipynb cell 2) as applyInPandas; see
-    operators/defrag.py."""
+    piece_id_mappings.ipynb cell 2). The range-join reformulation
+    (operators/defrag.py) is SQL-expressible, so the driver gets a FULL
+    oracle for it — the sequential-scan strategy is property-tested
+    equal in tests/test_defrag.py."""
     from hpc_hd_textreuse_etl_spark.operators.defrag import piece_id_mappings
 
     pieces = _synthetic_pieces_from_events(spark)
     return piece_id_mappings(pieces)
 
 
-@query("defrag_pieces_merged", oracle=None, tags=("A1", "A12"))
+@query(
+    "defrag_pieces_merged",
+    oracle=f"""
+    WITH {_DEFRAG_PIECES_SQL},
+    mapped AS (
+      SELECT raw.orig_piece_id,
+             CAST(dense_rank() OVER (ORDER BY raw.defrag_mapping) AS BIGINT) AS piece_id
+      FROM raw
+    )
+    SELECT m.piece_id, p.trs_id,
+           CAST(min(p.s) AS INT) AS trs_start, CAST(max(p.e) AS INT) AS trs_end
+    FROM mapped m JOIN pieces p ON m.orig_piece_id = p.pid
+    GROUP BY m.piece_id, p.trs_id
+    """,
+    tags=("A1", "A12"),
+)
 def defrag_pieces_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpc_hd_textreuse_etl_spark.operators.defrag import (
         defrag_pieces,

@@ -297,6 +297,41 @@ def source_piece_statistics(
     return stats.join(src_info, "src_piece_id").join(cluster_of, "src_piece_id")
 
 
+def restricted_reception(
+    clustered: DataFrame,
+    defrag_pieces: DataFrame,
+    manifestation_dates: DataFrame,
+    eligible_trs: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Collection-restricted earliest + reception edges — the book-based
+    variants (additional_assets/book_based.py:20-110) as a composition:
+    semi-join members against the eligible document set, then run the
+    SAME earliest/non-source/fan-out operators. The reference rebuilds
+    each query with inline LEFT JOIN ... IS NULL eligibility tests; here
+    eligibility is one broadcastable semi-join and the operators are
+    shared with the unrestricted path.
+
+    Returns ``(earliest, edges)`` where edges run earliest-eligible →
+    non-earliest-eligible within each cluster.
+    """
+    members = (
+        clustered.join(defrag_pieces, "piece_id")
+        .join(F.broadcast(manifestation_dates), "trs_id", "left")
+        .join(eligible_trs.select("trs_id"), "trs_id", "left_semi")
+    )
+    earliest = earliest_in_group(members, ["cluster_id"], "publication_date").select(
+        "cluster_id", "piece_id", "trs_id", "publication_date"
+    )
+    non_source = non_source_members(
+        members.select("cluster_id", "piece_id"),
+        earliest.select("piece_id"),
+        ["piece_id"],
+    )
+    src = earliest.select("cluster_id", F.col("piece_id").alias("src_piece_id"))
+    dst = non_source.select("cluster_id", F.col("piece_id").alias("dst_piece_id"))
+    return earliest, src.join(dst, "cluster_id")
+
+
 def reception_edges_denorm(edges: DataFrame, defrag_pieces: DataFrame) -> DataFrame:
     """Span-denormalized reception edges for serving (reference
     reception.py:70-102): a query-time double join traded for storage —

@@ -42,6 +42,26 @@ def test_bridged_cliques_converge(spark):
     assert len({clusters[n] for n in range(11, 16)}) == 1
 
 
+def test_resume_matches_uninterrupted_run(spark, tmp_path):
+    """Interrupt after 3 iterations, resume from the checkpoint dir:
+    the final clustering must equal the uninterrupted run's (coins are
+    keyed on absolute iteration)."""
+    edges = _clique(range(1, 6)) + _clique(range(10, 15)) + [(5, 10)]
+    df = spark.createDataFrame(edges, "piece1_id long, piece2_id long")
+
+    straight, straight_iters = _run(spark, edges, max_iter=25, seed=3)
+
+    ckpt = str(tmp_path / "clp")
+    adj = adjacency_list(df)
+    chinese_whispers(adj, max_iter=3, seed=3, checkpoint=ckpt)
+    state, resumed_iters = chinese_whispers(
+        adj, max_iter=25, seed=3, checkpoint=ckpt, resume=True
+    )
+    resumed = {r.piece_id: r.cluster_id for r in clustered_pieces(state).collect()}
+    assert resumed == straight
+    assert resumed_iters == straight_iters
+
+
 def test_seeded_runs_reproduce(spark):
     edges = _clique(range(1, 6)) + [(5, 6), (6, 7)] + _clique(range(7, 12))
     c1, _ = _run(spark, edges, max_iter=30, seed=7)

@@ -160,3 +160,36 @@ def test_reception_with_date_ties(spark, pipeline):
         r.src_trs_end > r.src_trs_start and r.dst_trs_end > r.dst_trs_start
         for r in denorm
     )
+
+
+def test_book_restricted_reception(spark, pipeline):
+    """FIXTURES §8: a cluster whose earliest member overall is a
+    newspaper, but the earliest *book* differs — the restricted variant
+    must pick the book."""
+    pipe, raw, sources, dates = pipeline
+    from hpc_hd_textreuse_etl_spark.plans.textreuse import restricted_reception
+
+    ids = {r.text_name: r.trs_id for r in pipe.trs_ids.collect()}
+    # shift dates so the NEWSPAPER is the earliest member of cluster 1
+    book_dates = {E1: 1750, E2: 1760, N1: 1700, E3: 1800}
+    mdates = spark.createDataFrame(
+        [(ids[n], datetime.date(y, 1, 1)) for n, y in book_dates.items()],
+        "trs_id int, publication_date date",
+    )
+    books = spark.createDataFrame(
+        [(ids[E1],), (ids[E2],), (ids[E3],)], "trs_id int"
+    )  # N1 (newspaper) not a book
+    earliest, edges = restricted_reception(
+        pipe.clustered, pipe.defrag_pieces, mdates, books
+    )
+    e_rows = earliest.collect()
+    # cluster 1's earliest BOOK is E1 (1750), not the newspaper (1700)
+    trs_by_cluster = {}
+    for r in e_rows:
+        trs_by_cluster.setdefault(r.cluster_id, set()).add(r.trs_id)
+    assert {ids[E1]} in trs_by_cluster.values()
+    # newspaper pieces appear in no edge (neither src nor dst)
+    piece_doc = {r.piece_id: r.trs_id for r in pipe.defrag_pieces.collect()}
+    for r in edges.collect():
+        assert piece_doc[r.src_piece_id] != ids[N1]
+        assert piece_doc[r.dst_piece_id] != ids[N1]
