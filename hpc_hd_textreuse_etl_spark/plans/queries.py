@@ -1167,6 +1167,19 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivf_topk", oracle=None, tags=("similarity-ivf",))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (seeded coarse quantizer + Lloyd refinement;
+    recall vs brute force checked in tests/test_similarity.py)."""
+    from hpc_hd_textreuse_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.table("embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
+        k=5, n_cells=8, n_probe=3,
+    )
+
+
 @query("ann_lsh_topk", oracle=None, tags=("similarity-lsh",))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (the scale path; recall vs brute force

@@ -48,6 +48,36 @@ def test_lsh_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.4, f"LSH recall degraded: {recall:.2f}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    from hpc_hd_textreuse_etl_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 30)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(
+            queries, emb, k=5, n_cells=8, n_probe=4, lloyd_iters=2, seed=42
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells of a Lloyd-refined quantizer on random
+    # 64-dim vectors: recall must stay well above chance
+    assert recall >= 0.5, f"IVF recall degraded: {recall:.2f}"
+
+
+def test_ivf_cells_partition_corpus(spark, emb):
+    from hpc_hd_textreuse_etl_spark.operators.similarity import ivf_index
+
+    centroids, assignments = ivf_index(emb, n_cells=8, lloyd_iters=1)
+    assert centroids.count() == 8
+    n = emb.count()
+    assert assignments.count() == n  # every vector in exactly one cell
+    assert assignments.select("vec_id").distinct().count() == n
+
+
 def test_lsh_deterministic(spark, emb):
     q = emb.filter(F.col("vec_id") < 10)
     r1 = sorted(map(tuple, lsh_topk(q, emb, k=3, seed=7).collect()))
