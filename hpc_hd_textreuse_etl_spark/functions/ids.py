@@ -22,10 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: above this estimated row count, prefer the zipWithIndex path
-ROW_NUMBER_MAX_ROWS = 50_000_000
-
-
 def zip_with_index(df: DataFrame, id_col: str = "id", offset: int = 1) -> DataFrame:
     """Prepend a dense LongType ordinal preserving current row order.
 

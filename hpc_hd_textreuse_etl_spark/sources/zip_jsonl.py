@@ -86,3 +86,20 @@ def read_zip_jsonl(
     n = max(1, min(num_partitions, len(members)))
     rdd = spark.sparkContext.parallelize(members, n).mapPartitions(process_partition)
     return spark.createDataFrame(rdd, schema)
+
+
+def read_jsonl_files(
+    spark: SparkSession, path: str, schema: T.StructType | str
+) -> DataFrame:
+    """JSONL already exploded to plain files: the fully JVM-side path
+    (``spark.read.text`` + ``from_json`` with an explicit schema — no
+    Python parsing at all). Prefer this whenever the archive can be
+    pre-exploded; the zip scan above exists for archives that can't be."""
+    from pyspark.sql import functions as F
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    lines = spark.read.text(path).filter(F.trim("value") != "")
+    return lines.select(
+        F.from_json(F.col("value"), schema).alias("j")
+    ).select("j.*")

@@ -73,6 +73,52 @@ def test_read_zip_jsonl(spark, hits_zip):
     assert df.schema.fieldNames()[0] == "text1_id"
 
 
+def test_read_jsonl_files_matches_zip_scan(spark, hits_zip, tmp_path):
+    """The JVM-only from_json path must parse identically to the zip
+    scan."""
+    import zipfile
+
+    from hpc_hd_textreuse_etl_spark.sources.zip_jsonl import read_jsonl_files
+
+    outdir = tmp_path / "jsonl"
+    outdir.mkdir()
+    with zipfile.ZipFile(hits_zip) as zf:
+        for name in zf.namelist():
+            if name.endswith(".jsonl"):
+                (outdir / name.replace("/", "_")).write_bytes(zf.read(name))
+    via_files = read_jsonl_files(spark, str(outdir), HIT_SCHEMA)
+    via_zip = read_zip_jsonl(
+        spark, hits_zip, HIT_SCHEMA, member_filter=lambda m: m.endswith(".jsonl")
+    )
+    assert sorted(map(tuple, via_files.collect())) == sorted(
+        map(tuple, via_zip.collect())
+    )
+
+
+def test_bucketed_adjacency_roundtrip(spark, tmp_path):
+    """S6: bucketed+sorted table sink is readable and keeps the
+    adjacency shape for the iterative join."""
+    from hpc_hd_textreuse_etl_spark.operators.clustering import (
+        adjacency_list,
+        write_bucketed_adjacency,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "piece1_id long, piece2_id long"
+    )
+    adj = write_bucketed_adjacency(
+        spark, adjacency_list(edges), table="adj_test", buckets=4,
+        path=str(tmp_path / "adj_test.parquet"),
+    )
+    got = {r.piece_id: sorted(r.other_piece_ids) for r in adj.collect()}
+    assert got == {1: [2, 3], 2: [1, 3], 3: [1, 2]}
+    # bucketing metadata recorded in the catalog
+    desc = spark.sql("DESCRIBE EXTENDED adj_test").collect()
+    text = "\n".join(str(r) for r in desc)
+    assert "piece_id" in text
+    spark.sql("DROP TABLE adj_test")
+
+
 def test_read_csv_with_schema(spark, tmp_path):
     p = tmp_path / "meta.csv"
     p.write_text(
