@@ -68,8 +68,6 @@ def minhash_signatures(
     single shuffle on the id, map-side combined. xxhash64(shingle, i)
     gives the i-th hash family member; fully deterministic.
     """
-    # no array_distinct before the explode: min() is duplicate-insensitive,
-    # and the distinct scan would cost more than the duplicate rows do
     # array_distinct first: every exploded row costs k hash evaluations
     # below, so deduplicating shingles up front is map-side reduction
     shingled = df.select(
@@ -311,29 +309,37 @@ def token_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float-array columns, computed in double
-    with sequential folds (deterministic)."""
-    prod = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
+def vector_norm(a: Column) -> Column:
+    """L2 norm of a float-array column (double fold, deterministic)."""
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns (double fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    return prod / (na * nb)
+
+
+def cosine(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | None = None) -> Column:
+    """Cosine similarity ``dot/(|a|·|b|)`` in double (deterministic,
+    bit-identical to the DuckDB oracle formula).
+
+    Pass precomputed ``norm_a``/``norm_b`` columns on pairwise workloads:
+    the arithmetic (and therefore the bits) is unchanged, but norms are
+    computed once per ROW instead of once per PAIR — 3× fewer folds on
+    an all-pairs scan."""
+    na = vector_norm(a) if norm_a is None else norm_a
+    nb = vector_norm(b) if norm_b is None else norm_b
+    return dot(a, b) / (na * nb)
 
 
 def embedding_near_duplicates(
@@ -348,17 +354,22 @@ def embedding_near_duplicates(
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),
+        vector_norm(F.col(vec_col)).alias("norm_a"),
         *[F.col(c) for c in block_cols],
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vec_b"),
+        vector_norm(F.col(vec_col)).alias("norm_b"),
         *[F.col(c) for c in block_cols],
     )
     joined = a.join(b, list(block_cols)) if block_cols else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "cosine",
+            cosine(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from hpc_hd_textreuse_etl_spark.operators.dedup import cosine
+from hpc_hd_textreuse_etl_spark.operators.dedup import cosine, vector_norm
 
 
 def cosine_topk(
@@ -35,16 +35,23 @@ def cosine_topk(
     shuffle; ranking shuffles only (query_id, neighbor, score) triples.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        vector_norm(F.col(vec_col)).alias("q_norm"),
     )
     if broadcast_queries:
         q = F.broadcast(q)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        vector_norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.join(q, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            cosine(F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -207,9 +214,13 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     ).join(assignments.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
     cands = (
-        probes.join(lists, "cell_id")
+        probes.withColumn("q_norm", vector_norm(F.col("qvec")))
+        .join(lists.withColumn("n_norm", vector_norm(F.col("nvec"))), "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine(F.col("qvec"), F.col("nvec")))
+        .withColumn(
+            "cosine",
+            cosine(F.col("qvec"), F.col("nvec"), F.col("q_norm"), F.col("n_norm")),
+        )
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -255,7 +266,13 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.withColumn(
-        "cosine", cosine(F.col("query_vec"), F.col("neighbor_vec"))
+        "cosine",
+        cosine(
+            F.col("query_vec"),
+            F.col("neighbor_vec"),
+            vector_norm(F.col("query_vec")),
+            vector_norm(F.col("neighbor_vec")),
+        ),
     ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
