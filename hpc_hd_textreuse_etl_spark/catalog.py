@@ -45,6 +45,13 @@ def table_path(base_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, register_view: bool = True) -> DataFrame:
+    # Self-configure sessions we didn't create (the external driver runs
+    # query builders in ITS OWN session): nanosecond-parquet reads fail
+    # outright without nanosAsLong, and a non-UTC session would shift
+    # date extraction vs the UTC-naive DuckDB oracle. Both are
+    # runtime-settable (verified).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     df = _normalize_nanos(df)
     if register_view:
@@ -130,16 +137,25 @@ def materialise(
     return out
 
 
+def snapshot_is_valid(spark: SparkSession, path: str) -> bool:
+    """A snapshot counts only with its ``_SUCCESS`` marker: a crashed
+    write leaves a directory without one, and trusting it surfaces later
+    as an unreadable-parquet error in some downstream stage."""
+    return path_exists(spark, path) and path_exists(spark, f"{path}/_SUCCESS")
+
+
 def materialise_if_absent(
     spark: SparkSession,
     builder,
     path: str,
     name: str | None = None,
 ) -> DataFrame:
-    """Skip recompute when the output already exists
-    (``spark_utils.py:125-136``). ``builder`` is a zero-arg callable
-    returning the DataFrame, so the plan isn't even constructed on skip."""
-    if path_exists(spark, path):
+    """Skip recompute when a *complete* output already exists
+    (``spark_utils.py:125-136``; completeness = ``_SUCCESS`` marker —
+    partial snapshots from crashed runs are rebuilt, not trusted).
+    ``builder`` is a zero-arg callable returning the DataFrame, so the
+    plan isn't even constructed on skip."""
+    if snapshot_is_valid(spark, path):
         out = spark.read.parquet(path)
         if name:
             out.createOrReplaceTempView(name)

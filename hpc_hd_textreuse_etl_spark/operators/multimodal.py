@@ -111,6 +111,37 @@ def media_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(
+    df: DataFrame, target_width: int, target_height: int
+) -> DataFrame:
+    """Image resize plan: payload → resized payload + updated metadata.
+
+    The pixel work is behind :data:`DECODERS`-style stubbing (this
+    environment has no imaging libs): the stub passes bytes through and
+    rewrites the metadata, keeping the distributed plumbing (schema,
+    Arrow batching, partition preservation) real. Swap ``_resize`` for a
+    PIL implementation in production."""
+
+    def _resize(payload: bytes, w: int, h: int) -> bytes:
+        # STUB: real implementation decodes + resamples; deterministic
+        # pass-through keeps tests meaningful without imaging libs
+        return payload
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                _resize(bytes(p), target_width, target_height)
+                for p in out["payload"]
+            ]
+            out["width"] = target_width
+            out["height"] = target_height
+            yield out
+
+    images = df.filter(F.col("modality") == "image")
+    return images.mapInPandas(run, schema=df.schema)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: explodes sample timestamps
     JVM-side; the (stubbed) per-frame decode happens only downstream."""

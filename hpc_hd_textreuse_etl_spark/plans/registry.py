@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hpc_hd_textreuse_etl_spark.catalog import (
     materialise,
-    path_exists,
+    snapshot_is_valid,
     table_path,
 )
 
@@ -88,7 +88,7 @@ class Registry:
         done: dict[str, DataFrame] = {}
         for name in self.order(targets):
             path = table_path(base_dir, name)
-            if not overwrite and path_exists(spark, path):
+            if not overwrite and snapshot_is_valid(spark, path):
                 done[name] = spark.read.parquet(path)
                 done[name].createOrReplaceTempView(name)
                 continue

@@ -58,6 +58,30 @@ def test_media_stats_prunes_payload(spark, media):
     assert stats == {"image": 2, "audio": 1, "video": 1}
 
 
+def test_resize_images_updates_metadata(spark, media):
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, 16, 16).collect()
+    assert len(out) == 2  # images only
+    assert all(r.width == 16 and r.height == 16 for r in out)
+    assert all(len(r.payload) > 0 for r in out)  # stub passes bytes through
+
+
+def test_qc_summary_and_year_histogram(spark):
+    import datetime
+
+    from hpc_hd_textreuse_etl_spark.plans.qc import qc_summary, year_histogram
+
+    df = spark.createDataFrame(
+        [(1, datetime.date(1700, 1, 1)), (2, datetime.date(1700, 6, 1)), (3, None)],
+        "id int, d date",
+    )
+    s = qc_summary(df)
+    assert s["rows"] == 3 and s["null_d"] == 1 and s["null_id"] == 0
+    hist = {r.year: r.n for r in year_histogram(df, "d").collect()}
+    assert hist[1700] == 2
+
+
 def test_sample_frames(spark, media):
     frames = sample_frames(media, every_ms=1000).collect()
     # 3500ms video sampled at 0,1000,2000,3000

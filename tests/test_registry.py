@@ -50,6 +50,21 @@ def test_resume_skips_existing(spark, tmp_path):
     assert calls == ["summed"]  # base + doubled reused from disk
 
 
+def test_partial_snapshot_rebuilt(spark, tmp_path):
+    """A crashed write (directory without _SUCCESS) must be rebuilt, not
+    trusted."""
+    calls = []
+    reg = _make_registry(calls)
+    reg.materialise(spark, str(tmp_path), ["base"])
+    # simulate a crashed write: remove the success marker
+    (tmp_path / "base.parquet" / "_SUCCESS").unlink()
+    calls.clear()
+    reg2 = _make_registry(calls)
+    out = reg2.materialise(spark, str(tmp_path), ["base"])
+    assert calls == ["base"]  # rebuilt
+    assert out["base"].count() == 10
+
+
 def test_cycle_detection(spark):
     reg = Registry()
     reg.add("a", deps=["b"], builder=lambda spark, b: b)
