@@ -212,12 +212,20 @@ def simhash_near_duplicates(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
-    band_bits: int = 16,
+    band_bits: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup with banded blocking: split the 64-bit signature
-    into 64/band_bits chunks; by pigeonhole, pairs within Hamming ≤
-    (64/band_bits - 1) share at least one exact chunk — join only within
-    chunk buckets, then verify exact Hamming distance."""
+    into chunks; by pigeonhole, pairs within Hamming ≤ (n_chunks - 1)
+    share at least one exact chunk — join only within chunk buckets,
+    then verify exact Hamming distance.
+
+    ``band_bits=None`` derives the chunk width from ``max_hamming`` so
+    the pigeonhole guarantee actually covers the requested radius
+    (n_chunks = max_hamming + 1); passing a wider ``band_bits`` trades
+    recall beyond the guarantee for fewer buckets."""
+    if band_bits is None:
+        n_chunks = min(max_hamming + 1, 64)
+        band_bits = max(64 // n_chunks, 1)
     n_bands = 64 // band_bits
     sigs = df.select(F.col(id_col), simhash(text_col).alias("sig"))
     chunks = sigs.select(

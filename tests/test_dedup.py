@@ -78,6 +78,35 @@ def test_simhash_near_duplicates(spark, corpus):
     assert not any({5, 6} & set(p) for p in pairs if p != (5, 6))
 
 
+def test_simhash_banding_complete_within_guarantee(spark):
+    """Pigeonhole property: with auto-derived chunks, EVERY pair within
+    max_hamming must be found (compare against brute-force Hamming)."""
+    rows = [
+        (i, f"common core words stay fixed here tail {i % 4} extra {i % 7}")
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r.doc_id: r.sig
+        for r in df.select("doc_id", simhash("text").alias("sig")).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    for radius in (3, 7):
+        expected = {
+            (a, b)
+            for a in sigs
+            for b in sigs
+            if a < b and ham(sigs[a], sigs[b]) <= radius
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_duplicates(
+                df, "doc_id", "text", max_hamming=radius
+            ).collect()
+        }
+        assert got == expected, f"radius {radius}: missing {expected - got}"
+
+
 def test_minhash_estimates_track_exact_jaccard(spark):
     # estimated jaccard from 64 hashes should be within ~0.25 of the
     # exact shingle jaccard for found pairs (statistical, seed-fixed)
