@@ -357,6 +357,30 @@ def brand_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "returnflag_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,4)) END) AS DOUBLE) AS qty_O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,4)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("pivot",),
+)
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (beyond the reference's surface — it has none; standard
+    Spark users expect it). Oracle expresses the same result as
+    conditional aggregation."""
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,4)")).cast("double"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+@query(
     "active_custkeys_union",
     oracle="""
     SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
