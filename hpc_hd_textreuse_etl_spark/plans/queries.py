@@ -63,10 +63,6 @@ def dsum(col, scale: int = 4, alias: str | None = None):
     return out.alias(alias) if alias else out
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.table(name)
-
-
 # ---------------------------------------------------------------------------
 # Aggregations (SURVEY §2.4) — flagship pricing summary (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------

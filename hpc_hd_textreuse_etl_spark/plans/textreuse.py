@@ -332,6 +332,83 @@ def restricted_reception(
     return earliest, src.join(dst, "cluster_id")
 
 
+def source_piece_statistics_full(
+    edges: DataFrame,
+    defrag_pieces: DataFrame,
+    clustered: DataFrame,
+    trs_edition_mapping: DataFrame,
+    trs_work_mapping: DataFrame,
+    edition_authors_df: DataFrame,
+) -> DataFrame:
+    """The reference's full per-source-piece statistics (10-table
+    snowflake, source_piece_statistics.py:13-62): reception fanout,
+    distinct destination works differing from the source work, and
+    destination works whose author differs from the source author
+    (including the author-less fallbacks in the CASE chain).
+
+    Faithfully preserved quirk: ``num_reception_edges`` counts rows
+    AFTER the metadata joins, so a source document with multiple
+    edition/work mappings multiplies its edge count — this matches the
+    reference's COUNT(*) placement. Distinct counts absorb the fan-out.
+    """
+
+    def side(prefix: str, piece_col: str):
+        dp = defrag_pieces.select(
+            F.col("piece_id").alias(piece_col),
+            F.col("trs_id").alias(f"{prefix}_trs_id"),
+            F.col("trs_start").alias(f"{prefix}_start"),
+            F.col("trs_end").alias(f"{prefix}_end"),
+        )
+        tem = trs_edition_mapping.select(
+            F.col("trs_id").alias(f"{prefix}_trs_id"),
+            F.col("edition_id_i").alias(f"{prefix}_edition_id_i"),
+        )
+        ea = edition_authors_df.select(
+            F.col("edition_id_i").alias(f"{prefix}_edition_id_i"),
+            F.col("actor_id_i").alias(f"{prefix}_actor_id_i"),
+        )
+        twm = trs_work_mapping.select(
+            F.col("trs_id").alias(f"{prefix}_trs_id"),
+            F.col("work_id_i").alias(f"{prefix}_work_id_i"),
+        )
+        return dp, tem, ea, twm
+
+    dp_s, tem_s, ea_s, twm_s = side("src", "src_piece_id")
+    dp_d, tem_d, ea_d, twm_d = side("dst", "dst_piece_id")
+    # reception_edges output carries cluster_id; keep only the piece
+    # columns so the clustered join below stays unambiguous
+    edges = edges.select("src_piece_id", "dst_piece_id")
+    joined = (
+        edges.join(dp_s, "src_piece_id")
+        .join(tem_s, "src_trs_id")
+        .join(ea_s, "src_edition_id_i")
+        .join(twm_s, "src_trs_id")
+        .join(clustered.withColumnRenamed("piece_id", "src_piece_id"), "src_piece_id")
+        .join(dp_d, "dst_piece_id")
+        .join(tem_d, "dst_trs_id")
+        .join(ea_d, "dst_edition_id_i")
+        .join(twm_d, "dst_trs_id")
+    )
+    diff_work = F.when(
+        F.col("src_work_id_i") != F.col("dst_work_id_i"), F.col("dst_work_id_i")
+    )
+    diff_author_work = F.when(
+        F.col("src_actor_id_i").isNotNull()
+        & (
+            (F.col("src_actor_id_i") != F.col("dst_actor_id_i"))
+            | F.col("dst_actor_id_i").isNull()
+        ),
+        F.col("dst_work_id_i"),
+    ).when(F.col("src_actor_id_i").isNull(), F.col("dst_work_id_i"))
+    return joined.groupBy(F.col("src_piece_id").alias("piece_id")).agg(
+        F.min("cluster_id").alias("cluster_id"),
+        (F.min("src_end") - F.min("src_start")).alias("piece_length"),
+        F.count(F.lit(1)).alias("num_reception_edges"),
+        F.countDistinct(diff_work).alias("num_different_work_ids"),
+        F.countDistinct(diff_author_work).alias("num_work_ids_different_authors"),
+    )
+
+
 def reception_edges_denorm(edges: DataFrame, defrag_pieces: DataFrame) -> DataFrame:
     """Span-denormalized reception edges for serving (reference
     reception.py:70-102): a query-time double join traded for storage —
