@@ -164,6 +164,19 @@ def test_ecco_date_sentinels(spark):
     ]
 
 
+def test_fs_utilities(spark, tmp_path):
+    from hpc_hd_textreuse_etl_spark.catalog import delete_path, rename_path
+
+    src = str(tmp_path / "a.parquet")
+    dst = str(tmp_path / "b.parquet")
+    spark.range(3).write.parquet(src)
+    assert path_exists(spark, src)
+    assert rename_path(spark, src, dst)
+    assert not path_exists(spark, src) and path_exists(spark, dst)
+    assert delete_path(spark, dst)
+    assert not path_exists(spark, dst)
+
+
 def test_materialise_roundtrip_and_if_absent(spark, tmp_path):
     out = str(tmp_path / "snap.parquet")
     df = spark.range(5).withColumnRenamed("id", "x")
