@@ -353,6 +353,27 @@ def brand_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_props_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT) AS k_present
+    FROM events GROUP BY event_type
+    """,
+    tags=("scalar-json",),
+)
+def event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface (§2.8 — the reference parses JSON only in
+    Python ingestion; SQL-level extraction is the engine-native form)."""
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.sum(k.cast("long")).alias("k_total"),
+        F.count(k).alias("k_present"),
+    )
+
+
+@query(
     "returnflag_pivot",
     oracle="""
     SELECT l_returnflag,

@@ -115,6 +115,59 @@ def test_windowed_counts_stream(spark, event_dir):
     assert len(rows) == 2  # hour 0 (5 events) and hour 2 (1 event)
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Two micro-batches through a checkpointed query: an event arriving
+    far behind the advanced watermark is dropped; one inside the
+    lateness allowance is kept."""
+    import time
+
+    path = str(tmp_path / "late-events")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(path)
+
+    out = str(tmp_path / "out")
+
+    def drain():
+        stream = read_event_stream(spark, path)
+        q = (
+            windowed_event_counts(stream, window="10 minutes", watermark="10 minutes")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1 advances event time (and thus the watermark) to ~2h
+    write_batch(
+        [(i, base + datetime.timedelta(hours=2, seconds=i), 1, "click", 1.0) for i in range(3)],
+        "overwrite",
+    )
+    drain()
+    # batch 2: one hopeless straggler (hour 0, far past the watermark)
+    # and one fresh event
+    write_batch(
+        [
+            (100, base, 1, "click", 1.0),
+            (101, base + datetime.timedelta(hours=3), 1, "click", 1.0),
+        ],
+        "append",
+    )
+    drain()
+    rows = spark.read.parquet(out).collect()
+    starts = {r.window_start for r in rows}
+    # the hour-0 straggler's window never appears in the emitted output
+    assert base not in starts
+    total = sum(r.n for r in rows)
+    assert total >= 3  # the on-time windows were finalized and emitted
+
+
 def test_streaming_sessions_match_batch_semantics(spark, event_dir):
     stream = read_event_stream(spark, event_dir)
     run_to_memory(streaming_sessions(stream, gap="30 minutes"), "sessions", output_mode="complete")
