@@ -353,6 +353,45 @@ def brand_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "label_centroids",
+    oracle="""
+    WITH elems AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS x
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           round(SUM(CAST(x AS DOUBLE)) / COUNT(*), 6) AS mean_val
+    FROM elems WHERE pos <= 8 GROUP BY label, pos
+    """,
+    tags=("A6", "array-agg"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid of embeddings per label (first 8 dims) —
+    the grouping shape behind IVF's Lloyd step, oracle-checked.
+
+    NOTE double→decimal casts are NOT cross-engine safe for arbitrary
+    doubles (Spark converts via shortest string, DuckDB via the exact
+    binary expansion — they disagree past ~15 digits), so this mean is
+    plain double arithmetic rounded to 6 dp (summation-order drift
+    ~1e-16 against a 5e-7 rounding boundary)."""
+    emb = spark.table("embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "x"))
+        .withColumn("pos", F.col("pos0") + 1)
+        .filter(F.col("pos") <= 8)
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("double")) / F.count(F.lit(1)), 6
+            ).alias("mean_val")
+        )
+        .select("label", "pos", "mean_val")
+    )
+
+
+@query(
     "event_props_json",
     oracle="""
     SELECT event_type,
