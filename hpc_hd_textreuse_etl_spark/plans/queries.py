@@ -9,10 +9,16 @@ operators from SURVEY.md §2 on the driver's synthetic tables
 
 Cross-engine exactness rules (so the driver's value-hash matches):
 
-- Sums of doubles are NOT associative-safe across engines. Every double
-  aggregate is computed as ``sum(cast(x as decimal(30, s)))`` — decimal
-  addition is exact, so both engines produce the identical value — then
-  cast back to double (IEEE conversion of equal decimals is equal).
+- Sums of doubles are NOT associative-safe across engines. Money-style
+  double aggregates are computed as ``sum(cast(x as decimal(30, s)))``
+  — decimal addition is exact, so both engines produce the identical
+  value — then cast back to double. Valid ONLY because those columns
+  hold low-precision decimal values with guard digits to spare: Spark
+  converts double→decimal via the shortest string representation,
+  DuckDB via the exact binary expansion, and they disagree past ~15
+  significant digits. Aggregates over arbitrary doubles (float32
+  embeddings) use plain double arithmetic + ``round(…, 6)`` instead
+  (see ``label_centroids``).
 - Per-row double arithmetic (a*b, a/b) is IEEE-deterministic given the
   same operand order; safe to compare directly.
 - Counts/sums of integers: cast to bigint on both sides (DuckDB sums
@@ -25,7 +31,7 @@ Cross-engine exactness rules (so the driver's value-hash matches):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

@@ -189,3 +189,14 @@ def test_materialise_roundtrip_and_if_absent(spark, tmp_path):
 
     again = materialise_if_absent(spark, poisoned_builder, out, name="snap")
     assert again.count() == 5
+
+
+def test_register_with_cache(spark):
+    from hpc_hd_textreuse_etl_spark.catalog import register
+
+    df = spark.range(4).withColumnRenamed("id", "v")
+    out = register(spark, df, "cached_view", cache=True)
+    assert out.storageLevel.useMemory
+    assert spark.table("cached_view").count() == 4
+    out.unpersist()
+    spark.catalog.dropTempView("cached_view")
