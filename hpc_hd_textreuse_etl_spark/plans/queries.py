@@ -359,6 +359,41 @@ def brand_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_totals_salted",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS max_order
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("skew", "A3"),
+)
+def customer_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped totals through the salted two-phase aggregation
+    (functions/skew.py) — the hot-key path must be value-identical to a
+    plain GROUP BY, proven here against the plain-SQL oracle. Decimal
+    columns ride through both phases, keeping the sums exact."""
+    from hpc_hd_textreuse_etl_spark.functions.skew import salted_aggregate
+
+    orders = spark.table("orders").select(
+        "o_custkey", F.col("o_totalprice").cast("decimal(30,4)").alias("p")
+    )
+    out = salted_aggregate(
+        orders,
+        ["o_custkey"],
+        {"n_orders": ("count", None), "total_dec": ("sum", "p"), "max_dec": ("max", "p")},
+        buckets=8,
+    )
+    return out.select(
+        "o_custkey",
+        "n_orders",
+        F.col("total_dec").cast("double").alias("total"),
+        F.col("max_dec").cast("double").alias("max_order"),
+    )
+
+
+@query(
     "label_centroids",
     oracle="""
     WITH elems AS (
