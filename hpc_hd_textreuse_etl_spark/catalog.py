@@ -52,24 +52,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, register_view: bool 
     # runtime-settable (verified).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    df = _normalize_nanos(df)
+    path = table_path(sf_dir, name)
+    df = spark.read.parquet(path)
+    df = _normalize_nanos(df, nanos_cols=_nanos_columns(path))
     if register_view:
         df.createOrReplaceTempView(name)
     return df
 
 
-def _normalize_nanos(df: DataFrame) -> DataFrame:
-    """Parquet TIMESTAMP(NANOS) columns arrive as long nanoseconds (see
-    ``nanosAsLong`` in session.py); convert to Spark's µs timestamps.
-    Truncation (ns → µs) matches DuckDB's ``epoch_us`` on TIMESTAMP_NS."""
+def _nanos_columns(path: str) -> list[str]:
+    """Columns whose *parquet footer* type is TIMESTAMP(NANOS).
+
+    ``nanosAsLong`` makes Spark surface those as plain bigint with no
+    marker, so the Spark schema alone can't distinguish them from a
+    genuine epoch-micros/millis bigint — a name heuristic would silently
+    divide such a column by 1000.  The footer is authoritative; read it
+    with pyarrow (any one footer suffices — parquet directories are
+    schema-uniform).  Unreachable/remote paths: no conversion.
+    """
+    try:
+        import pyarrow.dataset as pads
+
+        schema = pads.dataset(path, format="parquet").schema
+        import pyarrow as pa
+
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def _normalize_nanos(df: DataFrame, nanos_cols: list[str]) -> DataFrame:
+    """Convert long-nanosecond columns (see ``nanosAsLong`` in
+    session.py) to Spark's µs timestamps. Truncation (ns → µs) matches
+    DuckDB's ``epoch_us`` on TIMESTAMP_NS. ``nanos_cols`` comes from the
+    parquet footer (``_nanos_columns``) or an explicit caller list —
+    never a column-name guess."""
     from pyspark.sql import functions as F
 
     for field in df.schema.fields:
-        md = field.metadata or {}
-        if md.get("__is_nanos_ts") or (
-            field.name == "ts" and field.dataType.simpleString() == "bigint"
-        ):
+        if field.name in nanos_cols and field.dataType.simpleString() == "bigint":
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
             )

@@ -17,11 +17,25 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, key_cols: Sequence[str], buckets: int, salt_col: str = "__salt") -> DataFrame:
-    """Deterministic salt derived from the whole row's hash — spreads a
-    hot key over ``buckets`` partitions without a random source."""
-    return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
-    )
+    """Deterministic salt derived from the hash of the NON-key columns —
+    the salt must vary *within* a key group to spread a hot key over
+    ``buckets`` partitions, so hashing the keys adds nothing (and
+    xxhash64 fails outright on map-typed columns, which we skip).
+
+    Falls back to ``monotonically_increasing_id() % buckets`` when no
+    hashable non-key column exists (still deterministic within a plan,
+    though not across re-reads — fine for load-spreading)."""
+    keys = set(key_cols)
+    hashable = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in keys and not f.dataType.typeName().startswith("map")
+    ]
+    if hashable:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(buckets))
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+    return df.withColumn(salt_col, salt)
 
 
 def salted_aggregate(
@@ -70,7 +84,16 @@ def salted_join(
     ``buckets``× with an exploded salt, join on (keys + salt).
 
     Use when the small side is too big to broadcast but the big side's
-    key distribution is pathological. Replication factor = ``buckets``."""
+    key distribution is pathological. Replication factor = ``buckets``.
+
+    Only ``inner`` and ``left`` (big side preserved) are sound: a right
+    or full join would emit every unmatched small-side row once per
+    replica — ``buckets`` duplicates."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports only inner/left joins, got {how!r}: "
+            "right/full would duplicate unmatched small-side rows per salt replica"
+        )
     b = with_salt(big, key_cols, buckets)
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

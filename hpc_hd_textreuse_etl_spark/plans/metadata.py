@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hpc_hd_textreuse_etl_spark.functions.dates import (
+    ecco_date_valid,
     parse_ecco_date,
     parse_eebo_date,
 )
@@ -190,7 +191,7 @@ def manifestation_publication_date(
     estc = estc_core.select(
         F.col("estc_id").alias("estc_key"), "publication_year"
     )
-    estc_year_date = F.to_date(
+    estc_year_date = F.try_to_date(
         F.concat(F.col("publication_year").cast("int").cast("string"), F.lit("-01-01")),
         "yyyy-MM-dd",
     )
@@ -219,9 +220,14 @@ def manifestation_publication_date(
         .join(estc, F.col("edition_id") == F.col("estc_key"), "left")
         .select(
             "manifestation_id_i",
-            F.coalesce(parse_ecco_date("ecco_date_start"), estc_year_date).alias(
-                "publication_date"
-            ),
+            # reference CASE: a *valid* ECCO date wins even if its parse
+            # comes out NULL; only invalid/sentinel dates fall back to ESTC
+            F.when(
+                ecco_date_valid("ecco_date_start"),
+                parse_ecco_date("ecco_date_start"),
+            )
+            .otherwise(estc_year_date)
+            .alias("publication_date"),
         )
         .groupBy("manifestation_id_i")
         .agg(F.min("publication_date").alias("publication_date"))

@@ -206,9 +206,12 @@ def coverages(
     l2 = F.broadcast(
         lengths.select(F.col("trs_id").alias("trs2_id"), F.col("text_length").alias("t2_length"))
     )
+    # reference uses LEFT JOIN on both length dims (coverages.py:161-162,
+    # 304-305): pairs missing a source length keep NULL coverage ratios
+    # instead of being dropped
     return (
-        both.join(l1, "trs1_id")
-        .join(l2, "trs2_id")
+        both.join(l1, "trs1_id", "left")
+        .join(l2, "trs2_id", "left")
         .select(
             "trs1_id",
             "trs2_id",

@@ -138,7 +138,18 @@ def test_read_csv_with_schema(spark, tmp_path):
 
 def test_eebo_date_shapes(spark):
     df = spark.createDataFrame(
-        [("1697",), ("-1697",), ("1690-1697",), ("April 24, 1649",)], "d string"
+        [
+            ("1697",),
+            ("-1697",),
+            ("1690-1697",),
+            ("April 24, 1649",),
+            # malformed shapes must yield NULL, not abort the job, even
+            # under Spark 4 ANSI mode (ADVICE r01 high finding)
+            ("1690-97",),
+            ("not a date at all",),
+            ("17th century",),
+        ],
+        "d string",
     )
     got = [r.p for r in df.select(parse_eebo_date("d").alias("p")).collect()]
     assert got == [
@@ -146,12 +157,26 @@ def test_eebo_date_shapes(spark):
         datetime.date(1697, 1, 1),
         datetime.date(1690, 1, 1),
         datetime.date(1649, 4, 24),
+        None,
+        None,
+        None,
     ]
 
 
 def test_ecco_date_sentinels(spark):
     df = spark.createDataFrame(
-        [(17580101.0,), (0.0,), (10000101.0,), (18400101.0,), (17320000.0,)],
+        [
+            (17580101.0,),
+            (0.0,),
+            (10000101.0,),
+            (18400101.0,),
+            (17320000.0,),
+            # every ECCO date truncates to Jan 1 of its year (reference
+            # takes SUBSTRING(int,1,4) || '-01-01')
+            (17580615.0,),
+            # short int: first four chars of the UNPADDED string
+            (1758.0,),
+        ],
         "d double",
     )
     got = [r.p for r in df.select(parse_ecco_date("d").alias("p")).collect()]
@@ -161,6 +186,8 @@ def test_ecco_date_sentinels(spark):
         None,
         None,
         datetime.date(1732, 1, 1),
+        datetime.date(1758, 1, 1),
+        datetime.date(1758, 1, 1),
     ]
 
 
