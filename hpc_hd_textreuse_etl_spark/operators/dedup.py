@@ -21,6 +21,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hpc_hd_textreuse_etl_spark.functions.hashing import (
+    MERSENNE_P,
+    minhash_coeffs,
+    portable_hash64,
+    portable_hash64_sparksql,
+)
 from hpc_hd_textreuse_etl_spark.functions.text import char_shingles_of, tokens
 
 # ---------------------------------------------------------------------------
@@ -60,13 +66,24 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 32,
     shingle_size: int = 5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """``(id, signature: array<long>)`` — k independent min-hashes over
     the document's distinct character shingles.
 
     One explode + one grouped aggregation with ``k`` min() columns: a
-    single shuffle on the id, map-side combined. xxhash64(shingle, i)
-    gives the i-th hash family member; fully deterministic.
+    single shuffle on the id, map-side combined. Fully deterministic.
+
+    ``hash_family``:
+
+    - ``"xxhash64"`` (default): xxhash64(shingle, i) is the i-th family
+      member — fastest, JVM-native, the production path.
+    - ``"portable"``: universal family ``(a_i*(H(s) mod p)+b_i) mod p``
+      over the md5-based 60-bit hash (functions/hashing.py) — exactly
+      reproducible in DuckDB SQL, so the whole pipeline runs under the
+      value-hash oracle gate. The mod-p wrap keeps the family
+      non-monotone; a bare linear transform would make every member
+      pick the same argmin shingle.
     """
     # array_distinct first: every exploded row costs k hash evaluations
     # below, so deduplicating shingles up front is map-side reduction
@@ -76,14 +93,24 @@ def minhash_signatures(
             "shingle"
         ),
     )
-    # k independent seeded hashes per shingle. NOT a linear family
-    # a_i*h+b_i over one base hash: without wrapping (ANSI mode forbids
-    # overflow) a monotone transform makes every member pick the same
-    # min-shingle, degenerating the whole signature.
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "portable":
+        base = F.pmod(portable_hash64(F.col("shingle")), F.lit(MERSENNE_P))
+        shingled = shingled.select(F.col(id_col), base.alias("hb"))
+        mins = [
+            F.min(
+                (F.lit(a) * F.col("hb") + F.lit(b)) % F.lit(MERSENNE_P)
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+    else:
+        # k independent seeded hashes per shingle. NOT a linear family
+        # a_i*h+b_i over one base hash: without wrapping (ANSI mode forbids
+        # overflow) a monotone transform makes every member pick the same
+        # min-shingle, degenerating the whole signature.
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     agg = shingled.groupBy(id_col).agg(*mins)
     return agg.select(
         F.col(id_col),
@@ -96,29 +123,29 @@ def lsh_candidate_pairs(
     id_col: str,
     num_bands: int = 8,
     rows_per_band: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Banding: documents agreeing on ALL rows of ≥1 band become a
     candidate pair ``(id_a < id_b)``. The self-join runs per (band,
     band_hash) bucket — bounded fan-out, no all-pairs comparison."""
+
+    def band_hash(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("signature", b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ],
+        )
+        if hash_family == "portable":
+            return portable_hash64(F.concat(joined, F.lit(f"#{b}")))
+        return F.xxhash64(joined, F.lit(b))
+
     bands = signatures.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("signature", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        ),
-                        F.lit(b),
-                    )
-                    for b in range(num_bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.array(*[band_hash(b) for b in range(num_bands)])).alias(
+            "band", "band_hash"
+        ),
     )
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -138,14 +165,17 @@ def minhash_near_duplicates(
     shingle_size: int = 5,
     num_bands: int = 8,
     threshold: float = 0.8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """End-to-end MinHash near-dup: LSH candidates verified by estimated
     Jaccard (signature agreement fraction) ≥ threshold."""
     rows_per_band = num_hashes // num_bands
     # signatures feed banding AND both sides of the verify join — persist
     # (at production scale, materialize the signature table to parquet)
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size).persist()
-    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_size, hash_family
+    ).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band, hash_family)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
@@ -172,13 +202,24 @@ def minhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
-def simhash(colname: str, bits: int = 64) -> Column:
+def simhash(colname: str, bits: int = 64, hash_family: str = "xxhash64") -> Column:
     """SimHash of whitespace tokens: per bit position, sum ±1 votes over
     token hashes; bit set where the vote sum is positive. One Catalyst
     fold carrying an ``array<long>`` of bit votes, evaluated once, then a
     zip_with pack. Written as a SQL expression because SQL-level
     shiftleft/shiftright accept column shift amounts (the Python wrapper
-    does not). Near-duplicate docs differ in few bits (Hamming)."""
+    does not). Near-duplicate docs differ in few bits (Hamming).
+
+    ``hash_family="portable"`` swaps the token hash for the md5-based
+    60-bit portable hash (functions/hashing.py) so the signature is
+    reproducible in DuckDB SQL; pass ``bits<=60`` with it (the base hash
+    only carries 60 bits)."""
+    if hash_family == "portable":
+        if bits > 60:
+            raise ValueError("portable simhash carries at most 60 bits")
+        tok_hash = portable_hash64_sparksql("t")
+    else:
+        tok_hash = "xxhash64(t)"
     toks_sql = f"filter(split({colname}, '\\\\s+'), t -> t != '')"
     return F.expr(
         f"""
@@ -190,7 +231,7 @@ def simhash(colname: str, bits: int = 64) -> Column:
             (acc, t) -> zip_with(
               acc,
               transform(sequence(0, {bits - 1}),
-                        b -> IF((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)),
+                        b -> IF((shiftright({tok_hash}, b) & 1) = 1, 1L, -1L)),
               (a, v) -> a + v)
           ),
           sequence(0, {bits - 1}),
@@ -213,21 +254,27 @@ def simhash_near_duplicates(
     text_col: str,
     max_hamming: int = 3,
     band_bits: int | None = None,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup with banded blocking: split the 64-bit signature
-    into chunks; by pigeonhole, pairs within Hamming ≤ (n_chunks - 1)
-    share at least one exact chunk — join only within chunk buckets,
-    then verify exact Hamming distance.
+    """SimHash near-dup with banded blocking: split the ``bits``-wide
+    signature into chunks; by pigeonhole, pairs within Hamming ≤
+    (n_chunks - 1) share at least one exact chunk — join only within
+    chunk buckets, then verify exact Hamming distance.
 
     ``band_bits=None`` derives the chunk width from ``max_hamming`` so
     the pigeonhole guarantee actually covers the requested radius
     (n_chunks = max_hamming + 1); passing a wider ``band_bits`` trades
     recall beyond the guarantee for fewer buckets."""
+    if hash_family == "portable":
+        bits = min(bits, 60)
     if band_bits is None:
-        n_chunks = min(max_hamming + 1, 64)
-        band_bits = max(64 // n_chunks, 1)
-    n_bands = 64 // band_bits
-    sigs = df.select(F.col(id_col), simhash(text_col).alias("sig"))
+        n_chunks = min(max_hamming + 1, bits)
+        band_bits = max(bits // n_chunks, 1)
+    n_bands = bits // band_bits
+    sigs = df.select(
+        F.col(id_col), simhash(text_col, bits, hash_family).alias("sig")
+    )
     chunks = sigs.select(
         F.col(id_col),
         "sig",

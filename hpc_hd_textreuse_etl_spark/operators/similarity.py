@@ -14,9 +14,10 @@ Two paths, matching how ANN is actually run on Spark at scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hpc_hd_textreuse_etl_spark.functions.hashing import hyperplane_coeffs
 from hpc_hd_textreuse_etl_spark.operators.dedup import cosine, vector_norm
 
 
@@ -96,6 +97,27 @@ def hyperplane_bucket(vec_col: str, num_planes: int = 12, seed: int = 42, dim: i
     for p in range(num_planes):
         out = out + F.when(
             plane_dot(p) > 0, F.shiftleft(F.lit(1).cast("long"), p)
+        ).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hyperplane_bucket_literal(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from driver-precomputed hyperplane coefficient
+    arrays (functions/hashing.py ``hyperplane_coeffs``) inlined as
+    literals. Cheaper than :func:`hyperplane_bucket` (no per-row hash
+    work for constants) and bit-reproducible in the DuckDB oracle — the
+    same coefficients are inlined into the oracle SQL."""
+    v = F.col(vec_col)
+    out = F.lit(0).cast("long")
+    for p, coeffs in enumerate(planes):
+        arr = F.array(*[F.lit(c) for c in coeffs])
+        dot_p = F.aggregate(
+            F.zip_with(v, arr, lambda x, c: x.cast("double") * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(
+            dot_p > 0, F.shiftleft(F.lit(1).cast("long"), p)
         ).otherwise(F.lit(0).cast("long"))
     return out
 
@@ -237,24 +259,35 @@ def lsh_topk(
     num_tables: int = 4,
     seed: int = 42,
     dim: int = 64,
+    plane_source: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing an LSH bucket in
     ≥1 of ``num_tables`` tables; exact cosine rank within candidates.
 
     Recall grows with num_tables; cost is num_tables equi-joins on
-    (table, bucket) — each a bounded shuffle, never a cross join."""
+    (table, bucket) — each a bounded shuffle, never a cross join.
+
+    ``plane_source="literal"`` uses driver-precomputed seeded
+    coefficients inlined as literal arrays (reproducible in the DuckDB
+    oracle); the default derives coefficients from xxhash64 per row."""
+    literal_planes = (
+        hyperplane_coeffs(num_tables, num_planes, dim, seed)
+        if plane_source == "literal"
+        else None
+    )
+
+    def bucket(t: int) -> Column:
+        if literal_planes is not None:
+            return hyperplane_bucket_literal(vec_col, literal_planes[t])
+        return hyperplane_bucket(vec_col, num_planes, seed + t, dim)
+
     def with_buckets(df: DataFrame, side: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{side}_id"),
             F.col(vec_col).alias(f"{side}_vec"),
-            F.posexplode(
-                F.array(
-                    *[
-                        hyperplane_bucket(vec_col, num_planes, seed + t, dim)
-                        for t in range(num_tables)
-                    ]
-                )
-            ).alias("table", "bucket"),
+            F.posexplode(F.array(*[bucket(t) for t in range(num_tables)])).alias(
+                "table", "bucket"
+            ),
         )
 
     qb = with_buckets(queries, "query")

@@ -1202,25 +1202,138 @@ def token_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_near_duplicates", oracle=None, tags=("dedup-minhash",), bench=True)
+# Portable-hash oracles (functions/hashing.py): the md5-based 60-bit hash
+# H(s) below is byte-identical in Spark and DuckDB, so the FULL minhash /
+# simhash / LSH pipelines run under the value-hash gate. The xxhash64
+# production defaults keep their est-vs-exact property tests instead.
+
+_DUCK_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_P = 2_147_483_647
+
+
+def _minhash_oracle(
+    num_hashes: int, shingle: int, num_bands: int, threshold: float
+) -> str:
+    """DuckDB SQL mirroring minhash_near_duplicates(hash_family='portable')."""
+    from hpc_hd_textreuse_etl_spark.functions.hashing import minhash_coeffs
+
+    coeffs = minhash_coeffs(num_hashes)
+    rows = num_hashes // num_bands
+    mins = ",\n             ".join(
+        f"MIN(({a} * hb + {b}) % {_P}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_branches = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {h} AS band_hash FROM sigs".format(
+            b=b,
+            h=_DUCK_H.format(
+                x=" || ',' || ".join(f"h{b * rows + r}" for r in range(rows))
+                + f" || '#{b}'"
+            ),
+        )
+        for b in range(num_bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    shingles = (
+        f"[substr(text, i, {shingle}) "
+        f"FOR i IN range(1, greatest(length(text) - {shingle - 1}, 1) + 1)]"
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct({shingles})) AS shingle FROM documents
+    ), hb AS (
+      SELECT doc_id, {_DUCK_H.format(x='shingle')} % {_P} AS hb FROM sh
+    ), sigs AS (
+      SELECT doc_id, {mins}
+      FROM hb GROUP BY doc_id
+    ), bands AS (
+      {band_branches}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, est_jaccard FROM (
+      SELECT id_a, id_b,
+             CAST({agree} AS DOUBLE) / CAST({num_hashes} AS DOUBLE) AS est_jaccard
+      FROM cand JOIN sigs sa ON id_a = sa.doc_id JOIN sigs sb ON id_b = sb.doc_id
+    ) WHERE est_jaccard >= CAST({threshold} AS DOUBLE)
+    """
+
+
+def _simhash_oracle(bits: int, max_hamming: int) -> str:
+    """DuckDB SQL mirroring simhash_near_duplicates(hash_family='portable')."""
+    n_chunks = min(max_hamming + 1, bits)
+    band_bits = max(bits // n_chunks, 1)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOK}) AS t FROM documents
+    ), th AS (
+      SELECT doc_id, {_DUCK_H.format(x='t')} AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, b.range AS bit,
+             SUM(CASE WHEN (h >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th CROSS JOIN range({bits}) b GROUP BY doc_id, b.range
+    ), sig0 AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sig
+      FROM votes GROUP BY doc_id
+    ), sigs AS (
+      SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+      FROM documents d LEFT JOIN sig0 s ON d.doc_id = s.doc_id
+    ), chunks AS (
+      SELECT doc_id, sig, b.range AS band,
+             (sig >> (b.range * {band_bits})) & {mask} AS chunk
+      FROM sigs CROSS JOIN range({n_bands}) b
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@query(
+    "minhash_near_duplicates",
+    oracle=_minhash_oracle(num_hashes=32, shingle=5, num_bands=8, threshold=0.7),
+    tags=("dedup-minhash",),
+    bench=True,
+)
 def minhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join).
-    Hash-deterministic; validated against exact Jaccard in
-    tests/test_dedup.py (no SQL oracle — DuckDB lacks xxhash64)."""
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join),
+    portable hash family — the full pipeline (shingling, k min-aggs,
+    banding, estimated-Jaccard verify) is value-hash-checked against
+    DuckDB. The xxhash64 production family is validated against exact
+    Jaccard in tests/test_dedup.py."""
     from hpc_hd_textreuse_etl_spark.operators.dedup import minhash_near_duplicates
 
     docs = spark.table("documents")
     return minhash_near_duplicates(
-        docs, "doc_id", "text", num_hashes=32, num_bands=8, threshold=0.7
+        docs, "doc_id", "text", num_hashes=32, num_bands=8, threshold=0.7,
+        hash_family="portable",
     )
 
 
-@query("simhash_near_duplicates", oracle=None, tags=("dedup-simhash",))
+@query(
+    "simhash_near_duplicates",
+    oracle=_simhash_oracle(bits=60, max_hamming=8),
+    tags=("dedup-simhash",),
+)
 def simhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (60-bit portable signature, pigeonhole banding,
+    exact Hamming verify) — value-hash-checked against a DuckDB oracle
+    that recomputes the bit-vote fold with 60 per-bit aggregations."""
     from hpc_hd_textreuse_etl_spark.operators.dedup import simhash_near_duplicates
 
     docs = spark.table("documents")
-    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8)
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=8, hash_family="portable"
+    )
 
 
 @query(
@@ -1301,14 +1414,71 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk", oracle=None, tags=("similarity-lsh",))
+def _lsh_ann_oracle(
+    k: int, num_planes: int, num_tables: int, dim: int, seed: int
+) -> str:
+    """DuckDB SQL mirroring lsh_topk(plane_source='literal'): the same
+    seeded hyperplane coefficients are inlined into both plans, so
+    buckets — and therefore candidates and ranks — agree exactly."""
+    from hpc_hd_textreuse_etl_spark.functions.hashing import hyperplane_coeffs
+
+    planes = hyperplane_coeffs(num_tables, num_planes, dim, seed)
+
+    def dot(coeffs: list[float]) -> str:
+        lits = ", ".join(f"{c:.17e}" for c in coeffs)
+        return (
+            f"list_sum(list_transform(list_zip(embedding, [{lits}]), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot(planes[t][p])} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)
+        )
+
+    branches = "\n      UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS tbl, {bucket(t)} AS bucket FROM embeddings"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH b AS (
+      {branches}
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+      FROM cand JOIN embeddings q ON cand.query_id = q.vec_id
+                JOIN embeddings c ON cand.neighbor_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=_lsh_ann_oracle(k=5, num_planes=4, num_tables=4, dim=64, seed=42),
+    tags=("similarity-lsh",),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN (the scale path; recall vs brute force
-    checked in tests/test_similarity.py)."""
+    checked in tests/test_similarity.py). Literal seeded planes — bucket
+    assignment, candidates and final ranks all value-hash-checked against
+    the DuckDB oracle."""
     from hpc_hd_textreuse_etl_spark.operators.similarity import lsh_topk
 
     emb = spark.table("embeddings")
     return lsh_topk(
         emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
-        k=5, num_planes=4, num_tables=8,
+        k=5, num_planes=4, num_tables=4, plane_source="literal",
     )
