@@ -130,6 +130,7 @@ def ivf_index(
     lloyd_iters: int = 2,
     seed: int = 42,
     dim: int = 64,
+    hash_family: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: ``(centroids, assignments)``.
 
@@ -139,16 +140,28 @@ def ivf_index(
     mean), no MLlib dependency. Returns
     ``centroids (cell_id, centroid array<double>)`` and
     ``assignments (id, cell_id)``.
+
+    ``hash_family="portable"`` makes the whole index reproducible in the
+    DuckDB oracle: the init sample uses the md5-based portable hash, and
+    the centroid mean is a fold over the SORTED member values instead of
+    ``avg()`` — double addition is not associative, so a fixed summation
+    order is what makes the centroids (hence assignments) bit-identical
+    across engines and across reruns.
     """
-    spark = corpus.sparkSession
+    from hpc_hd_textreuse_etl_spark.functions.hashing import portable_hash64
+
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     # deterministic init: the n_cells corpus vectors with smallest
-    # xxhash64(id, seed) — a seeded uniform sample without rand()
+    # seeded hash — a seeded uniform sample without rand()
+    if hash_family == "portable":
+        h = portable_hash64(F.concat(F.col("vid").cast("string"), F.lit(f"#{seed}")))
+    else:
+        h = F.xxhash64(F.col("vid"), F.lit(seed))
     init = (
-        vecs.withColumn("h", F.xxhash64(F.col("vid"), F.lit(seed)))
+        vecs.withColumn("h", h)
         .orderBy("h")
         .limit(n_cells)
         .select(
@@ -156,27 +169,41 @@ def ivf_index(
             F.col("v").alias("centroid"),
         )
     )
-    centroids = init
-    for _ in range(lloyd_iters):
-        assigned = _assign_cells(vecs, centroids)
-        # element-wise mean: explode positions, average per (cell, pos),
+
+    def mean_centroids(assigned: DataFrame) -> DataFrame:
+        # element-wise mean: explode positions, aggregate per (cell, pos),
         # re-collect in position order
-        centroids = (
-            assigned.join(vecs, "vid")
-            .select("cell_id", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell_id", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "m"))
-                ).alias("pm")
+        per_pos = assigned.join(vecs, "vid").select(
+            "cell_id", F.posexplode("v").alias("pos", "x")
+        )
+        if hash_family == "portable":
+            # order-fixed summation: sort members, sequential fold
+            cell_pos = (
+                per_pos.groupBy("cell_id", "pos")
+                .agg(F.array_sort(F.collect_list("x")).alias("xs"))
+                .select(
+                    "cell_id",
+                    "pos",
+                    (
+                        F.aggregate("xs", F.lit(0.0), lambda a, x: a + x)
+                        / F.size("xs")
+                    ).alias("m"),
+                )
             )
+        else:
+            cell_pos = per_pos.groupBy("cell_id", "pos").agg(F.avg("x").alias("m"))
+        return (
+            cell_pos.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
                 "cell_id",
                 F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
             )
         )
+
+    centroids = init
+    for _ in range(lloyd_iters):
+        centroids = mean_centroids(_assign_cells(vecs, centroids))
     assignments = _assign_cells(vecs, centroids).select(
         F.col("vid").alias(id_col), "cell_id"
     )
@@ -206,6 +233,7 @@ def ivf_topk(
     n_probe: int = 4,
     lloyd_iters: int = 2,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest cells per
     query, exact cosine rank within the probed inverted lists.
@@ -214,7 +242,8 @@ def ivf_topk(
     by Lloyd refinement, candidate cost ≈ corpus × n_probe / n_cells,
     and the only broadcast is the (tiny) centroid table."""
     centroids, assignments = ivf_index(
-        corpus, id_col, vec_col, n_cells, lloyd_iters, seed
+        corpus, id_col, vec_col, n_cells, lloyd_iters, seed,
+        hash_family=hash_family,
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"),

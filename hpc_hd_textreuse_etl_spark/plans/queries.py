@@ -1401,16 +1401,99 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk", oracle=None, tags=("similarity-ivf",))
+def _ivf_oracle(
+    k: int, n_cells: int, n_probe: int, lloyd_iters: int, seed: int, dim: int
+) -> str:
+    """DuckDB SQL mirroring ivf_topk(hash_family='portable'): portable
+    init hash + order-fixed centroid sums make every Lloyd iteration
+    bit-reproducible, so the iterations unroll as chained CTEs."""
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"(list_sum(list_transform(list_zip({x}, {y}), x -> x[1] * x[2])) / "
+            f"(sqrt(list_sum(list_transform({x}, x -> x * x))) * "
+            f"sqrt(list_sum(list_transform({y}, x -> x * x)))))"
+        )
+
+    init_h = f"('0x' || substr(md5(vec_id || '#{seed}'), 1, 15))::BIGINT"
+    ctes = [
+        "v AS (\n      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        "\n      FROM embeddings\n    )",
+        f"""c0 AS (
+      SELECT row_number() OVER (ORDER BY {init_h}) AS cell_id, v AS centroid
+      FROM v ORDER BY {init_h} LIMIT {n_cells}
+    )""",
+    ]
+    for i in range(lloyd_iters + 1):
+        ctes.append(f"""a{i} AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT vv.vec_id, c.cell_id,
+               row_number() OVER (PARTITION BY vv.vec_id
+                                  ORDER BY {cos('vv.v', 'c.centroid')} DESC,
+                                           c.cell_id) AS rn
+        FROM v vv CROSS JOIN c{i} c
+      ) WHERE rn = 1
+    )""")
+        if i < lloyd_iters:
+            ctes.append(f"""c{i + 1} AS (
+      SELECT cell_id, list(m ORDER BY pos) AS centroid FROM (
+        SELECT a.cell_id, p.range AS pos,
+               list_sum(list_sort(list(vv.v[p.range + 1]))) / count(*) AS m
+        FROM a{i} a JOIN v vv ON a.vec_id = vv.vec_id CROSS JOIN range({dim}) p
+        GROUP BY a.cell_id, p.range
+      ) GROUP BY cell_id
+    )""")
+    last = lloyd_iters
+    ctes.append(f"""probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.vec_id AS query_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos('q.v', 'c.centroid')} DESC,
+                                           c.cell_id) AS rn
+        FROM v q CROSS JOIN c{last} c WHERE q.vec_id < 20
+      ) WHERE rn <= {n_probe}
+    )""")
+    ctes.append(f"""scored AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id,
+             (list_sum(list_transform(list_zip(q.v, e.embedding),
+                       x -> x[1] * CAST(x[2] AS DOUBLE))) /
+              (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+               sqrt(list_sum(list_transform(e.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))) AS cosine
+      FROM probes p
+      JOIN a{last} m ON p.cell_id = m.cell_id
+      JOIN v q ON p.query_id = q.vec_id
+      JOIN embeddings e ON m.vec_id = e.vec_id
+      WHERE m.vec_id <> p.query_id
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=_ivf_oracle(k=5, n_cells=8, n_probe=3, lloyd_iters=2, seed=42, dim=64),
+    tags=("similarity-ivf",),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (seeded coarse quantizer + Lloyd refinement;
-    recall vs brute force checked in tests/test_similarity.py)."""
+    recall vs brute force checked in tests/test_similarity.py). The
+    portable variant pins the init hash and the centroid summation
+    order, so both Lloyd iterations — and the final ranks — value-hash-
+    match the unrolled DuckDB oracle."""
     from hpc_hd_textreuse_etl_spark.operators.similarity import ivf_topk
 
     emb = spark.table("embeddings")
     return ivf_topk(
         emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
-        k=5, n_cells=8, n_probe=3,
+        k=5, n_cells=8, n_probe=3, hash_family="portable",
     )
 
 
