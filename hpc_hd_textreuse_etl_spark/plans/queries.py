@@ -836,6 +836,69 @@ def pair_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov
 
 
+@query(
+    "reception_coverage_directed",
+    oracle=f"""
+    WITH edges AS (
+      SELECT user_id AS src_trs_id, CAST(event_id % 20 AS BIGINT) AS dst_trs_id,
+             CAST(floor(value * 100) AS BIGINT) AS s1,
+             CAST(floor(value * 100) AS BIGINT) + 50 + CAST(event_id % 200 AS BIGINT) AS e1,
+             CAST((event_id * 37) % 1000 AS BIGINT) AS s2,
+             CAST((event_id * 37) % 1000 AS BIGINT) + 30 + CAST(event_id % 150 AS BIGINT) AS e2
+      FROM events
+    ),
+    {_islands_sql("edges", "src_trs_id, dst_trs_id", "s1", "e1", "t1_final")},
+    {_islands_sql("edges", "src_trs_id, dst_trs_id", "s2", "e2", "t2_final")}
+    SELECT t1_final.src_trs_id AS src_trs_id,
+           t1_final.num_merged AS num_reuses_src,
+           t1_final.reuses_length AS reuses_src_in_dst,
+           CAST(5000 + t1_final.src_trs_id AS BIGINT) AS src_length,
+           CAST(t1_final.reuses_length AS DOUBLE)
+             / CAST(5000 + t1_final.src_trs_id AS DOUBLE)
+             * CAST(100.0 AS DOUBLE) AS coverage_src_in_dst,
+           t1_final.dst_trs_id AS dst_trs_id,
+           t2_final.num_merged AS num_reuses_dst,
+           t2_final.reuses_length AS reuses_dst_in_src,
+           CAST(5000 + t1_final.dst_trs_id AS BIGINT) AS dst_length,
+           CAST(t2_final.reuses_length AS DOUBLE)
+             / CAST(5000 + t1_final.dst_trs_id AS DOUBLE)
+             * CAST(100.0 AS DOUBLE) AS coverage_dst_in_src
+    FROM t1_final LEFT JOIN t2_final
+      ON t1_final.src_trs_id = t2_final.src_trs_id
+     AND t1_final.dst_trs_id = t2_final.dst_trs_id
+    """,
+    tags=("§2.10-book", "J7", "W2", "W3", "W4", "A3"),
+)
+def reception_coverage_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's book-restricted reception coverage
+    (additional_assets/book_based.py:147-287) on synthetic directed
+    edges: two-sided islands per (src, dst) pair, LEFT-joined dst
+    branch, per-direction (reuse/length)*100 ratios."""
+    from hpc_hd_textreuse_etl_spark.plans.textreuse import reception_coverages
+
+    ev = spark.table("events")
+    eid = F.col("event_id")
+    s1 = F.floor(F.col("value") * 100).cast("long")
+    s2 = (eid * 37) % 1000
+    edges_denorm = ev.select(
+        F.col("user_id").alias("src_trs_id"),
+        (eid % 20).cast("long").alias("dst_trs_id"),
+        s1.alias("src_trs_start"),
+        (s1 + 50 + eid % 200).alias("src_trs_end"),
+        s2.alias("dst_trs_start"),
+        (s2 + 30 + eid % 150).alias("dst_trs_end"),
+    )
+    ids = (
+        edges_denorm.select(F.col("src_trs_id").alias("trs_id"))
+        .unionByName(edges_denorm.select(F.col("dst_trs_id").alias("trs_id")))
+        .distinct()
+    )
+    lengths = ids.select(
+        "trs_id", (F.lit(5000) + F.col("trs_id")).cast("long").alias("text_length")
+    )
+    return reception_coverages(edges_denorm, lengths)
+
+
 # ---------------------------------------------------------------------------
 # Higher-order array/map functions (SURVEY §2.8 — the reference's most
 # Spark-idiomatic surface: aggregate/transform folds, kept verbatim)

@@ -439,6 +439,72 @@ def reception_edges_denorm(edges: DataFrame, defrag_pieces: DataFrame) -> DataFr
     )
 
 
+def reception_coverages(edges_denorm: DataFrame, lengths: DataFrame) -> DataFrame:
+    """Directed coverage over denormalized reception edges — the
+    reference's ``reception_inception_between_book_coverages``
+    (additional_assets/book_based.py:147-287): per (src, dst) document
+    pair, merge the src-side and dst-side spans independently
+    (gaps-and-islands), count merged hits and sum merged lengths, LEFT
+    JOIN the dst aggregate branch and both length dims, and emit
+    ``(reuse / length) * 100`` per direction.
+
+    Unlike :func:`coverages` the pair key is DIRECTED (source → later
+    destination), so the same two-sided islands machinery runs on the
+    reception fan-out rather than the symmetric hit graph. One shuffle
+    per side keyed by the pair; length dims broadcast."""
+
+    def side(start: str, end: str, prefix: str) -> DataFrame:
+        islands = merge_intervals(
+            edges_denorm.select("src_trs_id", "dst_trs_id", start, end),
+            ["src_trs_id", "dst_trs_id"],
+            start,
+            end,
+            adjacency_gap=1,
+        )
+        return islands.groupBy("src_trs_id", "dst_trs_id").agg(
+            F.count(F.lit(1)).alias(f"num_reuses_{prefix}"),
+            F.sum(F.col("island_end") - F.col("island_start")).alias(
+                f"reuses_{prefix}"
+            ),
+        )
+
+    t1 = side("src_trs_start", "src_trs_end", "src")
+    t2 = side("dst_trs_start", "dst_trs_end", "dst")
+    both = t1.join(t2, ["src_trs_id", "dst_trs_id"], "left")
+    l1 = F.broadcast(
+        lengths.select(
+            F.col("trs_id").alias("src_trs_id"),
+            F.col("text_length").alias("src_length"),
+        )
+    )
+    l2 = F.broadcast(
+        lengths.select(
+            F.col("trs_id").alias("dst_trs_id"),
+            F.col("text_length").alias("dst_length"),
+        )
+    )
+    return (
+        both.join(l1, "src_trs_id", "left")
+        .join(l2, "dst_trs_id", "left")
+        .select(
+            "src_trs_id",
+            "num_reuses_src",
+            F.col("reuses_src").alias("reuses_src_in_dst"),
+            "src_length",
+            ((F.col("reuses_src") / F.col("src_length")) * 100.0).alias(
+                "coverage_src_in_dst"
+            ),
+            "dst_trs_id",
+            "num_reuses_dst",
+            F.col("reuses_dst").alias("reuses_dst_in_src"),
+            "dst_length",
+            ((F.col("reuses_dst") / F.col("dst_length")) * 100.0).alias(
+                "coverage_dst_in_src"
+            ),
+        )
+    )
+
+
 def source_piece_statistics_denorm(
     stats: DataFrame, defrag_pieces: DataFrame, trs_edition_mapping: DataFrame
 ) -> DataFrame:
