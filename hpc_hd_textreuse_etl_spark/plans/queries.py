@@ -976,6 +976,109 @@ def order_reception_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Serving workload (plans/serving.py) — the reception / top-quote / QC
+# queries the reference's users run against the materialized tables
+# (companion paper arXiv:2401.07290; scratch.py:55-68)
+# ---------------------------------------------------------------------------
+
+_RECEPTION_EDGES_CTE = """
+    members AS (
+      SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+    ), earliest AS (
+      SELECT o_custkey, o_orderkey FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               min(o_orderdate) OVER (PARTITION BY o_custkey) AS min_date
+        FROM members
+      ) WHERE o_orderdate = min_date
+    ), non_source AS (
+      SELECT m.o_custkey, m.o_orderkey FROM members m
+      WHERE NOT EXISTS (SELECT 1 FROM earliest e WHERE e.o_orderkey = m.o_orderkey)
+    ), edges AS (
+      SELECT e.o_custkey, e.o_orderkey AS src_o_orderkey,
+             n.o_orderkey AS dst_o_orderkey
+      FROM earliest e JOIN non_source n ON e.o_custkey = n.o_custkey
+    )"""
+
+
+def _order_reception_edges_df(spark: SparkSession) -> DataFrame:
+    from hpc_hd_textreuse_etl_spark.operators.reception import reception_edges
+
+    members = spark.table("orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    return reception_edges(members, "o_custkey", "o_orderkey", "o_orderdate").select(
+        "o_custkey", "src_o_orderkey", "dst_o_orderkey"
+    )
+
+
+@query(
+    "cluster_span_topk",
+    oracle="""
+    SELECT o_custkey, strftime(max_d, '%Y-%m-%d') AS max_pub_date,
+           strftime(min_d, '%Y-%m-%d') AS min_pub_date,
+           CAST(datediff('day', min_d, max_d) AS INT) AS span_days
+    FROM (
+      SELECT o_custkey, max(o_orderdate) AS max_d, min(o_orderdate) AS min_d
+      FROM orders GROUP BY o_custkey
+    )
+    ORDER BY span_days DESC, o_custkey LIMIT 100
+    """,
+    tags=("O2", "A7", "serving-qc"),
+)
+def cluster_span_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's "time spans of clusters" QC query
+    (scratch.py:55-68): per-group MIN/MAX dates and their day span,
+    top-100 widest (deterministic tiebreak on the group key)."""
+    from hpc_hd_textreuse_etl_spark.plans.serving import cluster_time_spans
+
+    return cluster_time_spans(spark.table("orders"), "o_custkey", "o_orderdate", 100)
+
+
+@query(
+    "top_quote_spans",
+    oracle=f"""
+    WITH {_RECEPTION_EDGES_CTE}
+    SELECT src_o_orderkey,
+           CAST(count(DISTINCT dst_o_orderkey) AS BIGINT) AS n_receptions
+    FROM edges GROUP BY src_o_orderkey
+    ORDER BY n_receptions DESC, src_o_orderkey LIMIT 20
+    """,
+    tags=("serving-topquote", "A10", "O2"),
+)
+def top_quote_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion paper's top-quote workload: source spans ranked by
+    distinct receiving documents, top-k via TakeOrderedAndProject."""
+    from hpc_hd_textreuse_etl_spark.plans.serving import top_quotes
+
+    edges = _order_reception_edges_df(spark)
+    return top_quotes(edges, ["src_o_orderkey"], "dst_o_orderkey", 20)
+
+
+@query(
+    "reception_detail_serving",
+    oracle=f"""
+    WITH {_RECEPTION_EDGES_CTE}
+    SELECT e.o_custkey, e.src_o_orderkey, e.dst_o_orderkey, c.c_name, c.c_acctbal
+    FROM edges e JOIN customer c ON e.o_custkey = c.c_custkey
+    WHERE e.o_custkey < 10
+    """,
+    tags=("serving-reception", "J4"),
+)
+def reception_detail_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion paper's reception point-query: everything
+    downstream of a selected source set, metadata-enriched (both the
+    selection and the dim broadcast; the fact side streams)."""
+    from hpc_hd_textreuse_etl_spark.plans.serving import reception_detail
+
+    edges = _order_reception_edges_df(spark)
+    src_ids = (
+        edges.filter(F.col("o_custkey") < 10).select("src_o_orderkey").distinct()
+    )
+    metadata = spark.table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    return reception_detail(edges, "src_o_orderkey", src_ids, metadata, "o_custkey")
+
+
+# ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (driver records rows-only checks):
 # defragmentation scan + Chinese Whispers clustering
 # ---------------------------------------------------------------------------

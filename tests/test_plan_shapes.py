@@ -51,3 +51,21 @@ def test_aggregations_partial_map_side(spark):
 def test_anti_join_is_native(spark):
     plan = executed_plan(spark, "customers_without_open_orders")
     assert "LeftAnti" in plan
+
+
+def test_serving_topk_is_take_ordered(spark):
+    """Serving top-k queries must plan TakeOrderedAndProject (per-task
+    k-row heap + driver merge), never a global sort."""
+    for name in ("cluster_span_topk", "top_quote_spans"):
+        plan = executed_plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        # a global Sort before the limit would mean a full-sort plan
+        assert "Sort [span_days" not in plan and "Sort [n_receptions" not in plan, name
+
+
+def test_reception_detail_broadcasts_selection_and_dim(spark):
+    """Point-query: the source-id selection (semi-join) and the metadata
+    dim must both broadcast — the fact side streams with no shuffle."""
+    plan = executed_plan(spark, "reception_detail_serving")
+    assert len(re.findall(r"BroadcastHashJoin .*LeftSemi", plan)) >= 1
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
