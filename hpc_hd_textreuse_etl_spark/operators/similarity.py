@@ -28,13 +28,30 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 10,
     broadcast_queries: bool = True,
+    strategy: str = "fold",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
     ``(query_id, neighbor_id, cosine, rank)``; self-matches excluded.
     The small side is broadcast so the big side streams without a
     shuffle; ranking shuffles only (query_id, neighbor, score) triples.
+
+    ``strategy``:
+
+    - ``"fold"`` (default): per-pair Catalyst higher-order fold. Stays
+      entirely JVM-side and is bit-identical to the DuckDB oracle's
+      sequential ``list_sum`` — the correctness-gate path.
+    - ``"matmul"``: Arrow-batched BLAS path (:func:`cosine_topk_matmul`).
+      The fold evaluates one lambda per vector element per pair — at
+      dim=768 over a corpus-scale pairwise workload that is the
+      bottleneck; a (batch × dim)·(dim × q) matmul scores a whole Arrow
+      batch against every query in one BLAS call. Summation order
+      differs from the fold (pairwise/SIMD vs sequential), so scores
+      can differ in the last ~ulp; ranks are identical except under
+      exact ties already broken by neighbor_id.
     """
+    if strategy == "matmul":
+        return cosine_topk_matmul(queries, corpus, id_col, vec_col, k)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -62,6 +79,70 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def cosine_topk_matmul(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine via Arrow-batched BLAS — the scale path for
+    wide embeddings (see :func:`cosine_topk` ``strategy="matmul"``).
+
+    The query set is collected to the driver (it is the side
+    :func:`cosine_topk` broadcasts anyway), L2-normalized into one
+    float64 matrix, and shipped to executors inside the ``mapInPandas``
+    closure. Each corpus Arrow batch is scored against ALL queries in a
+    single ``(batch × dim) @ (dim × q)`` matmul, and only the per-batch
+    top-k rows per query leave Python — the shuffle that feeds the final
+    global rank carries at most ``k × q`` rows per batch, independent of
+    corpus size. Driver memory bounds the query side at ~1e6 × dim=768
+    float64 (≈6 GB); beyond that, chunk the query set and union.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    ).collect()
+    if not q_rows:
+        schema = "query_id long, neighbor_id long, cosine double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema)
+    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            n_ids = pdf["nid"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["nv"]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ q_mat.T  # (batch × q)
+            sims[n_ids[:, None] == q_ids[None, :]] = -np.inf  # self-matches
+            kk = min(k, sims.shape[0])
+            # per-batch prune: only each query's batch-local top-k survive
+            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k × q)
+            qcol = np.broadcast_to(q_ids, top.shape).ravel()
+            ncol = n_ids[top.ravel()]
+            scol = np.take_along_axis(sims, top, axis=0).ravel()
+            keep = scol > -np.inf
+            yield pd.DataFrame(
+                {"query_id": qcol[keep], "neighbor_id": ncol[keep], "cosine": scol[keep]}
+            )
+
+    scored = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nv"),
+    ).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def hyperplane_bucket(vec_col: str, num_planes: int = 12, seed: int = 42, dim: int = 64):

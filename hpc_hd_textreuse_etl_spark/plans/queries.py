@@ -1567,6 +1567,47 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_cosine_topk_matmul",
+    oracle="""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+             (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+              sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_r,
+           CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("similarity-bruteforce", "arrow-matmul"),
+    bench=True,
+)
+def ann_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/BLAS scale path for exact cosine top-k: one
+    (batch × dim)·(dim × q) matmul per Arrow batch, batch-local top-k
+    pruning before the shuffle. Scores are rounded to 6 decimals for the
+    oracle (BLAS summation order differs from the sequential fold by
+    ~1 ulp; ranks are unaffected — equality asserted in
+    tests/test_similarity.py)."""
+    from hpc_hd_textreuse_etl_spark.operators.similarity import cosine_topk
+
+    emb = spark.table("embeddings")
+    out = cosine_topk(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding", k=5,
+        strategy="matmul",
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round("cosine", 6).alias("cosine_r"), "rank",
+    )
+
+
 def _ivf_oracle(
     k: int, n_cells: int, n_probe: int, lloyd_iters: int, seed: int, dim: int
 ) -> str:

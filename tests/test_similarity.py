@@ -83,3 +83,29 @@ def test_lsh_deterministic(spark, emb):
     r1 = sorted(map(tuple, lsh_topk(q, emb, k=3, seed=7).collect()))
     r2 = sorted(map(tuple, lsh_topk(q, emb, k=3, seed=7).collect()))
     assert r1 == r2
+
+
+def test_matmul_matches_fold_ranks(spark, emb):
+    """The BLAS path must return the same neighbors/ranks as the fold
+    path; scores agree to ~ulp (summation order differs by design)."""
+    queries = emb.filter(F.col("vec_id") < 20)
+    fold = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    mat = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(queries, emb, k=5, strategy="matmul").collect()
+    }
+    assert fold.keys() == mat.keys()
+    for key, (nid, cos) in fold.items():
+        m_nid, m_cos = mat[key]
+        assert m_nid == nid, key
+        assert abs(m_cos - cos) < 1e-9, key
+
+
+def test_matmul_empty_query_side(spark, emb):
+    out = cosine_topk(
+        emb.filter(F.col("vec_id") < 0), emb, k=5, strategy="matmul"
+    )
+    assert out.count() == 0

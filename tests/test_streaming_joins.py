@@ -1,0 +1,81 @@
+"""Streaming joins + idempotent sink: value-equivalence against the
+batch twin, and replay convergence for the foreachBatch sink."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.streaming.events import read_event_stream, run_to_memory
+from hpc_hd_textreuse_etl_spark.streaming.joins import enrich_stream, interval_join
+from hpc_hd_textreuse_etl_spark.streaming.sinks import (
+    read_idempotent_table,
+    write_stream_idempotent,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+BASE = datetime.datetime(2024, 1, 1)
+
+
+@pytest.fixture(scope="module")
+def join_events(spark, tmp_path_factory):
+    """clicks at t=0 per user; purchases inside/outside the 1h bound."""
+    path = str(tmp_path_factory.mktemp("sjoin") / "events")
+    rows = [
+        (1, BASE, 1, "click", 1.0),
+        (2, BASE + datetime.timedelta(minutes=30), 1, "purchase", 9.0),
+        (3, BASE + datetime.timedelta(hours=3), 1, "purchase", 7.0),  # outside bound
+        (4, BASE, 2, "click", 1.0),
+        (5, BASE + datetime.timedelta(minutes=59), 2, "purchase", 5.0),
+        (6, BASE + datetime.timedelta(minutes=10), 3, "purchase", 3.0),  # no click
+    ]
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_enrich_stream_matches_batch_join(spark, join_events):
+    dim = spark.createDataFrame(
+        [(1, "alice"), (2, "bob")], "user_id long, name string"
+    )
+    stream = read_event_stream(spark, join_events)
+    run_to_memory(enrich_stream(stream, dim, "user_id"), "enriched")
+    got = {
+        (r.event_id, r.name)
+        for r in spark.sql("select event_id, name from enriched").collect()
+    }
+    batch = spark.read.parquet(join_events).join(F.broadcast(dim), "user_id", "left")
+    want = {(r.event_id, r.name) for r in batch.select("event_id", "name").collect()}
+    assert got == want and len(got) == 6
+
+
+def test_interval_join_matches_batch_and_bounds(spark, join_events):
+    stream = read_event_stream(spark, join_events)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = interval_join(clicks, purchases, "user_id", max_delay="1 hour")
+    run_to_memory(joined, "attributed")
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql("select l_event_id, r_event_id from attributed").collect()
+    }
+    # user 1: purchase at +30min attributed, +3h outside the bound;
+    # user 2: +59min attributed; user 3: purchase with no click → dropped
+    assert got == {(1, 2), (4, 5)}
+
+
+def test_idempotent_sink_replay_converges(spark, join_events, tmp_path):
+    out = str(tmp_path / "sink")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    ckpt_b = str(tmp_path / "ckpt_b")
+    q = write_stream_idempotent(read_event_stream(spark, join_events), out, ckpt_a)
+    q.awaitTermination()
+    first = sorted(r.event_id for r in read_idempotent_table(spark, out).collect())
+    assert first == [1, 2, 3, 4, 5, 6]
+    # full replay from a fresh checkpoint re-processes the same input as
+    # the same epoch ids → overwrites the same directories → no dupes
+    q = write_stream_idempotent(read_event_stream(spark, join_events), out, ckpt_b)
+    q.awaitTermination()
+    again = sorted(r.event_id for r in read_idempotent_table(spark, out).collect())
+    assert again == first
