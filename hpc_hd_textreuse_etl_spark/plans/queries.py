@@ -1169,6 +1169,54 @@ def defrag_pieces_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return defrag_pieces(pieces, piece_id_mappings(pieces))
 
 
+@query(
+    "connected_components_labels",
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(lead(c_custkey) OVER (PARTITION BY c_nationkey
+                                        ORDER BY c_custkey) AS BIGINT) AS dst
+      FROM customer
+    ), e AS (
+      SELECT src, dst FROM chain WHERE dst IS NOT NULL
+      UNION
+      SELECT dst, src FROM chain WHERE dst IS NOT NULL
+    ), reach AS (
+      SELECT src AS node, src AS x FROM e
+      UNION
+      SELECT r.node, e.dst AS x FROM reach r JOIN e ON e.src = r.x
+    )
+    SELECT CAST(c.c_custkey AS BIGINT) AS node,
+           COALESCE(MIN(r.x), CAST(c.c_custkey AS BIGINT)) AS component
+    FROM customer c LEFT JOIN reach r ON r.node = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("§2.10", "J10", "iterative-graph"),
+)
+def connected_components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic connected components (large-star/small-star,
+    operators/graph.py) on per-nation customer chains — ~60-hop paths,
+    the worst case for label flooding and the classic O(log n) case for
+    star contraction. The oracle recomputes the labels from first
+    principles: recursive-CTE transitive closure + MIN over the
+    reachable set — so the iterative-graph family gets a full
+    value-hash check, not just rows-only (CW stays rows-only: it is
+    randomized by design)."""
+    from hpc_hd_textreuse_etl_spark.operators.graph import connected_components
+
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    edges = (
+        spark.table("customer")
+        .select(
+            F.col("c_custkey").alias("src"),
+            F.lead("c_custkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    nodes = spark.table("customer").select(F.col("c_custkey").alias("node"))
+    return connected_components(edges, nodes=nodes)
+
+
 @query("chinese_whispers_clusters", oracle=None, tags=("§2.10", "A5", "A6"))
 def chinese_whispers_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Chinese-Whispers label propagation on a customer–nation
