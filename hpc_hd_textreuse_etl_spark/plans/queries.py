@@ -1170,6 +1170,49 @@ def defrag_pieces_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_distinct_orders",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag, h,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+      FROM h
+    ), sk AS (
+      SELECT l_returnflag, MAX(h) AS kth, COUNT(*) AS n
+      FROM r WHERE rn <= 64 GROUP BY l_returnflag
+    ), ex AS (
+      SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT sk.l_returnflag,
+           CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                ELSE 63.0 / (kth / 1152921504606846976.0) END AS kmv_estimate,
+           ex.n_exact
+    FROM sk JOIN ex USING (l_returnflag)
+    """,
+    tags=("sketch", "approx-distinct", "portable-hash"),
+)
+def kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k (KMV) distinct-count sketch per return flag
+    (operators/sketches.py), alongside the exact count. The portable
+    md5 hash family makes the estimate a deterministic function of the
+    input set, so the oracle recomputes it bit-identically — the
+    cardinality-sketch family gets a value-hash gate that native HLL
+    (engine-private registers) cannot."""
+    from hpc_hd_textreuse_etl_spark.operators.sketches import kmv_distinct
+
+    li = spark.table("lineitem")
+    est = kmv_distinct(li, ["l_returnflag"], "l_orderkey", k=64)
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact")
+    )
+    return est.join(exact, "l_returnflag")
+
+
+@query(
     "connected_components_labels",
     oracle="""
     WITH RECURSIVE chain AS (
