@@ -1,0 +1,121 @@
+"""Temporal operators: scalable as-of (nearest-event) joins.
+
+The reference joins point-in-time facts with equality keys only; an
+as-of join — "for each left row, the latest right row at or before its
+timestamp" — is the canonical temporal operator Spark lacks natively
+(SPARK-22947 was never merged). The naive formulations both fail at
+100 TB:
+
+- range join (``l.key = r.key AND r.t <= l.t``) explodes to O(|l|·|r|)
+  per key before the per-row argmax prunes it;
+- per-left-row subquery is not expressible as one shuffle.
+
+This implementation is the **union + ordered carry-forward** plan:
+
+1. tag right rows 0 / left rows 1, union them with one shared time
+   column, right payload packed into a single struct column;
+2. one shuffle on the equality keys, one sort on
+   ``(time, tag, payload)``;
+3. ``last(payload, ignorenulls=True)`` over
+   ``ROWS UNBOUNDED PRECEDING`` carries the most recent right payload
+   onto every left row;
+4. keep the left rows, optionally null the match outside ``tolerance``.
+
+Cost: exactly one exchange + one spillable sort over |l| + |r| rows —
+the same shape as a sort-merge join, with per-key memory O(1). Skewed
+keys behave like any window (AQE cannot split a window partition; for a
+pathological key, pre-bucket time ranges — see SCALE.md).
+
+Determinism: among right rows sharing (keys, time), the one with the
+greatest payload struct (ordered by time column first, then
+``right_cols`` in the given order) wins — ties are resolved by value,
+never by partition layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_T = "__asof_t"
+_TAG = "__asof_is_left"
+_RV = "__asof_rv"
+_CARRY = "__asof_carry"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: Sequence[str] = (),
+    right_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    suffix: str = "",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, plus the ``right_cols`` of
+    the nearest ``right`` row per ``by`` group — the latest with
+    ``right_on <= left_on`` (``direction="backward"``, inclusive) or the
+    earliest with ``right_on >= left_on`` (``"forward"``). No match (or
+    match farther than ``tolerance``, when given) → NULL columns, like a
+    left outer join.
+
+    ``tolerance`` is compared against the time difference in the join
+    direction; pass ``F.expr("INTERVAL 30 DAYS")`` for timestamps or a
+    numeric literal for numeric time columns. Attached columns keep
+    their right-side names plus ``suffix``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = list(by)
+    if right_cols is None:
+        skip = set(keys) | {right_on}
+        right_cols = [c for c in right.columns if c not in skip]
+    right_cols = list(right_cols)
+    out_names = [c + suffix for c in right_cols]
+    clash = set(out_names) & set(left.columns)
+    if clash:
+        raise ValueError(f"attached columns collide with left columns: {sorted(clash)}; pass suffix=")
+
+    rv = F.struct(
+        F.col(right_on).alias("__rt"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = (
+        right.where(F.col(right_on).isNotNull())
+        .select(*keys, F.col(right_on).alias(_T), rv.alias(_RV))
+        .withColumn(_TAG, F.lit(0))
+    )
+    l = left.withColumn(_T, F.col(left_on)).withColumn(_TAG, F.lit(1))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    t_order = F.col(_T).asc_nulls_first() if direction == "backward" else F.col(_T).desc_nulls_last()
+    # Payload ascends in BOTH directions: among right rows at the same
+    # time, last-seen (= the carry) is then the greatest payload struct.
+    order = [t_order, F.col(_TAG).asc(), F.col(_RV).asc_nulls_first()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(_CARRY, F.last(_RV, ignorenulls=True).over(w))
+
+    # A left row with NULL time never matches (under the forward sort it
+    # would otherwise sit past every right row and pick up a stale carry).
+    matched = F.when(F.col(_T).isNotNull(), F.col(_CARRY))
+    if tolerance is not None:
+        diff = (
+            F.col(_T) - matched["__rt"]
+            if direction == "backward"
+            else matched["__rt"] - F.col(_T)
+        )
+        matched = F.when(diff <= tolerance, matched)
+
+    out = carried.where(F.col(_TAG) == 1).select(
+        *left.columns,
+        *[matched[c].alias(n) for c, n in zip(right_cols, out_names)],
+    )
+    return out

@@ -1212,6 +1212,102 @@ def kmv_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "l_returnflag")
 
 
+_ASOF_RIGHT_SQL = """
+    rd AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS k
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    r AS (
+      SELECT rd.o_custkey, rd.o_orderdate,
+             CAST(rd.k AS BIGINT) AS o_orderkey, o.o_totalprice
+      FROM rd JOIN orders o ON o.o_orderkey = rd.k
+    )
+"""
+
+
+def _asof_latest_order_spark(spark: SparkSession, tolerance=None) -> DataFrame:
+    from hpc_hd_textreuse_etl_spark.operators.temporal import asof_join
+
+    orders = spark.table("orders")
+    rd = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("k")
+    )
+    right = (
+        rd.join(orders, rd["k"] == orders["o_orderkey"])
+        .select(
+            rd["o_custkey"].alias("user_id"),
+            rd["o_orderdate"].alias("order_ts"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )
+    events = spark.table("events").select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts",
+    )
+    return asof_join(
+        events,
+        right,
+        left_on="ts",
+        right_on="order_ts",
+        by=["user_id"],
+        right_cols=["o_orderkey", "o_totalprice"],
+        tolerance=tolerance,
+        suffix="_asof",
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey_asof").alias("asof_orderkey"),
+        F.col("o_totalprice_asof").alias("asof_totalprice"),
+    )
+
+
+@query(
+    "asof_latest_order",
+    oracle=f"""
+    WITH {_ASOF_RIGHT_SQL}
+    SELECT CAST(e.event_id AS BIGINT) AS event_id,
+           CAST(e.user_id AS BIGINT) AS user_id,
+           r.o_orderkey AS asof_orderkey,
+           r.o_totalprice AS asof_totalprice
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    tags=("asof-join", "temporal", "custom-operator"),
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each event picks up the
+    latest order of the same customer at or before its timestamp —
+    Spark-side as ONE shuffle + window carry-forward (no range
+    explosion), oracled by DuckDB's native ASOF LEFT JOIN. The right
+    side is pre-deduped to one row per (customer, order date) so both
+    engines' tie semantics coincide."""
+    return _asof_latest_order_spark(spark)
+
+
+@query(
+    "asof_latest_order_30d",
+    oracle=f"""
+    WITH {_ASOF_RIGHT_SQL}
+    SELECT CAST(e.event_id AS BIGINT) AS event_id,
+           CAST(e.user_id AS BIGINT) AS user_id,
+           CASE WHEN e.ts - r.o_orderdate <= INTERVAL 30 DAY
+                THEN r.o_orderkey END AS asof_orderkey,
+           CASE WHEN e.ts - r.o_orderdate <= INTERVAL 30 DAY
+                THEN r.o_totalprice END AS asof_totalprice
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    tags=("asof-join", "temporal", "tolerance"),
+)
+def asof_latest_order_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance variant: matches farther than 30 days back are nulled,
+    exercising the operator's bounded-staleness path (the common
+    point-in-time-correctness guard in feature-store joins)."""
+    return _asof_latest_order_spark(spark, tolerance=F.expr("INTERVAL 30 DAYS"))
+
+
 @query(
     "connected_components_labels",
     oracle="""

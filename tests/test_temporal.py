@@ -1,0 +1,112 @@
+"""As-of join property tests: the single-shuffle union+window plan vs a
+brute-force per-row scan, across directions, ties, tolerance and NULLs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.operators.temporal import asof_join
+
+
+def brute_force_asof(lefts, rights, direction, tolerance=None):
+    """lefts: [(key, t, lid)]; rights: [(key, t, v)] → {lid: v|None}.
+    Tie-break among equal right times: max (t, v) struct, i.e. max v."""
+    out = {}
+    for k, lt, lid in lefts:
+        if lt is None:
+            out[lid] = None
+            continue
+        if direction == "backward":
+            cands = [(rt, v) for rk, rt, v in rights if rk == k and rt is not None and rt <= lt]
+            best = max(cands) if cands else None
+            dist = lt - best[0] if best else None
+        else:
+            cands = [(rt, v) for rk, rt, v in rights if rk == k and rt is not None and rt >= lt]
+            best = min(cands) if cands else None
+            # nearest-future tie-break: max v among the minimal rt
+            if cands:
+                rt0 = min(rt for rt, _ in cands)
+                best = (rt0, max(v for rt, v in cands if rt == rt0))
+                dist = rt0 - lt
+        if best is None or (tolerance is not None and dist > tolerance):
+            out[lid] = None
+        else:
+            out[lid] = best[1]
+    return out
+
+
+lefts_st = st.lists(
+    st.tuples(st.integers(0, 2), st.one_of(st.none(), st.integers(0, 50))),
+    min_size=1,
+    max_size=25,
+)
+rights_st = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 5)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(lefts_st, rights_st, st.sampled_from(["backward", "forward"]),
+       st.one_of(st.none(), st.integers(0, 10)))
+@settings(max_examples=40, deadline=None)
+def test_asof_matches_brute_force(spark, lefts, rights, direction, tolerance):
+    lrows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
+    ldf = spark.createDataFrame(lrows, "k int, t int, lid int")
+    rdf = spark.createDataFrame(rights, "k int, t int, v int") if rights else \
+        spark.createDataFrame([], "k int, t int, v int")
+    tol = F.lit(tolerance) if tolerance is not None else None
+    got = asof_join(ldf, rdf, "t", "t", by=["k"], right_cols=["v"],
+                    direction=direction, tolerance=tol, suffix="_m")
+    got_map = {r.lid: r.v_m for r in got.collect()}
+    want = brute_force_asof(lrows, rights, direction, tolerance)
+    assert got_map == want
+    assert len(got_map) == len(lrows)  # every left row survives exactly once
+
+
+def test_asof_timestamps_with_interval_tolerance(spark):
+    ldf = spark.createDataFrame(
+        [(1, "2024-01-10"), (1, "2024-03-01"), (2, "2024-01-05")], "k int, d string"
+    ).select("k", F.col("d").cast("timestamp").alias("t"))
+    rdf = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-02-28", 20.0), (2, "2023-06-01", 5.0)],
+        "k int, d string, v double",
+    ).select("k", F.col("d").cast("timestamp").alias("t"), "v")
+    got = asof_join(
+        ldf, rdf, "t", "t", by=["k"], right_cols=["v"],
+        tolerance=F.expr("INTERVAL 30 DAYS"), suffix="_m",
+    )
+    rows = {(r.k, str(r.t)[:10]): r.v_m for r in got.collect()}
+    assert rows[(1, "2024-01-10")] == 10.0
+    assert rows[(1, "2024-03-01")] == 20.0
+    assert rows[(2, "2024-01-05")] is None  # match exists but outside tolerance
+
+
+def test_asof_inclusive_tie_and_collision_guard(spark):
+    ldf = spark.createDataFrame([(1, 5, 99)], "k int, t int, v int")
+    rdf = spark.createDataFrame([(1, 5, 7), (1, 5, 9)], "k int, t int, v int")
+    got = asof_join(ldf, rdf, "t", "t", by=["k"], right_cols=["v"], suffix="_m")
+    assert got.collect()[0].v_m == 9  # equal time matches; max payload wins
+    try:
+        asof_join(ldf, rdf, "t", "t", by=["k"], right_cols=["v"])
+        raise AssertionError("expected collision error")
+    except ValueError as e:
+        assert "collide" in str(e)
+
+
+def test_asof_plan_is_single_exchange(spark):
+    """The whole as-of is one shuffle (the window partitioning) — no join
+    node, no cartesian range expansion."""
+    ldf = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("t"), F.col("id").alias("lid")
+    )
+    rdf = spark.range(50).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 2).alias("t"), F.col("id").alias("v")
+    )
+    plan = asof_join(ldf, rdf, "t", "t", by=["k"], right_cols=["v"], suffix="_m") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
