@@ -1,0 +1,119 @@
+"""Deterministic, key-stable sampling for training-data pipelines.
+
+``df.sample()`` is partition-layout-dependent: the same row can fall in
+or out of the sample when the file is re-split, and two tables can't be
+sampled *consistently* (e.g. keep a document AND all its chunks). The
+standard fix at 100 TB is **hash gating**: a row is sampled iff
+
+    H(salt || key) < fraction * 2^60
+
+with H the portable 60-bit md5 family (functions/hashing.py). Properties
+that matter in production:
+
+- reproducible across runs, partitionings, engines, and table scans —
+  the sample is a pure function of (key, salt);
+- consistent across tables sharing the key (sample parent + children by
+  the same key/salt and referential integrity survives);
+- disjoint splits for free: train/test are complementary threshold
+  bands of the same hash, so no row is ever in both, and growing the
+  test fraction only *moves the boundary* (nested samples);
+- pure integer compare — the threshold ``int(fraction * 2^60)`` is
+  computed once on the driver, so no float appears in the row predicate.
+
+All Catalyst built-ins (md5 + conv + compare): the predicate is
+codegen'd JVM-side and — being a plain filter — pushes past projections
+and joins like any other.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.functions.hashing import portable_hash64
+
+#: size of the portable hash space (60-bit).
+HASH_SPACE = 1 << 60
+#: field separator in the salted key material (unlikely in real keys).
+SEP = "|"
+
+
+def sample_hash(key_cols: Sequence[str | Column], salt: str) -> Column:
+    """The gating hash: H(salt || '|' || key...) as a non-negative
+    bigint in [0, 2^60)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    material = F.concat_ws(SEP, F.lit(salt), *[c.cast("string") for c in cols])
+    return portable_hash64(material)
+
+
+def threshold(fraction: float) -> int:
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return int(fraction * HASH_SPACE)
+
+
+def hash_sample(
+    df: DataFrame, key_cols: Sequence[str], fraction: float, salt: str = "v1"
+) -> DataFrame:
+    """Keep ~``fraction`` of key groups, deterministically."""
+    return df.where(sample_hash(key_cols, salt) < F.lit(threshold(fraction)))
+
+
+def train_test_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    test_fraction: float,
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Tag every row 'test' / 'train' by complementary hash bands —
+    disjoint and exhaustive by construction; rows sharing the key always
+    land on the same side."""
+    h = sample_hash(key_cols, salt)
+    tag = F.when(h < F.lit(threshold(test_fraction)), F.lit("test")).otherwise(
+        F.lit("train")
+    )
+    return df.withColumn(split_col, tag)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: Sequence[str],
+    default_fraction: float = 0.0,
+    salt: str = "strata-v1",
+) -> DataFrame:
+    """Per-stratum sampling rates (e.g. downsample dominant languages,
+    keep the tail whole) with the same hash gate — one scan, no shuffle,
+    strata thresholds resolved as a literal CASE chain."""
+    h = sample_hash(key_cols, salt)
+    cond = F.lit(threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        cond = F.when(F.col(strata_col) == value, F.lit(threshold(frac))).otherwise(
+            cond
+        )
+    return df.where(h < cond)
+
+
+def per_key_quota(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    n: int,
+    order_by: Sequence[Column],
+    rank_col: str = "quota_rank",
+) -> DataFrame:
+    """Cap each key group at its ``n`` best rows by ``order_by`` (the
+    per-domain document quota of web-crawl curation). One shuffle on the
+    key; the rank window is spillable and per-group state is O(1).
+    ``order_by`` must be a total order within groups for deterministic
+    output — include a unique tiebreaker column."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .where(F.col(rank_col) <= n)
+    )
