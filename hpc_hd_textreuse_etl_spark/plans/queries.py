@@ -1942,6 +1942,143 @@ def _lsh_ann_oracle(
     """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling (operators/sampling.py) — the gate hash is the
+# portable md5 family, so the *exact* sampled row set (not just its size)
+# is value-hash-checked against DuckDB. Reference behavior: key-stable
+# hash gating as used in large-scale corpus curation; see the module
+# docstring for the invariants (partition-independence, cross-table
+# consistency, nested splits).
+# ---------------------------------------------------------------------------
+
+
+def _duck_gate(salt: str, key_expr: str) -> str:
+    """DuckDB expression for sample_hash((key,), salt): md5 of
+    '<salt>|<key>' taken as a 60-bit non-negative bigint."""
+    return _DUCK_H.format(x=f"'{salt}|' || CAST({key_expr} AS VARCHAR)")
+
+
+@query(
+    "hash_sampled_orders",
+    oracle=None,  # set below once sampling's threshold() is importable
+    tags=("sampling-hash",),
+)
+def hash_sampled_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-stable 10% sample of orders: row kept iff
+    H('v1|' || o_orderkey) < 0.1 * 2^60. The full surviving row set is
+    value-hash-checked — a partition-layout dependence or an off-by-one
+    in the threshold would flip membership and fail the gate."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import hash_sample
+
+    orders = spark.table("orders")
+    return hash_sample(orders, ["o_orderkey"], 0.1, salt="v1").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@query(
+    "train_test_split_orders",
+    oracle=None,  # set below
+    tags=("sampling-split",),
+)
+def train_test_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every order tagged train/test by complementary hash bands
+    (test fraction 0.2). Emitting ALL rows with their tag makes the
+    oracle check disjointness + exhaustiveness by construction: each key
+    appears exactly once, with the same side in both engines."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import train_test_split
+
+    orders = spark.table("orders")
+    return train_test_split(orders, ["o_orderkey"], test_fraction=0.2).select(
+        "o_orderkey", "split"
+    )
+
+
+@query(
+    "stratified_sample_counts",
+    oracle=None,  # set below
+    tags=("sampling-stratified",),
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates (downsample 'O'/'F', keep 'P' whole)
+    resolved as a literal CASE chain over thresholds; counts per stratum
+    are checked, which pins both the gate and the CASE resolution."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    orders = spark.table("orders")
+    sampled = stratified_hash_sample(
+        orders,
+        "o_orderstatus",
+        {"F": 0.2, "O": 0.05, "P": 1.0},
+        ["o_orderkey"],
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled")
+    )
+
+
+@query(
+    "per_key_quota_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS quota_rank FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("sampling-quota",),
+)
+def per_key_quota_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer quota: keep each customer's 3 earliest orders
+    (orderkey tiebreaker makes the within-group order total, so the kept
+    set is deterministic under any partitioning)."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import per_key_quota
+
+    orders = spark.table("orders")
+    return per_key_quota(
+        orders,
+        ["o_custkey"],
+        3,
+        order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+    ).select("o_custkey", "o_orderkey", "quota_rank")
+
+
+def _install_sampling_oracles() -> None:
+    """Fill in the sampling oracles with thresholds computed by the SAME
+    driver-side function the Spark plans use (operators/sampling.py), so
+    the two engines cannot drift on int(fraction * 2^60)."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import threshold
+
+    QUERIES["hash_sampled_orders"].oracle = f"""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE {_duck_gate('v1', 'o_orderkey')} < {threshold(0.1)}
+    """
+    QUERIES["train_test_split_orders"].oracle = f"""
+    SELECT o_orderkey,
+           CASE WHEN {_duck_gate('split-v1', 'o_orderkey')} < {threshold(0.2)}
+                THEN 'test' ELSE 'train' END AS split
+    FROM orders
+    """
+    QUERIES["stratified_sample_counts"].oracle = f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM orders
+    WHERE {_duck_gate('strata-v1', 'o_orderkey')} <
+          CASE o_orderstatus
+            WHEN 'F' THEN {threshold(0.2)}
+            WHEN 'O' THEN {threshold(0.05)}
+            WHEN 'P' THEN {threshold(1.0)}
+            ELSE {threshold(0.0)}
+          END
+    GROUP BY o_orderstatus
+    """
+
+
+_install_sampling_oracles()
+
+
 @query(
     "ann_lsh_topk",
     oracle=_lsh_ann_oracle(k=5, num_planes=4, num_tables=4, dim=64, seed=42),

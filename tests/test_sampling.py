@@ -1,0 +1,161 @@
+"""Property tests for operators/sampling.py — the invariants the module
+docstring promises (partition-independence, nested samples, cross-table
+consistency, split disjointness) verified mechanically. The exact sampled
+row SETS are additionally value-hash-checked against DuckDB via the
+hash_sampled_orders / train_test_split_orders / stratified_sample_counts /
+per_key_quota_orders contract queries (tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.catalog import load_testdata
+from hpc_hd_textreuse_etl_spark.operators.sampling import (
+    hash_sample,
+    per_key_quota,
+    stratified_hash_sample,
+    threshold,
+    train_test_split,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    load_testdata(spark, SF_SMOKE)
+    return spark
+
+
+def _keys(df, col):
+    return {r[0] for r in df.select(col).collect()}
+
+
+def test_threshold_bounds():
+    assert threshold(0.0) == 0
+    assert threshold(1.0) == 1 << 60
+    with pytest.raises(ValueError):
+        threshold(-0.1)
+    with pytest.raises(ValueError):
+        threshold(1.5)
+
+
+def test_hash_sample_partition_independent(tables):
+    """Same sample regardless of physical layout — the defining property
+    hash gating has and df.sample() lacks."""
+    orders = tables.table("orders")
+    base = _keys(hash_sample(orders, ["o_orderkey"], 0.2), "o_orderkey")
+    relaid = _keys(
+        hash_sample(orders.repartition(37, "o_custkey"), ["o_orderkey"], 0.2),
+        "o_orderkey",
+    )
+    assert base == relaid
+    assert 0 < len(base) < orders.count()
+
+
+def test_hash_sample_nested(tables):
+    """Growing the fraction only moves the boundary: sample(f1) is a
+    subset of sample(f2) for f1 < f2 under the same salt."""
+    orders = tables.table("orders")
+    small = _keys(hash_sample(orders, ["o_orderkey"], 0.05), "o_orderkey")
+    large = _keys(hash_sample(orders, ["o_orderkey"], 0.2), "o_orderkey")
+    assert small <= large
+
+
+def test_hash_sample_cross_table_consistent(tables):
+    """Sampling orders and lineitem by the shared order key keeps
+    referential integrity: every sampled lineitem's order is sampled."""
+    orders = tables.table("orders")
+    li = tables.table("lineitem")
+    o_keys = _keys(hash_sample(orders, ["o_orderkey"], 0.15, salt="s"), "o_orderkey")
+    l_keys = _keys(hash_sample(li, ["l_orderkey"], 0.15, salt="s"), "l_orderkey")
+    assert l_keys <= o_keys
+
+
+def test_hash_sample_fraction_approximate(tables):
+    orders = tables.table("orders")
+    n = orders.count()
+    got = hash_sample(orders, ["o_orderkey"], 0.3).count()
+    assert abs(got / n - 0.3) < 0.1
+
+
+def test_train_test_split_disjoint_exhaustive(tables):
+    orders = tables.table("orders")
+    tagged = train_test_split(orders, ["o_orderkey"], 0.25)
+    n = orders.count()
+    counts = {r["split"]: r["n"] for r in
+              tagged.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "test"}
+    assert counts["train"] + counts["test"] == n
+    # one side per key, even when the key repeats (lineitem shares keys)
+    li = train_test_split(tables.table("lineitem"), ["l_orderkey"], 0.25,
+                          salt="split-v1")
+    sides_per_key = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("split").alias("s"))
+        .agg(F.max("s"))
+        .collect()[0][0]
+    )
+    assert sides_per_key == 1
+
+
+def test_train_test_matches_hash_sample_band(tables):
+    """The 'test' side IS hash_sample at the same fraction/salt — splits
+    are threshold bands of one hash, so samples nest into splits."""
+    orders = tables.table("orders")
+    test_keys = _keys(
+        train_test_split(orders, ["o_orderkey"], 0.2, salt="x").where(
+            F.col("split") == "test"
+        ),
+        "o_orderkey",
+    )
+    sampled = _keys(hash_sample(orders, ["o_orderkey"], 0.2, salt="x"), "o_orderkey")
+    assert test_keys == sampled
+
+
+def test_stratified_rates_and_default(tables):
+    """Per-stratum fractions honored; strata not listed fall back to
+    default_fraction (0.0 → dropped entirely)."""
+    orders = tables.table("orders")
+    sampled = stratified_hash_sample(
+        orders, "o_orderstatus", {"O": 0.1, "F": 1.0}, ["o_orderkey"]
+    )
+    by_status = {
+        r["o_orderstatus"]: r["n"]
+        for r in sampled.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_status.get("F", 0) == totals["F"]  # fraction 1.0 keeps all
+    assert "P" not in by_status  # default 0.0 drops unlisted strata
+    if "O" in by_status:
+        assert by_status["O"] < totals["O"]
+
+
+def test_stratified_gate_consistent_with_hash_sample(tables):
+    """A stratum at fraction f contains exactly the rows hash_sample at f
+    (same salt) would keep — the CASE chain resolves to the same gate."""
+    orders = tables.table("orders")
+    strat = stratified_hash_sample(
+        orders, "o_orderstatus", {"O": 0.3}, ["o_orderkey"], salt="z"
+    )
+    only_o = orders.where(F.col("o_orderstatus") == "O")
+    assert _keys(strat, "o_orderkey") == _keys(
+        hash_sample(only_o, ["o_orderkey"], 0.3, salt="z"), "o_orderkey"
+    )
+
+
+def test_per_key_quota_deterministic_under_repartition(tables):
+    orders = tables.table("orders")
+    order_by = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    a = per_key_quota(orders, ["o_custkey"], 2, order_by)
+    b = per_key_quota(orders.repartition(41), ["o_custkey"], 2, order_by)
+    rows_a = sorted((r["o_custkey"], r["o_orderkey"], r["quota_rank"])
+                    for r in a.select("o_custkey", "o_orderkey", "quota_rank").collect())
+    rows_b = sorted((r["o_custkey"], r["o_orderkey"], r["quota_rank"])
+                    for r in b.select("o_custkey", "o_orderkey", "quota_rank").collect())
+    assert rows_a == rows_b
+    per_key = a.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    assert per_key.agg(F.max("n")).collect()[0][0] <= 2
