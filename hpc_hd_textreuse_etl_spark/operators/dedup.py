@@ -403,9 +403,23 @@ def embedding_near_duplicates(
     vec_col: str,
     threshold: float,
     block_cols: Sequence[str] = (),
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """All pairs (within blocks) with cosine ≥ threshold. Blocking keys
-    (cluster/label/LSH bucket) keep the join from being all-pairs."""
+    (cluster/label/LSH bucket) keep the join from being all-pairs.
+
+    Without ``block_cols`` the only plan is a CartesianProduct — O(n²)
+    rows, a scale-killer one default argument away at 100 TB — so
+    unblocked input must opt in explicitly with ``allow_full_cross=True``
+    (sane only for small, already-filtered inputs). The blocked path is
+    an equi-join on the block keys (asserted in tests/test_dedup.py)."""
+    if not block_cols and not allow_full_cross:
+        raise ValueError(
+            "embedding_near_duplicates without block_cols is an all-pairs "
+            "crossJoin (O(n^2)); pass block_cols (label / LSH bucket / "
+            "cluster id) or opt in explicitly with allow_full_cross=True "
+            "for small inputs"
+        )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),

@@ -131,3 +131,38 @@ def test_minhash_estimates_track_exact_jaccard(spark):
             assert abs(e - exact[pair]) < 0.35, (pair, e, exact[pair])
             checked += 1
     assert checked > 0
+
+
+def test_embedding_near_dup_unblocked_requires_opt_in(spark):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import embedding_near_duplicates
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [1.0, 0.01], "a"), (3, [0.0, 1.0], "b")],
+        "vec_id long, embedding array<double>, label string",
+    )
+    # unblocked all-pairs is a CartesianProduct — refused by default
+    with pytest.raises(ValueError, match="allow_full_cross"):
+        embedding_near_duplicates(vecs, "vec_id", "embedding", threshold=0.9)
+    # explicit opt-in runs (small-input escape hatch)
+    rows = embedding_near_duplicates(
+        vecs, "vec_id", "embedding", threshold=0.9, allow_full_cross=True
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 2)}
+
+
+def test_embedding_near_dup_blocked_is_equi_join(spark):
+    """The blocked path must plan an equi-join on the block key, never a
+    CartesianProduct — the property that makes it survive 100 TB."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import embedding_near_duplicates
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0], f"blk{i % 3}") for i in range(30)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    df = embedding_near_duplicates(
+        vecs, "vec_id", "embedding", threshold=0.0, block_cols=("label",)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "label" in plan  # join keyed on the block column
+    df.count()  # and it actually executes
