@@ -81,66 +81,116 @@ def cosine_topk(
     )
 
 
+#: integer Spark SQL types accepted as vector ids by the matmul path.
+_INT_ID_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
 def cosine_topk_matmul(
     queries: DataFrame,
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    query_chunk_rows: int = 65_536,
 ) -> DataFrame:
     """Exact top-k cosine via Arrow-batched BLAS — the scale path for
     wide embeddings (see :func:`cosine_topk` ``strategy="matmul"``).
 
-    The query set is collected to the driver (it is the side
-    :func:`cosine_topk` broadcasts anyway), L2-normalized into one
-    float64 matrix, and shipped to executors inside the ``mapInPandas``
-    closure. Each corpus Arrow batch is scored against ALL queries in a
-    single ``(batch × dim) @ (dim × q)`` matmul, and only the per-batch
-    top-k rows per query leave Python — the shuffle that feeds the final
+    The query set is streamed to the driver (it is the side
+    :func:`cosine_topk` broadcasts anyway), L2-normalized into float64
+    matrices of at most ``query_chunk_rows`` rows, and each chunk is
+    shipped to executors inside its own ``mapInPandas`` closure. Each
+    corpus Arrow batch is scored against the whole chunk in a single
+    ``(batch × dim) @ (dim × chunk)`` matmul, and only the per-batch
+    top-k rows per query leave Python — the shuffle feeding the final
     global rank carries at most ``k × q`` rows per batch, independent of
-    corpus size. Driver memory bounds the query side at ~1e6 × dim=768
-    float64 (≈6 GB); beyond that, chunk the query set and union.
+    corpus size.
+
+    Chunking bounds driver AND closure memory at
+    ``query_chunk_rows × dim`` float64 (default 65 536 × 768 ≈ 400 MB);
+    the cost of an extra chunk is one more corpus scan, so at 100 TB
+    size ``query_chunk_rows`` to the largest closure the executors can
+    hold. Per-chunk results are unioned before the single global rank
+    window, so the output is chunking-invariant (asserted in
+    tests/test_similarity.py).
+
+    Ids may be any integer type or strings (matching the fold path);
+    zero-norm vectors score 0.0 against everything instead of NaN, so
+    degenerate embeddings sink to the bottom of the ranking rather than
+    poisoning it.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    ).collect()
-    if not q_rows:
-        schema = "query_id long, neighbor_id long, cosine double, rank int"
-        return corpus.sparkSession.createDataFrame([], schema)
-    q_ids = np.array([r.qid for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r.qv for r in q_rows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    id_type = dict(queries.dtypes).get(id_col)
+    int_ids = id_type in _INT_ID_TYPES
+    id_sql = "long" if int_ids else "string"
+    out_schema = f"query_id {id_sql}, neighbor_id {id_sql}, cosine double"
+    np_id_dtype = np.int64 if int_ids else object
 
-    out_schema = "query_id long, neighbor_id long, cosine double"
+    def _norm_rows(mat: "np.ndarray") -> "np.ndarray":
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        return mat / np.where(norms == 0.0, 1.0, norms)
 
-    def score(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            n_ids = pdf["nid"].to_numpy(dtype=np.int64)
-            c_mat = np.array(list(pdf["nv"]), dtype=np.float64)
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
-            sims = c_mat @ q_mat.T  # (batch × q)
-            sims[n_ids[:, None] == q_ids[None, :]] = -np.inf  # self-matches
-            kk = min(k, sims.shape[0])
-            # per-batch prune: only each query's batch-local top-k survive
-            top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k × q)
-            qcol = np.broadcast_to(q_ids, top.shape).ravel()
-            ncol = n_ids[top.ravel()]
-            scol = np.take_along_axis(sims, top, axis=0).ravel()
-            keep = scol > -np.inf
-            yield pd.DataFrame(
-                {"query_id": qcol[keep], "neighbor_id": ncol[keep], "cosine": scol[keep]}
-            )
-
-    scored = corpus.select(
+    corpus_sel = corpus.select(
         F.col(id_col).alias("nid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nv"),
-    ).mapInPandas(score, schema=out_schema)
+    )
+
+    def chunk_scored(q_ids: "np.ndarray", q_mat: "np.ndarray") -> DataFrame:
+        def score(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                n_ids = pdf["nid"].to_numpy(dtype=np_id_dtype)
+                c_mat = _norm_rows(np.array(list(pdf["nv"]), dtype=np.float64))
+                sims = c_mat @ q_mat.T  # (batch × chunk)
+                sims[n_ids[:, None] == q_ids[None, :]] = -np.inf  # self-matches
+                kk = min(k, sims.shape[0])
+                # per-batch prune: only each query's batch-local top-k survive
+                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k × chunk)
+                qcol = np.broadcast_to(q_ids, top.shape).ravel()
+                ncol = n_ids[top.ravel()]
+                scol = np.take_along_axis(sims, top, axis=0).ravel()
+                keep = scol > -np.inf
+                yield pd.DataFrame(
+                    {"query_id": qcol[keep], "neighbor_id": ncol[keep],
+                     "cosine": scol[keep]}
+                )
+
+        return corpus_sel.mapInPandas(score, schema=out_schema)
+
+    # Stream the query side in chunks — the driver never materializes
+    # more than query_chunk_rows vectors at once.
+    q_iter = queries.select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    ).toLocalIterator()
+
+    scored: DataFrame | None = None
+    ids_buf: list = []
+    vec_buf: list = []
+
+    def flush():
+        nonlocal scored, ids_buf, vec_buf
+        if not ids_buf:
+            return
+        q_ids = np.array(ids_buf, dtype=np_id_dtype)
+        q_mat = _norm_rows(np.array(vec_buf, dtype=np.float64))
+        part = chunk_scored(q_ids, q_mat)
+        scored = part if scored is None else scored.unionAll(part)
+        ids_buf, vec_buf = [], []
+
+    for row in q_iter:
+        ids_buf.append(row.qid)
+        vec_buf.append(row.qv)
+        if len(ids_buf) >= query_chunk_rows:
+            flush()
+    flush()
+
+    if scored is None:
+        schema = f"query_id {id_sql}, neighbor_id {id_sql}, cosine double, rank int"
+        return corpus.sparkSession.createDataFrame([], schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

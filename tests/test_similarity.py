@@ -109,3 +109,42 @@ def test_matmul_empty_query_side(spark, emb):
         emb.filter(F.col("vec_id") < 0), emb, k=5, strategy="matmul"
     )
     assert out.count() == 0
+
+
+def test_matmul_chunked_equals_unchunked(spark, emb):
+    """Forcing multiple query chunks (per-chunk corpus scans + union)
+    must not change a single (query, rank) → neighbor assignment."""
+    from hpc_hd_textreuse_etl_spark.operators.similarity import cosine_topk_matmul
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    whole = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_matmul(queries, emb, k=5).collect()
+    }
+    chunked = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk_matmul(queries, emb, k=5, query_chunk_rows=7).collect()
+    }
+    assert whole == chunked and len(whole) > 0
+
+
+def test_matmul_string_ids_and_zero_norm(spark):
+    """String ids rank identically to the fold path; a zero vector
+    scores 0.0 (not NaN) and therefore sinks below real matches."""
+    from hpc_hd_textreuse_etl_spark.operators.similarity import cosine_topk_matmul
+
+    rows = [
+        ("q1", [1.0, 0.0, 0.0]),
+        ("a", [0.9, 0.1, 0.0]),
+        ("b", [0.0, 1.0, 0.0]),
+        ("zero", [0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = cosine_topk_matmul(
+        df.filter(F.col("vec_id") == "q1"), df, k=3, query_chunk_rows=2
+    ).collect()
+    by_rank = {r.rank: (r.neighbor_id, r.cosine) for r in out}
+    assert by_rank[1][0] == "a"
+    assert by_rank[3][0] == "zero" and by_rank[3][1] == 0.0
+    import math
+    assert not any(math.isnan(r.cosine) for r in out)
