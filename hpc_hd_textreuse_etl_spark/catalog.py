@@ -10,6 +10,7 @@ exists/delete/rename utilities (``spark_utils.py:67-111``).
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -68,21 +69,28 @@ def _nanos_columns(path: str) -> list[str]:
     genuine epoch-micros/millis bigint — a name heuristic would silently
     divide such a column by 1000.  The footer is authoritative; read it
     with pyarrow (any one footer suffices — parquet directories are
-    schema-uniform).  Unreachable/remote paths: no conversion.
+    schema-uniform).  Unreachable/remote paths: no conversion, with a
+    warning — silently skipping would leave TIMESTAMP(NANOS) columns as
+    raw bigints downstream with no diagnostic.  A missing pyarrow is a
+    broken environment (it ships with pyspark), so ImportError surfaces.
     """
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
     try:
-        import pyarrow.dataset as pads
-
         schema = pads.dataset(path, format="parquet").schema
-        import pyarrow as pa
-
-        return [
-            f.name
-            for f in schema
-            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-        ]
-    except Exception:
+    except Exception as exc:  # unreadable/remote footer — I/O only
+        warnings.warn(
+            f"could not read parquet footer at {path!r} ({exc}); "
+            "TIMESTAMP(NANOS) columns, if any, will stay raw bigint",
+            stacklevel=2,
+        )
         return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
 
 
 def _normalize_nanos(df: DataFrame, nanos_cols: list[str]) -> DataFrame:

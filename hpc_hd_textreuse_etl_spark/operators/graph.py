@@ -97,8 +97,29 @@ def connected_components(
 
     ``nodes`` (optional, one column ``node_col``) adds isolated vertices
     that appear in no edge; they label themselves.
+
+    ``checkpoint_dir`` must be a path visible to every executor (HDFS /
+    object store) — the per-iteration parquet round-trip is the lineage
+    cut that keeps plans flat. The ``tempfile.mkdtemp`` default is a
+    DRIVER-LOCAL path, valid only on ``local[*]`` masters where driver
+    and executors share a filesystem; on a cluster each executor would
+    write to its own disk and the read-back would lose partitions, so it
+    is refused there. Falls back to ``spark.sparkContext.getCheckpointDir``
+    (shared by contract) when one is set.
     """
     spark = edges.sparkSession
+    if checkpoint_dir is None:
+        master = spark.conf.get("spark.master", "")
+        sc_ckpt = spark.sparkContext.getCheckpointDir()
+        if sc_ckpt is not None:
+            checkpoint_dir = sc_ckpt.rstrip("/") + "/cc_ckpt"
+        elif not master.startswith("local"):
+            raise ValueError(
+                "connected_components on a non-local master requires "
+                "checkpoint_dir (or sparkContext.setCheckpointDir) pointing "
+                "at shared storage; a driver-local temp dir is not visible "
+                f"to executors (master={master!r})"
+            )
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="cc_ckpt_")
     e = _canonical(edges, src, dst)
     prev = None
