@@ -1379,6 +1379,109 @@ def chinese_whispers_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustered_pieces(state)
 
 
+@query(
+    "cw_component_invariant",
+    oracle="SELECT CAST(0 AS BIGINT) AS n_violating_clusters",
+    tags=("§2.10", "qc-invariant"),
+)
+def cw_component_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-adjacent gate for the randomized CW query: every
+    Chinese-Whispers cluster must lie inside ONE connected component of
+    the same graph (labels only travel along edges — the invariant
+    operators/graph.py's docstring states; reference consistency
+    practice: etl_textreuse/scratch.py:46-54). CW itself can't
+    hash-match a SQL oracle, but this CAN: the count of clusters
+    spanning >1 component is exactly 0 in any correct run, and the CC
+    side is independently full-oracle-gated (connected_components_labels).
+    A partition-dependent coin, a label leak across components, or a
+    stale-state bug in the CW loop would make this nonzero and fail the
+    value-hash."""
+    from hpc_hd_textreuse_etl_spark.operators.clustering import (
+        adjacency_list,
+        chinese_whispers,
+        clustered_pieces,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.graph import connected_components
+    from hpc_hd_textreuse_etl_spark.plans.qc import cluster_component_violations
+
+    edges = (
+        spark.table("customer")
+        .select(
+            F.col("c_custkey").alias("piece1_id"),
+            (F.col("c_nationkey").cast("long") + 10_000_000).alias("piece2_id"),
+        )
+        .distinct()
+    )
+    state, _ = chinese_whispers(adjacency_list(edges), max_iter=20, seed=42)
+    cw = clustered_pieces(state)
+    cc = connected_components(
+        edges.select(F.col("piece1_id").alias("src"), F.col("piece2_id").alias("dst"))
+    ).select(F.col("node").alias("piece_id"), "component")
+    violations = cluster_component_violations(
+        cw, cc, node_col="piece_id", cluster_col="cluster_id",
+        component_col="component",
+    ).select(F.col("cluster").alias("cluster_id"), "n_components")
+    return violations.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_violating_clusters")
+    )
+
+
+@query(
+    "earliest_consistency_check",
+    oracle="""
+    WITH win AS (
+      SELECT o_custkey, o_orderkey FROM (
+        SELECT o_custkey, o_orderkey,
+               min(o_orderdate) OVER (PARTITION BY o_custkey) AS min_date,
+               o_orderdate
+        FROM orders
+      ) WHERE o_orderdate = min_date
+    ), agg AS (
+      SELECT o.o_custkey, o.o_orderkey
+      FROM orders o JOIN (
+        SELECT o_custkey, min(o_orderdate) AS min_date
+        FROM orders GROUP BY o_custkey
+      ) m ON o.o_custkey = m.o_custkey AND o.o_orderdate = m.min_date
+    )
+    SELECT DISTINCT COALESCE(w.o_custkey, a.o_custkey) AS o_custkey
+    FROM win w FULL OUTER JOIN agg a
+      ON w.o_custkey = a.o_custkey AND w.o_orderkey = a.o_orderkey
+    WHERE w.o_orderkey IS NULL OR a.o_orderkey IS NULL
+    """,
+    tags=("serving-qc", "W5", "A7"),
+)
+def earliest_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cluster-consistency sanity check
+    (etl_textreuse/scratch.py:46-54): two INDEPENDENT derivations of
+    "earliest member per group" — the ties-kept window
+    (earliest_in_group, the path reception edges are built on) vs a
+    groupBy-min + equality join-back — cross-validated via symmetric
+    difference. Groups where they disagree; expected EMPTY, and the
+    oracle recomputes the full check (both derivations + full outer
+    join), so a divergence in EITHER engine surfaces."""
+    from hpc_hd_textreuse_etl_spark.operators.reception import earliest_in_group
+    from hpc_hd_textreuse_etl_spark.plans.qc import set_disagreement
+
+    orders = spark.table("orders")
+    win = earliest_in_group(orders, ["o_custkey"], "o_orderdate").select(
+        "o_custkey", "o_orderkey"
+    )
+    mins = (
+        orders.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("min_date"))
+        .withColumnRenamed("o_custkey", "m_custkey")
+    )
+    agg = (
+        orders.join(
+            mins,
+            (F.col("o_custkey") == F.col("m_custkey"))
+            & (F.col("o_orderdate") == F.col("min_date")),
+        )
+        .select("o_custkey", "o_orderkey")
+    )
+    return set_disagreement(win, agg, "o_custkey", "o_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (beyond-parity: training-data pipeline operators)
 # ---------------------------------------------------------------------------
