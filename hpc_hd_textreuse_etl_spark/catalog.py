@@ -56,6 +56,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, register_view: bool 
     path = table_path(sf_dir, name)
     df = spark.read.parquet(path)
     df = _normalize_nanos(df, nanos_cols=_nanos_columns(path))
+    df = _normalize_ntz(df)
     if register_view:
         df.createOrReplaceTempView(name)
     return df
@@ -106,6 +107,25 @@ def _normalize_nanos(df: DataFrame, nanos_cols: list[str]) -> DataFrame:
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
             )
+    return df
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to the session-zone TIMESTAMP type.
+
+    Parquet writers flip between ``isAdjustedToUTC`` true/false for the
+    same logical data; false surfaces as TIMESTAMP_NTZ, on which
+    instant functions (``unix_micros``, tz conversions) refuse to
+    resolve. The session is pinned to UTC (``load_table``), so the cast
+    reinterprets the wall-clock reading as the identical UTC instant —
+    bit-for-bit the same microseconds, matching DuckDB's naive
+    ``epoch_us`` — and every query sees ONE timestamp type regardless
+    of which writer produced the file."""
+    from pyspark.sql import functions as F
+
+    for field in df.schema.fields:
+        if field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -69,3 +69,23 @@ def test_reception_detail_broadcasts_selection_and_dim(spark):
     plan = executed_plan(spark, "reception_detail_serving")
     assert len(re.findall(r"BroadcastHashJoin .*LeftSemi", plan)) >= 1
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
+
+
+def test_pair_coverage_plan_pinned(spark):
+    """Pin the coverages plan so a bench wobble can be classified as
+    noise vs regression mechanically (SCALE.md 'Islands / coverages'):
+    ONE pair-key exchange + sort per island side driving both of that
+    side's windows, broadcast (never shuffled) length dims, and no
+    Cartesian anywhere."""
+    plan = executed_plan(spark, "pair_coverage")
+    # one exchange + one sort per side; each side's two windows (running
+    # max + island-id sum) share them
+    pair_exchanges = re.findall(r"Exchange hashpartitioning\(trs1_id", plan)
+    assert len(pair_exchanges) == 2, plan.count("Exchange")
+    assert len(re.findall(r"\bSort \[trs1_id", plan)) == 2
+    assert len(re.findall(r"\bWindow ", plan)) == 4
+    # both length dims broadcast: LeftOuter joins build a broadcast side
+    assert len(re.findall(r"BroadcastHashJoin .*LeftOuter", plan)) >= 2
+    assert "CartesianProduct" not in plan
+    # the shared edge subtree is computed once (physical reuse)
+    assert "ReusedExchange" in plan
