@@ -1,0 +1,142 @@
+"""Scale soak: sf>=1-equivalent synthetic runs for the shuffle-heavy
+operator families, recording wall time AND shuffle bytes so SCALE.md's
+100x argument has measured local evidence per family (not just plan
+audits). Inputs are synthesized with pure Catalyst expressions from
+``spark.range`` — no testdata dependency, any size on demand.
+
+Run:  python examples/soak.py [scale_multiplier]
+Emits one JSON line per family: {family, rows, seconds, shuffle_read_mb,
+shuffle_write_mb}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.session import get_spark
+
+
+def _stage_totals(spark) -> tuple[int, int]:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
+    completed stages, via the local UI REST API."""
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages") as r:
+        stages = json.load(r)
+    read = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    write = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    return read, write
+
+
+def measured(spark, family: str, rows: int, fn) -> None:
+    r0, w0 = _stage_totals(spark)
+    t0 = time.perf_counter()
+    out_rows = fn()
+    secs = time.perf_counter() - t0
+    r1, w1 = _stage_totals(spark)
+    print(json.dumps({
+        "family": family,
+        "input_rows": rows,
+        "output_rows": out_rows,
+        "seconds": round(secs, 2),
+        "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+        "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
+    }), flush=True)
+
+
+def synth_edges(spark, n: int):
+    """Pair-span edges shaped like the coverages input: ~n rows over
+    n/50 trs1 docs x 20 trs2 docs, window-bounded spans."""
+    return spark.range(n).select(
+        (F.col("id") % (n // 50)).alias("trs1_id"),
+        (F.col("id") % 20).alias("trs2_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(100_000))).alias("s1"),
+        (F.pmod(F.xxhash64("id"), F.lit(100_000))
+         + 50 + F.col("id") % 200).alias("e1"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000))).alias("s2"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100_000))
+         + 30 + F.col("id") % 150).alias("e2"),
+    )
+
+
+def synth_docs(spark, n: int):
+    """n documents of ~40 pseudo-random tokens in near-dup families of
+    ~5 (36 tokens from a shared base doc + 4 unique) — so the banding
+    join and verify stages carry representative candidate volume."""
+    base = f"(id % {max(n // 5, 1)})"
+    tok = (
+        f"conv(lpad(hex(pmod(xxhash64(if(i <= 36, {base} * 41, id * 41) + i, 7),"
+        " 50000)), 4, '0'), 16, 36)"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, 40), i -> {tok}))"
+        ).alias("text"),
+    )
+
+
+def main() -> None:
+    mult = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="soak",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        # UI on: the REST stage API is where shuffle bytes come from
+        extra_conf={"spark.driver.memory": "24g", "spark.ui.enabled": "true"},
+    )
+
+    # Islands / coverages — sf2-equivalent edge volume (events sf1 ~ 1M)
+    from hpc_hd_textreuse_etl_spark.functions.intervals import merge_intervals
+
+    n_edges = int(2_000_000 * mult)
+    edges = synth_edges(spark, n_edges)
+
+    def run_islands():
+        isl = merge_intervals(edges, ["trs1_id", "trs2_id"], "s1", "e1",
+                              adjacency_gap=1)
+        return (
+            isl.groupBy("trs1_id", "trs2_id")
+            .agg(F.sum(F.col("island_end") - F.col("island_start"))
+                 .alias("len"), F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+
+    measured(spark, "islands_coverages", n_edges, run_islands)
+
+    # MinHash + LSH banding — sf1-equivalent docs (documents sf1 ~ 50k)
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        minhash_near_duplicates,
+        simhash_near_duplicates,
+    )
+
+    n_docs = int(50_000 * mult)
+    docs = synth_docs(spark, n_docs)
+    docs.cache().count()  # isolate synthesis from the measured op
+
+    measured(
+        spark, "minhash_lsh", n_docs,
+        lambda: minhash_near_duplicates(
+            docs, "doc_id", "text", num_hashes=32, num_bands=8, threshold=0.7
+        ).count(),
+    )
+    measured(
+        spark, "simhash_banded", n_docs,
+        lambda: simhash_near_duplicates(
+            docs, "doc_id", "text", max_hamming=8
+        ).count(),
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
