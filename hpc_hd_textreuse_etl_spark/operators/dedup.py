@@ -442,3 +442,96 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate resolution: candidate pairs -> groups -> canonical keeper
+# ---------------------------------------------------------------------------
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    order_by: Sequence[Column] | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Turn near-dup candidate PAIRS into a per-document verdict — the
+    step an actual curation pipeline needs after MinHash/SimHash/cosine
+    candidate generation: transitively-connected duplicate groups (a~b,
+    b~c => {a,b,c} even if a,c never paired) with ONE canonical keeper
+    per group.
+
+    Returns ``(id, canonical_id, is_canonical)`` covering EVERY row of
+    ``df``; singletons are their own canonical. Groups come from
+    large-star/small-star connected components over the pair graph
+    (operators/graph.py — O(log n) bounded-shuffle rounds; at corpus
+    scale pass a shared ``checkpoint_dir``); the pair graph is orders of
+    magnitude smaller than the corpus, so the loop never touches
+    document bodies.
+
+    Keeper choice: by default the smallest id in the group (equals the
+    component label — deterministic and engine-reproducible). Pass
+    ``order_by`` (e.g. quality score desc) to keep the best document
+    instead; a trailing id tiebreak makes that total, so retries and
+    engines agree.
+    """
+    from hpc_hd_textreuse_etl_spark.operators.graph import connected_components
+
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    nodes = df.select(F.col(id_col)).distinct()
+    comp = connected_components(
+        edges, nodes=nodes, node_col=id_col, checkpoint_dir=checkpoint_dir
+    )
+    if order_by is None:
+        # component label IS min(id) over the group
+        return comp.select(
+            F.col(id_col),
+            F.col("component").alias("canonical_id"),
+            (F.col(id_col) == F.col("component")).alias("is_canonical"),
+        )
+    from pyspark.sql import Window
+
+    ranked = (
+        df.join(comp, id_col)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    *order_by, F.asc(id_col)
+                )
+            ),
+        )
+    )
+    keepers = ranked.filter(F.col("__rk") == 1).select(
+        F.col("component"), F.col(id_col).alias("canonical_id")
+    )
+    return (
+        ranked.join(keepers, "component")
+        .select(
+            F.col(id_col),
+            "canonical_id",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    order_by: Sequence[Column] | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """``df`` with only canonical documents kept — the filtered corpus a
+    training run consumes. Semi-join on the keeper set, so document
+    bodies stream through one broadcastable join and never shuffle."""
+    verdict = resolve_duplicates(
+        df, id_col, pairs, id_a, id_b, order_by, checkpoint_dir
+    )
+    keepers = verdict.filter(F.col("is_canonical")).select(id_col)
+    return df.join(keepers, id_col, "left_semi")

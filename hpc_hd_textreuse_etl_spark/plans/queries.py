@@ -1793,6 +1793,52 @@ def simhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "near_dup_resolution",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM (
+        {_minhash_oracle(num_hashes=32, shingle=5, num_bands=8, threshold=0.7)}
+      )
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS x FROM e
+      UNION
+      SELECT r.node, e.dst AS x FROM reach r JOIN e ON e.src = r.x
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           COALESCE(MIN(r.x), CAST(d.doc_id AS BIGINT)) AS canonical_id,
+           COALESCE(MIN(r.x), CAST(d.doc_id AS BIGINT)) = d.doc_id
+             AS is_canonical
+    FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+    GROUP BY d.doc_id
+    """,
+    tags=("dedup-resolution", "§2.10"),
+)
+def near_dup_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end duplicate RESOLUTION — what a curation run actually
+    consumes: MinHash+LSH candidate pairs, transitively closed into
+    groups (large-star/small-star CC over the pair graph), one canonical
+    keeper per group, every document covered. The oracle recomputes the
+    whole chain — portable-minhash pairs, recursive-CTE closure, min-id
+    keeper — so signatures, banding, grouping AND keeper choice are all
+    under the value-hash gate."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        minhash_near_duplicates,
+        resolve_duplicates,
+    )
+
+    docs = spark.table("documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", num_hashes=32, num_bands=8, threshold=0.7,
+        hash_family="portable",
+    )
+    return resolve_duplicates(docs, "doc_id", pairs)
+
+
+@query(
     "embedding_near_dup_pairs",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

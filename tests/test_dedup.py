@@ -166,3 +166,43 @@ def test_embedding_near_dup_blocked_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "label" in plan  # join keyed on the block column
     df.count()  # and it actually executes
+
+
+def test_resolve_duplicates_transitive_and_keeper(spark):
+    """a~b and b~c must land in ONE group even though a,c never paired;
+    order_by picks the best doc as keeper (id tiebreak makes it total)."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        drop_near_duplicates,
+        resolve_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (5, 99.0)],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"  # 4, 5 are singletons
+    )
+    verdict = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in resolve_duplicates(docs, "doc_id", pairs).collect()
+    }
+    assert verdict == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True),
+    }
+    by_quality = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in resolve_duplicates(
+            docs, "doc_id", pairs, order_by=[F.desc("quality")]
+        ).collect()
+    }
+    assert by_quality[2] == (2, True)  # best quality in {1,2,3}
+    assert by_quality[1] == (2, False) and by_quality[3] == (2, False)
+    kept = {
+        r.doc_id
+        for r in drop_near_duplicates(
+            docs, "doc_id", pairs, order_by=[F.desc("quality")]
+        ).collect()
+    }
+    assert kept == {2, 4, 5}
