@@ -90,6 +90,69 @@ def stopword_ratio(
     return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks))
 
 
+def repetition_stats(col: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition signals — the standard web-crawl quality
+    gates for boilerplate/spam (duplicated nav lines, keyword stuffing):
+
+    - ``dup_line_fraction``: duplicated lines / total lines;
+    - ``dup_line_char_fraction``: characters sitting in duplicated
+      lines / total characters;
+    - ``top_bigram_char_fraction``: characters covered by the most
+      frequent word bigram / total characters.
+
+    Pure Catalyst higher-order folds, one pass per document, no shuffle
+    and no Python — per-row cost is O(lines + bigrams²) on bounded
+    per-document arrays, independent of corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    uniq = F.array_distinct(lines)
+    # lines occurring 2+ times, with their occurrence counts
+    dup_counts = F.filter(
+        F.transform(
+            uniq,
+            lambda l: F.struct(
+                F.length(l).alias("len"),
+                F.size(F.filter(lines, lambda x: x == l)).alias("n"),
+            ),
+        ),
+        lambda s: s["n"] > 1,
+    )
+    n_dup_lines = F.aggregate(
+        dup_counts, F.lit(0), lambda acc, s: acc + s["n"]
+    )
+    dup_line_chars = F.aggregate(
+        dup_counts, F.lit(0), lambda acc, s: acc + s["len"] * s["n"]
+    )
+    total_line_chars = F.aggregate(
+        lines, F.lit(0), lambda acc, l: acc + F.length(l)
+    )
+    bigrams = token_shingles(c, 2)
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.struct(
+                F.size(F.filter(bigrams, lambda x: x == g)).alias("n"),
+                F.length(g).alias("len"),
+            ),
+        )
+    )
+    n_chars = F.length(c)
+    return {
+        "dup_line_fraction": F.when(
+            n_lines > 0, n_dup_lines.cast("double") / n_lines
+        ).otherwise(F.lit(0.0)),
+        "dup_line_char_fraction": F.when(
+            total_line_chars > 0,
+            dup_line_chars.cast("double") / total_line_chars,
+        ).otherwise(F.lit(0.0)),
+        "top_bigram_char_fraction": F.when(
+            (n_chars > 0) & (F.size(bigrams) > 0),
+            (top_bigram["n"] * top_bigram["len"]).cast("double") / n_chars,
+        ).otherwise(F.lit(0.0)),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Language identification (profile-scoring heuristic)
 # ---------------------------------------------------------------------------

@@ -1658,6 +1658,69 @@ def token_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REP_LINES = "list_filter(string_split(text, chr(10)), l -> trim(l) != '')"
+_REP_BIGRAMS = (
+    "list_transform(range(1, greatest(len({t}) - 1, 1) + 1), "
+    "i -> array_to_string({t}[i:i+1], ' '))"
+).format(t=_TOK)
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH lined AS (
+      SELECT doc_id,
+             regexp_replace(text, ' (the|a) ', chr(10), 'g') AS text
+      FROM documents
+    ), st AS (
+      SELECT doc_id, text,
+             {_REP_LINES} AS lines,
+             {_REP_BIGRAMS} AS bigrams
+      FROM lined
+    ), agg AS (
+      SELECT doc_id, text, lines, bigrams,
+             list_filter(list_transform(list_distinct(lines),
+               l -> {{'len': length(l),
+                      'n': len(list_filter(lines, x -> x = l))}}),
+               s -> s.n > 1) AS dups,
+             list_max(list_transform(list_distinct(bigrams),
+               g -> {{'n': len(list_filter(bigrams, x -> x = g)),
+                      'len': length(g)}})) AS top
+      FROM st
+    )
+    SELECT doc_id,
+           CASE WHEN len(lines) > 0
+                THEN COALESCE(list_sum(list_transform(dups, s -> s.n)), 0)::DOUBLE
+                     / len(lines)
+                ELSE 0.0 END AS dup_line_fraction,
+           CASE WHEN COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+                THEN COALESCE(list_sum(list_transform(dups, s -> s.len * s.n)), 0)::DOUBLE
+                     / list_sum(list_transform(lines, l -> length(l)))
+                ELSE 0.0 END AS dup_line_char_fraction,
+           CASE WHEN length(text) > 0 AND len(bigrams) > 0
+                THEN (top.n * top.len)::DOUBLE / length(text)
+                ELSE 0.0 END AS top_bigram_char_fraction
+    FROM agg
+    """,
+    tags=("text-quality", "gopher-repetition"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates (duplicate-line fractions +
+    most-frequent-bigram coverage) — the boilerplate/keyword-stuffing
+    filters every web-crawl curation run applies. Lines are synthesized
+    from the single-line corpus by an identical regexp in both engines;
+    all three fractions are per-row integer→double divisions, so raw
+    doubles value-hash-match."""
+    from hpc_hd_textreuse_etl_spark.functions.text import repetition_stats
+
+    docs = spark.table("documents")
+    lined = docs.select(
+        "doc_id", F.regexp_replace("text", " (the|a) ", "\n").alias("text")
+    )
+    stats = repetition_stats("text")
+    return lined.select("doc_id", *[v.alias(k) for k, v in stats.items()])
+
+
 # Portable-hash oracles (functions/hashing.py): the md5-based 60-bit hash
 # H(s) below is byte-identical in Spark and DuckDB, so the FULL minhash /
 # simhash / LSH pipelines run under the value-hash gate. The xxhash64

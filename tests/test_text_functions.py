@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from hpc_hd_textreuse_etl_spark.functions.text import (
     ROLLING_HASH_MOD,
@@ -56,3 +57,45 @@ def test_lang_guess_custom_profiles(spark):
         for r in df.select("id", lang_guess("t", profiles).alias("g")).collect()
     }
     assert got == {1: "x", 2: "y", 3: "unknown"}
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition gates on a document with known structure:
+    4 non-empty lines, 'nav bar' line duplicated (2 of 4 lines), and
+    'spam spam' as the dominant bigram."""
+    from hpc_hd_textreuse_etl_spark.functions.text import repetition_stats
+
+    text = "nav bar\nnav bar\nspam spam spam spam\nunique line here"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = df.select(
+        *[v.alias(k) for k, v in repetition_stats("text").items()]
+    ).collect()[0]
+    # 2 duplicated lines out of 4
+    assert row.dup_line_fraction == pytest.approx(2 / 4)
+    # dup chars = 2 * len('nav bar') = 14; total line chars = 7+7+19+16 = 49
+    assert row.dup_line_char_fraction == pytest.approx(14 / 49)
+    # bigrams: 'spam spam' x3 (within line 3... across lines too), top
+    # bigram covers n * len('spam spam') chars of the full text
+    toks = text.split()
+    bigrams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+    top = max(set(bigrams), key=lambda g: (bigrams.count(g), len(g)))
+    expect = bigrams.count(top) * len(top) / len(text)
+    assert row.top_bigram_char_fraction == pytest.approx(expect)
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    from hpc_hd_textreuse_etl_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "a b"), (3, "x\nx\nx")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in repetition_stats("text").items()]
+        ).collect()
+    }
+    assert rows[1].dup_line_fraction == 0.0  # single line, no dups
+    assert rows[3].dup_line_fraction == 1.0  # all three lines identical
+    assert rows[3].dup_line_char_fraction == 1.0
