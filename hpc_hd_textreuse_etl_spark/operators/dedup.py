@@ -535,3 +535,69 @@ def drop_near_duplicates(
     )
     keepers = verdict.filter(F.col("is_canonical")).select(id_col)
     return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """``(id, n_contaminated)`` — documents sharing ≥1 token ``n``-gram
+    with the benchmark set, with the count of distinct overlapping
+    grams. The standard pre-training decontamination test (13-gram
+    overlap against eval benchmarks).
+
+    Scale shape: the benchmark side is tiny next to the corpus — its
+    distinct gram set is broadcast, so the corpus scans once with no
+    shuffle before the per-document count. Grams travel as 8-byte
+    hashes (``xxhash64`` default; ``"portable"`` = the md5 family so
+    the whole check is DuckDB-reproducible; ``"none"`` joins raw
+    strings for debugging)."""
+    from hpc_hd_textreuse_etl_spark.functions.text import token_shingles
+
+    def grams(df: DataFrame, *keep: str) -> DataFrame:
+        g = F.explode(
+            F.array_distinct(token_shingles(F.col(text_col), n))
+        ).alias("gram")
+        out = df.select(*[F.col(c) for c in keep], g)
+        if hash_family == "portable":
+            return out.select(*keep, portable_hash64(F.col("gram")).alias("g"))
+        if hash_family == "xxhash64":
+            return out.select(*keep, F.xxhash64(F.col("gram")).alias("g"))
+        return out.select(*keep, F.col("gram").alias("g"))
+
+    bench = grams(benchmark).distinct()
+    return (
+        grams(corpus, id_col)
+        .join(F.broadcast(bench), "g")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("g")).alias("n_contaminated"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_overlap: int = 1,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """``corpus`` minus documents overlapping the benchmark in
+    ``min_overlap``+ distinct ``n``-grams: anti-join on the flagged id
+    set, so document bodies never shuffle."""
+    flagged = (
+        ngram_contamination(corpus, benchmark, id_col, text_col, n, hash_family)
+        .filter(F.col("n_contaminated") >= min_overlap)
+        .select(id_col)
+    )
+    return corpus.join(flagged, id_col, "left_anti")

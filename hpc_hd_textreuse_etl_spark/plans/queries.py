@@ -1817,6 +1817,49 @@ def _simhash_oracle(bits: int, max_hamming: int) -> str:
     """
 
 
+_TRIGRAMS = (
+    "list_transform(range(1, greatest(len({t}) - 2, 1) + 1), "
+    "i -> array_to_string({t}[i:i+2], ' '))"
+).format(t=_TOK)
+
+
+@query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH bg AS (
+      SELECT DISTINCT {_DUCK_H.format(x='g')} AS g FROM (
+        SELECT unnest(list_distinct({_TRIGRAMS})) AS g
+        FROM documents WHERE doc_id % 50 = 0
+      )
+    ), cg AS (
+      SELECT doc_id, {_DUCK_H.format(x='g')} AS g FROM (
+        SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS g
+        FROM documents WHERE doc_id % 50 <> 0
+      )
+    )
+    SELECT doc_id, CAST(count(DISTINCT cg.g) AS BIGINT) AS n_contaminated
+    FROM cg JOIN bg ON cg.g = bg.g
+    GROUP BY doc_id
+    """,
+    tags=("decontamination", "text-quality"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training decontamination: per-document count of distinct
+    token n-grams shared with a benchmark set (every 50th document
+    plays the benchmark; n=3 on the short synthetic docs standing in
+    for the production 13-gram test). Portable hash family, so gram
+    hashing, the broadcast join AND the distinct-count all sit under
+    the DuckDB value-hash gate."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import ngram_contamination
+
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(
+        corpus, bench, "doc_id", "text", n=3, hash_family="portable"
+    )
+
+
 @query(
     "minhash_near_duplicates",
     oracle=_minhash_oracle(num_hashes=32, shingle=5, num_bands=8, threshold=0.7),

@@ -206,3 +206,37 @@ def test_resolve_duplicates_transitive_and_keeper(spark):
         ).collect()
     }
     assert kept == {2, 4, 5}
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    """decontaminate removes exactly the docs sharing >= min_overlap
+    n-grams with the benchmark; the broadcast-anti shape keeps bodies
+    out of any shuffle."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),   # shares 'the quick brown'
+            (2, "totally unrelated words entirely here"),
+            (3, "quick brown fox runs away fast"),   # shares 'quick brown fox'
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox leaps")], "doc_id long, text string"
+    )
+    hits = {
+        r.doc_id: r.n_contaminated
+        for r in ngram_contamination(corpus, bench, "doc_id", "text", n=3).collect()
+    }
+    assert hits == {1: 2, 3: 1}  # doc1: 'the quick brown'+'quick brown fox'
+    kept = {r.doc_id for r in
+            decontaminate(corpus, bench, "doc_id", "text", n=3).collect()}
+    assert kept == {2}
+    kept2 = {r.doc_id for r in
+             decontaminate(corpus, bench, "doc_id", "text", n=3,
+                           min_overlap=2).collect()}
+    assert kept2 == {2, 3}
