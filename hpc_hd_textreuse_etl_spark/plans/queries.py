@@ -1731,9 +1731,11 @@ _P = 2_147_483_647
 
 
 def _minhash_oracle(
-    num_hashes: int, shingle: int, num_bands: int, threshold: float
+    num_hashes: int, shingle: int, num_bands: int, threshold: float,
+    table: str = "documents",
 ) -> str:
-    """DuckDB SQL mirroring minhash_near_duplicates(hash_family='portable')."""
+    """DuckDB SQL mirroring minhash_near_duplicates(hash_family='portable')
+    over ``table`` (a view or an in-scope CTE with doc_id/text)."""
     from hpc_hd_textreuse_etl_spark.functions.hashing import minhash_coeffs
 
     coeffs = minhash_coeffs(num_hashes)
@@ -1760,7 +1762,7 @@ def _minhash_oracle(
     )
     return f"""
     WITH sh AS (
-      SELECT doc_id, unnest(list_distinct({shingles})) AS shingle FROM documents
+      SELECT doc_id, unnest(list_distinct({shingles})) AS shingle FROM {table}
     ), hb AS (
       SELECT doc_id, {_DUCK_H.format(x='shingle')} % {_P} AS hb FROM sh
     ), sigs AS (
@@ -2330,6 +2332,93 @@ def _install_sampling_oracles() -> None:
 
 
 _install_sampling_oracles()
+
+
+def _curated_corpus_oracle() -> str:
+    """DuckDB oracle recomputing the ENTIRE curation chain
+    (plans/curation.py): quality gate → exact dedup (min-id per sha256)
+    → portable-minhash pairs → recursive-CTE component closure →
+    canonical keeper → trigram decontamination vs the benchmark →
+    hash-gate split."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import threshold
+
+    stop = "('the','a','of','and','in','to','is')"
+    pairs_sql = _minhash_oracle(
+        num_hashes=32, shingle=5, num_bands=8, threshold=0.7, table="e"
+    )
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+    ), q AS (
+      SELECT doc_id, text FROM corpus
+      WHERE len({_TOK}) >= 20
+        AND len(list_filter({_TOK}, t -> t IN {stop}))::DOUBLE
+              / len({_TOK}) >= 0.05
+    ), e AS (
+      SELECT doc_id, text FROM q
+      WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY sha256(text))
+    ), nd_pairs AS (
+      SELECT id_a, id_b FROM ({pairs_sql})
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM nd_pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM nd_pairs
+    ), reach AS (
+      SELECT src AS node, src AS x FROM sym
+      UNION
+      SELECT r.node, s.dst AS x FROM reach r JOIN sym s ON s.src = r.x
+    ), canon AS (
+      SELECT e.doc_id,
+             COALESCE(MIN(r.x), CAST(e.doc_id AS BIGINT)) AS canonical
+      FROM e LEFT JOIN reach r ON r.node = e.doc_id
+      GROUP BY e.doc_id
+    ), nd AS (
+      SELECT e.doc_id, e.text FROM e
+      JOIN canon c ON e.doc_id = c.doc_id AND c.canonical = e.doc_id
+    ), bg AS (
+      SELECT DISTINCT {_DUCK_H.format(x='g')} AS g FROM (
+        SELECT unnest(list_distinct({_TRIGRAMS})) AS g
+        FROM documents WHERE doc_id % 50 = 0
+      )
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, {_DUCK_H.format(x='g')} AS g FROM (
+          SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS g FROM nd
+        )
+      ) cg JOIN bg ON cg.g = bg.g
+    ), clean AS (
+      SELECT doc_id FROM nd
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5('split-v1|' ||
+                      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     < {threshold(0.2)}
+                THEN 'test' ELSE 'train' END AS split
+    FROM clean
+    """
+
+
+@query(
+    "curated_corpus",
+    oracle=_curated_corpus_oracle(),
+    tags=("curation-pipeline", "dedup-resolution", "decontamination",
+          "sampling-split", "text-quality"),
+)
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation pipeline (plans/curation.py) as one gated
+    contract: quality gate, exact dedup, MinHash near-dup resolution,
+    benchmark decontamination, deterministic train/test split — five
+    operator families composed, and the DuckDB oracle recomputes every
+    stage, so a drift anywhere in the chain fails the value-hash."""
+    from hpc_hd_textreuse_etl_spark.plans.curation import CurationConfig, curate
+
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return curate(
+        corpus, bench, cfg=CurationConfig(hash_family="portable")
+    )
 
 
 @query(
