@@ -1,0 +1,74 @@
+"""Corpus-level token statistics: document frequencies, vocabulary
+top-k, TF-IDF — the frequency layer a curation pipeline uses for
+rare-token filtering, stopword discovery, and relevance weighting.
+
+Scale shape: one explode of DISTINCT per-document tokens (dedup before
+the explode is map-side reduction), one shuffle keyed on the token for
+the DF aggregation — map-side combined, so the exchange carries (token,
+partial count), not token occurrences. The TF join runs on the token
+key; at corpus scale the vocabulary (≪ corpus) broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.functions.text import tokens
+
+
+def token_doc_frequency(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 1
+) -> DataFrame:
+    """``(token, df)`` — number of documents containing each token at
+    least once (distinct-per-doc before counting)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    )
+    out = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return out.filter(F.col("df") >= min_df) if min_df > 1 else out
+
+
+def vocab_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 100
+) -> DataFrame:
+    """Top-k vocabulary by document frequency (token tiebreak → total
+    order → stable across engines). Plans TakeOrderedAndProject: per-task
+    k-row heaps, no global sort."""
+    return (
+        token_doc_frequency(df, id_col, text_col)
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 1,
+) -> DataFrame:
+    """``(id, token, tf, df, tf_idf)`` — smooth-idf weighting
+    ``tf · (ln((N+1)/(df+1)) + 1)``.
+
+    ``tf`` and ``df`` are exact integers (and what the oracle-gated
+    query projects); ``tf_idf`` involves ``ln``, whose last-ulp behavior
+    is libm-specific, so cross-engine checks on it belong in epsilon
+    tests, not hash gates (tests/test_corpus_stats.py)."""
+    n_docs = df.select(F.count(F.lit(1))).collect()[0][0]
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = token_doc_frequency(df, id_col, text_col, min_df)
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0
+    return tf.join(dfreq, "token").select(
+        F.col(id_col),
+        "token",
+        "tf",
+        "df",
+        (F.col("tf") * idf).alias("tf_idf"),
+    )

@@ -1819,6 +1819,62 @@ def _simhash_oracle(bits: int, max_hamming: int) -> str:
     """
 
 
+@query(
+    "corpus_vocab_topk",
+    oracle=f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+      SELECT doc_id, unnest(list_distinct({_TOK})) AS token FROM documents
+    )
+    GROUP BY token
+    ORDER BY df DESC, token
+    LIMIT 50
+    """,
+    tags=("corpus-stats", "O2", "A10"),
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary by document frequency (distinct-per-doc before
+    counting; token tiebreak makes the cut deterministic). Plans
+    TakeOrderedAndProject over a map-side-combined DF aggregation."""
+    from hpc_hd_textreuse_etl_spark.operators.corpus_stats import vocab_topk
+
+    return vocab_topk(spark.table("documents"), "doc_id", "text", k=50)
+
+
+@query(
+    "tf_df_exact",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest({_TOK}) AS token FROM documents
+      ) GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+        SELECT doc_id, unnest(list_distinct({_TOK})) AS token FROM documents
+      ) GROUP BY token
+    )
+    SELECT tf.doc_id, tf.token, tf.tf, dfreq.df
+    FROM tf JOIN dfreq ON tf.token = dfreq.token
+    WHERE tf.doc_id < 100
+    """,
+    tags=("corpus-stats",),
+)
+def tf_df_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF's exact integer core — per-(doc, token) term frequency
+    joined with corpus document frequency (restricted to doc_id < 100
+    to bound the gated row count). The ln-based weight itself is
+    epsilon-tested in tests/test_corpus_stats.py: libm last-ulp
+    differences make it a bad hash-gate candidate (same reasoning as
+    the matmul rank gate)."""
+    from hpc_hd_textreuse_etl_spark.operators.corpus_stats import tf_idf
+
+    docs = spark.table("documents")
+    return (
+        tf_idf(docs, "doc_id", "text")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "token", "tf", "df")
+    )
+
+
 _TRIGRAMS = (
     "list_transform(range(1, greatest(len({t}) - 2, 1) + 1), "
     "i -> array_to_string({t}[i:i+2], ' '))"
