@@ -601,3 +601,27 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def with_lsh_blocks(
+    df: DataFrame,
+    vec_col: str,
+    num_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Attach a hyperplane-LSH bucket column — the canonical
+    ``block_cols`` input for :func:`embedding_near_duplicates` when no
+    natural blocking key (label/cluster) exists: 2^num_planes buckets
+    bound the pair join at any corpus size, trading recall at bucket
+    boundaries (run multiple seeds and union pairs to recover it).
+    Planes are seeded driver-side literals (functions/hashing.py), so
+    the bucketing is deterministic and oracle-reproducible."""
+    from hpc_hd_textreuse_etl_spark.functions.hashing import hyperplane_coeffs
+    from hpc_hd_textreuse_etl_spark.operators.similarity import (
+        hyperplane_bucket_literal,
+    )
+
+    planes = hyperplane_coeffs(1, num_planes, dim, seed)[0]
+    return df.withColumn(bucket_col, hyperplane_bucket_literal(vec_col, planes))

@@ -2031,6 +2031,70 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_blocked_dedup_oracle(
+    threshold: float, num_planes: int, dim: int, seed: int
+) -> str:
+    """DuckDB SQL mirroring embedding_near_duplicates blocked by the
+    seeded hyperplane bucket (with_lsh_blocks): same literal planes →
+    same buckets → same candidate pairs → same cosines."""
+    from hpc_hd_textreuse_etl_spark.functions.hashing import hyperplane_coeffs
+
+    planes = hyperplane_coeffs(1, num_planes, dim, seed)[0]
+
+    def dot(coeffs: list[float]) -> str:
+        lits = ", ".join(f"{c:.17e}" for c in coeffs)
+        return (
+            f"list_sum(list_transform(list_zip(embedding, [{lits}]), "
+            f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot(planes[p])} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(a.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(b.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {bucket} AS lsh_bucket FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@query(
+    "embedding_near_dup_lsh_blocked",
+    oracle=_lsh_blocked_dedup_oracle(threshold=0.25, num_planes=6, dim=64, seed=42),
+    tags=("dedup-embedding", "similarity-lsh"),
+)
+def embedding_near_dup_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with NO natural blocking key: the canonical
+    scale recipe — seeded hyperplane-LSH buckets as ``block_cols``
+    (with_lsh_blocks), bounding the pair join at any corpus size. The
+    whole chain (literal planes → buckets → candidate pairs → bit-exact
+    cosines) sits under the value-hash gate."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        embedding_near_duplicates,
+        with_lsh_blocks,
+    )
+
+    emb = with_lsh_blocks(
+        spark.table("embeddings"), "embedding", num_planes=6, dim=64, seed=42
+    )
+    return embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.25, block_cols=("lsh_bucket",)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (beyond-parity)
 # ---------------------------------------------------------------------------
