@@ -89,3 +89,29 @@ def test_pair_coverage_plan_pinned(spark):
     assert "CartesianProduct" not in plan
     # the shared edge subtree is computed once (physical reuse)
     assert "ReusedExchange" in plan
+
+
+def test_vocab_topk_heap_and_partial_agg(spark):
+    """Corpus vocabulary top-k: map-side-combined DF aggregation feeding
+    a TakeOrderedAndProject heap — one exchange total, no global sort."""
+    plan = executed_plan(spark, "corpus_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """Decontamination: the benchmark gram set must broadcast — the
+    corpus side streams through the overlap join without a shuffle of
+    gram rows keyed on the gram."""
+    plan = executed_plan(spark, "benchmark_contamination")
+    assert re.search(r"BroadcastHashJoin .*\[g", plan)
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_blocked_embedding_dedup_is_equi_join(spark):
+    """The no-natural-key embedding dedup recipe: bucket blocking must
+    plan an equi-join on the bucket, never a CartesianProduct."""
+    plan = executed_plan(spark, "embedding_near_dup_lsh_blocked")
+    assert "CartesianProduct" not in plan
+    assert "lsh_bucket" in plan
