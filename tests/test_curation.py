@@ -75,3 +75,24 @@ def test_stage_semantics(spark, split_docs):
     assert e.count() == groups.count()
     keepers = {r.keeper for r in groups.collect()}
     assert {r.doc_id for r in e.select("doc_id").collect()} == keepers
+
+
+def test_quality_gate_is_streaming_safe(spark, tmp_path, split_docs):
+    """The curation quality gate is stateless Catalyst expressions, so
+    the same code runs unchanged on a stream — batch and streaming
+    drains keep the identical document set."""
+    from hpc_hd_textreuse_etl_spark.streaming.events import run_to_memory
+
+    corpus, _ = split_docs
+    path = str(tmp_path / "docs")
+    corpus.write.mode("overwrite").parquet(path)
+    batch_ids = {
+        r.doc_id
+        for r in quality_gate(spark.read.parquet(path), "text", CFG)
+        .select("doc_id").collect()
+    }
+    stream = spark.readStream.schema(corpus.schema).parquet(path)
+    gated = quality_gate(stream, "text", CFG).select("doc_id")
+    run_to_memory(gated, "q_gate_stream")
+    stream_ids = {r.doc_id for r in spark.table("q_gate_stream").collect()}
+    assert stream_ids == batch_ids and len(batch_ids) > 0

@@ -159,3 +159,55 @@ def test_per_key_quota_deterministic_under_repartition(tables):
     assert rows_a == rows_b
     per_key = a.groupBy("o_custkey").agg(F.count("*").alias("n"))
     assert per_key.agg(F.max("n")).collect()[0][0] <= 2
+
+
+# --- Hypothesis: threshold-band algebra over real hash values ---------
+# One Spark collect supplies genuine gate-hash values; Hypothesis then
+# explores fraction pairs over pure driver-side arithmetic (fast, no
+# Spark job per example).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hpc_hd_textreuse_etl_spark.operators.sampling import HASH_SPACE, sample_hash
+
+
+@pytest.fixture(scope="module")
+def gate_hashes(tables):
+    rows = (
+        tables.table("orders")
+        .select(sample_hash(["o_orderkey"], "hyp").alias("h"))
+        .limit(2000)
+        .collect()
+    )
+    return [r.h for r in rows]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    f1=st.floats(min_value=0.0, max_value=1.0),
+    f2=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_threshold_bands_nest_and_partition(gate_hashes, f1, f2):
+    lo, hi = sorted((f1, f2))
+    t_lo, t_hi = threshold(lo), threshold(hi)
+    assert 0 <= t_lo <= t_hi <= HASH_SPACE
+    small = {h for h in gate_hashes if h < t_lo}
+    large = {h for h in gate_hashes if h < t_hi}
+    assert small <= large  # nested samples
+    # split bands partition the keyspace: test + train = everything
+    test = {h for h in gate_hashes if h < t_hi}
+    train = {h for h in gate_hashes if h >= t_hi}
+    assert test | train == set(gate_hashes) and not (test & train)
+
+
+@settings(max_examples=100, deadline=None)
+@given(f=st.floats(min_value=0.0, max_value=1.0))
+def test_hash_values_in_space_and_fraction_monotone(gate_hashes, f):
+    assert all(0 <= h < HASH_SPACE for h in gate_hashes)
+    kept = sum(h < threshold(f) for h in gate_hashes)
+    assert 0 <= kept <= len(gate_hashes)
+    if f == 0.0:
+        assert kept == 0
+    if f == 1.0:
+        assert kept == len(gate_hashes)
