@@ -135,6 +135,45 @@ def main() -> None:
             docs, "doc_id", "text", max_hamming=8
         ).count(),
     )
+
+    # Defrag range-join — 1M pieces over 20k documents, window-bounded
+    from hpc_hd_textreuse_etl_spark.operators.defrag import piece_id_mappings
+
+    n_pieces = int(1_000_000 * mult)
+    pieces = spark.range(n_pieces).select(
+        F.col("id").alias("piece_id"),
+        (F.col("id") % (max(n_pieces // 50, 1))).alias("trs_id"),
+        (F.pmod(F.xxhash64("id"), F.lit(5000))).alias("trs_start"),
+        (F.pmod(F.xxhash64("id"), F.lit(5000))
+         + 20 + F.col("id") % 120).alias("trs_end"),
+    )
+    pieces.cache().count()
+    measured(
+        spark, "defrag_range_join", n_pieces,
+        lambda: piece_id_mappings(pieces).count(),
+    )
+
+    # Connected components — per-bucket chains: long paths, the
+    # worst case for label flooding, O(log n) rounds for star-contraction
+    from hpc_hd_textreuse_etl_spark.operators.graph import connected_components
+    from pyspark.sql import Window
+
+    n_nodes = int(200_000 * mult)
+    w = Window.partitionBy("b").orderBy("id")
+    chain = (
+        spark.range(n_nodes)
+        .withColumn("b", F.col("id") % 500)
+        .select(
+            F.col("id").alias("src"),
+            F.lead("id").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    chain.cache().count()
+    measured(
+        spark, "connected_components", n_nodes,
+        lambda: connected_components(chain).count(),
+    )
     spark.stop()
 
 
