@@ -1875,6 +1875,54 @@ def tf_df_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, CAST(len({_TOK}) AS BIGINT) AS size,
+             ('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 8 AS shard
+      FROM documents
+    )
+    SELECT doc_id, size, shard,
+           CAST(floor(COALESCE(SUM(size) OVER (
+             PARTITION BY shard ORDER BY size DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 256.0) AS BIGINT) AS pack_id
+    FROM sized
+    """,
+    tags=("packing", "W4"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, cumsum strategy (operators/packing.py): shard
+    deterministically, pack within shards by one window cumsum. The
+    portable-hash shard and the window arithmetic reproduce exactly in
+    DuckDB, so every document's (shard, pack) assignment is
+    value-hash-gated. The strict next-fit variant is pytest-pinned
+    (test_packing) — its per-shard scan isn't SQL-expressible."""
+    from hpc_hd_textreuse_etl_spark.functions.hashing import portable_hash64
+    from hpc_hd_textreuse_etl_spark.functions.text import tokens
+    from hpc_hd_textreuse_etl_spark.operators.packing import pack_sequences
+
+    docs = spark.table("documents")
+    sized = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        # portable shard: the operator's default xxhash64 shard is
+        # engine-internal, so the gated run pins the md5 family instead
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("shard|"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(8),
+        ).alias("pshard"),
+    )
+    return pack_sequences(
+        sized, "doc_id", "n_tokens", budget=256, num_shards=8,
+        strategy="cumsum", shard_col="pshard",
+    )
+
+
 _TRIGRAMS = (
     "list_transform(range(1, greatest(len({t}) - 2, 1) + 1), "
     "i -> array_to_string({t}[i:i+2], ' '))"
