@@ -110,3 +110,37 @@ def pack_utilization(packs: DataFrame, budget: int) -> DataFrame:
         )
         .withColumn("utilization", F.col("tokens").cast("double") / budget)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    shard_by: str,
+    compression: str = "zstd",
+) -> DataFrame:
+    """Write the corpus as exactly ``num_shards`` balanced parquet files
+    — the fixed-fan-in layout training loaders expect (one reader per
+    shard, no small-file explosion, stable shard membership).
+
+    Sharding is ``pmod(xxhash64(shard_by), num_shards)`` — the same
+    deterministic hash family as everything else, so a document's shard
+    survives reruns and incremental rebuilds. The repartition clusters
+    each shard into one task and the hive-style ``partitionBy`` writes
+    one ``shard_id=N`` directory per shard — exactly one file each,
+    regardless of how shard values hash across tasks (a bare
+    ``repartition(n, col)`` does NOT map n values to n partitions
+    bijectively). Returns the read-back DataFrame (write-then-read-back,
+    the engine's materialization contract); loaders that want shard N
+    read ``{path}/shard_id=N/`` via partition pruning."""
+    spark = df.sparkSession
+    out = df.withColumn(
+        "shard_id", F.pmod(F.xxhash64(F.col(shard_by)), F.lit(num_shards))
+    ).repartition(num_shards, "shard_id")
+    (
+        out.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

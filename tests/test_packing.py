@@ -79,3 +79,25 @@ def test_budget_validation(spark, sized):
         pack_sequences(sized, "doc_id", "size", 0)
     with pytest.raises(ValueError, match="strategy"):
         pack_sequences(sized, "doc_id", "size", 10, strategy="nope")
+
+
+def test_write_training_shards_round_trip(spark, sized, tmp_path):
+    from hpc_hd_textreuse_etl_spark.operators.packing import write_training_shards
+
+    path = str(tmp_path / "shards")
+    back = write_training_shards(sized, path, num_shards=4, shard_by="doc_id")
+    assert back.count() == sized.count()
+    assert sorted(r.doc_id for r in back.collect()) == sorted(
+        r.doc_id for r in sized.collect()
+    )
+    import glob
+    dirs = sorted(glob.glob(f"{path}/shard_id=*"))
+    assert len(dirs) == 4  # one directory per shard
+    for d in dirs:
+        assert len(glob.glob(f"{d}/part-*.parquet")) == 1  # one file each
+    # shard membership is the deterministic hash, restored on read-back
+    import pyspark.sql.functions as F2
+    mismatch = back.filter(
+        F2.pmod(F2.xxhash64("doc_id"), F2.lit(4)) != F2.col("shard_id")
+    ).count()
+    assert mismatch == 0
