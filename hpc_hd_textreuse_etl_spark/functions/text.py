@@ -225,3 +225,39 @@ def rolling_hash(col: Column | str) -> Column:
         )
         % ROLLING_HASH_MOD,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+#
+# Standard pre-training hygiene: redact emails / URLs / IP addresses /
+# phone numbers before anything else sees the text. Patterns are kept in
+# the common subset of Java regex (Spark) and RE2 (DuckDB) — no
+# backreferences, no lookaround — so the whole scrub is reproducible in
+# the oracle engine. Replacement order matters (a URL can contain an
+# email-shaped userinfo part and dotted digits), so counts are taken
+# stage-wise on the text as it existed *before* that stage's
+# replacement: URL first, then email, then IP, then phone.
+
+#: (name, pattern, replacement token), applied in order.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\- ]{6,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column | str) -> dict[str, Column]:
+    """Stage-wise PII redaction. Returns ``{"scrubbed": text-with-
+    tokens, "<name>_count": matches-redacted-at-that-stage, ...}``.
+    Pure Catalyst (regexp_count / regexp_replace), codegen'd JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    cur = c
+    for name, pattern, token in PII_PATTERNS:
+        out[f"{name}_count"] = F.regexp_count(cur, F.lit(pattern))
+        cur = F.regexp_replace(cur, pattern, token)
+    out["scrubbed"] = cur
+    return out

@@ -117,3 +117,39 @@ def per_key_quota(
         df.withColumn(rank_col, F.row_number().over(w))
         .where(F.col(rank_col) <= n)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    candidate_pairs: DataFrame,
+    test_fraction: float,
+    salt: str = "lsplit-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/test split that never separates near-duplicates.
+
+    A plain per-document hash split leaks: two near-identical documents
+    can land in different bands, putting (almost) the test set in the
+    training set. Fix: transitively close ``candidate_pairs`` (id_a,
+    id_b) into duplicate groups (operators/graph.py connected
+    components, bodies never touch the closure), key every document by
+    its group representative (itself if unpaired), and gate the *group
+    key* through the usual threshold bands — the whole group moves as
+    one unit, and the split stays disjoint + exhaustive by construction.
+    """
+    from hpc_hd_textreuse_etl_spark.operators.dedup import resolve_duplicates
+
+    groups = resolve_duplicates(
+        df.select(id_col), id_col, candidate_pairs
+    )  # (id_col, canonical_id, is_canonical) — covers every df row
+    keyed = df.join(groups.select(id_col, "canonical_id"), id_col, "left").withColumn(
+        "__gk", F.coalesce(F.col("canonical_id"), F.col(id_col)).cast("string")
+    )
+    banded = keyed.withColumn(
+        split_col,
+        F.when(
+            sample_hash(["__gk"], salt) < F.lit(threshold(test_fraction)), "test"
+        ).otherwise("train"),
+    )
+    return banded.drop("__gk")

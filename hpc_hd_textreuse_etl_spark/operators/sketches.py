@@ -132,3 +132,166 @@ def kmv_estimate_from_sketch(
     return sketch.select(
         *[c for c in sketch.columns if c != "kmv_hashes"], est.alias(estimate_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+#
+# Reference parity: the reference keeps exact frequency tables for its
+# serving layer; at 100 TB an exact per-token count table is itself a
+# large table, and pipelines usually want a bounded-memory frequency
+# summary first (heavy-hitter gating, stopword discovery). CMS is the
+# standard answer: a depth x width counter grid, estimate = min over
+# rows, mergeable by element-wise addition.
+#
+# Built on the portable universal family (functions/hashing.py):
+#   g_i(x) = ((a_i * (H(x) mod p) + b_i) mod p) mod width
+# so the whole sketch — counters AND estimates — is a deterministic
+# integer function of the input multiset, reproducible bit-identically
+# in the DuckDB oracle. Plan shape: one posexplode (depth small, 4-8),
+# one map-side-combined groupBy over at most depth*width keys. Counter
+# rows shuffle; values never do.
+
+
+def _cms_bucket_cols(value: Column, width: int, depth: int, seed: int) -> Column:
+    """Array of ``depth`` bucket indices for one value."""
+    from hpc_hd_textreuse_etl_spark.functions.hashing import (
+        MERSENNE_P,
+        minhash_coeffs,
+    )
+
+    hm = portable_hash64(value.cast("string")) % MERSENNE_P
+    coeffs = minhash_coeffs(depth, seed=seed)
+    return F.array(
+        *[((F.lit(a) * hm + F.lit(b)) % MERSENNE_P) % F.lit(width) for a, b in coeffs]
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 11,
+    weight_col: str | Column | None = None,
+) -> DataFrame:
+    """Build the counter grid: one row per touched ``(depth, bucket)``
+    with its total count (or sum of ``weight_col``). Untouched cells are
+    implicit zeros — ``cms_lookup`` coalesces them back."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = (
+        F.lit(1).cast("bigint")
+        if weight_col is None
+        else (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+            "bigint"
+        )
+    )
+    return (
+        df.select(
+            F.posexplode(_cms_bucket_cols(v, width, depth, seed)).alias(
+                "depth", "bucket"
+            ),
+            w.alias("__w"),
+        )
+        .groupBy("depth", "bucket")
+        .agg(F.sum("__w").alias("cms_count"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Element-wise sum of two counter grids built with identical
+    (width, depth, seed) — the linearity that makes CMS shardable."""
+    return (
+        a.unionByName(b)
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cms_count").alias("cms_count"))
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 11,
+    estimate_col: str = "cms_estimate",
+) -> DataFrame:
+    """Point-query the grid for each row of ``items``: estimate =
+    min over depths of counter[g_i(item)], never an underestimate.
+    The sketch side is tiny (<= depth*width rows) — broadcast it."""
+    probes = items.select(
+        F.col(item_col),
+        F.posexplode(
+            _cms_bucket_cols(F.col(item_col), width, depth, seed)
+        ).alias("depth", "bucket"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+    return joined.groupBy(item_col).agg(
+        F.min(F.coalesce("cms_count", F.lit(0))).alias(estimate_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: hash-gated row sample + exact quantiles of the sample
+# ---------------------------------------------------------------------------
+#
+# Spark ships approx_percentile (GK); like HLL its internal state is
+# engine-private, so it can only ever get a rows-only check. This
+# variant trades theory-grade worst-case bounds for two production
+# properties: the "sketch" (a deterministic hash-gated sample of rows,
+# operators/sampling.py) is mergeable by union and identical across
+# engines, partitionings, and retries; and the estimator (type-1 /
+# percentile_disc over the sample) is exact integer+compare arithmetic,
+# so the full path sits under the DuckDB value-hash gate. Standard
+# Bernoulli-sample quantile error: O(sqrt(log(1/d)/ (f*n))) rank error.
+
+
+def quantile_sketch(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    sample_key_cols: Sequence[str],
+    fraction: float = 0.1,
+    salt: str = "qsk-v1",
+) -> DataFrame:
+    """The mergeable state: a hash-gated sample of ``(keys, value)``
+    rows. ``sample_key_cols`` must identify a row (the gate hashes keys,
+    not values, so duplicate values keep their multiplicity)."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import hash_sample
+
+    return hash_sample(df, list(sample_key_cols), fraction, salt=salt).select(
+        *key_cols, value_col, *[c for c in sample_key_cols if c not in key_cols]
+    )
+
+
+def quantiles_from_sketch(
+    sketch: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    qs: Sequence[float],
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key type-1 quantiles of the sampled rows: value at rank
+    ``ceil(q * n)`` (clamped to >= 1) under ``ORDER BY value,
+    tiebreak``. One window sort per key group; output is
+    ``(*key_cols, quantile, value)``, one row per requested q."""
+    keys = list(key_cols)
+    order = [F.col(value_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ranked = sketch.select(
+        *keys, value_col, *tiebreak_cols
+    ).withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    picks = None
+    for q in qs:
+        target = F.greatest(F.lit(1), F.ceil(F.lit(float(q)) * F.col("__n")))
+        p = ranked.where(F.col("__rn") == target).select(
+            *keys, F.lit(float(q)).alias("quantile"), F.col(value_col).alias("value")
+        )
+        picks = p if picks is None else picks.unionByName(p)
+    return picks

@@ -2606,3 +2606,303 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
         k=5, num_planes=4, num_tables=4, plane_source="literal",
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 wave 4: frequency/quantile sketches, PII scrubbing, CDC, splits
+# ---------------------------------------------------------------------------
+
+
+def _cms_oracle(
+    col: str, table: str, width: int, depth: int, seed: int, topn: int
+) -> str:
+    """DuckDB SQL mirroring cms_sketch + cms_lookup over ``table.col``
+    with the same inlined universal-family coefficients."""
+    from hpc_hd_textreuse_etl_spark.functions.hashing import minhash_coeffs
+
+    coeffs = minhash_coeffs(depth, seed=seed)
+    probe = ", ".join(
+        f"(({a} * hm + {b}) % {_P}) % {width} AS b{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    counters = "\n      UNION ALL ".join(
+        f"SELECT {i} AS depth, b{i} AS bucket, COUNT(*) AS cms_count"
+        f" FROM probes GROUP BY b{i}"
+        for i in range(depth)
+    )
+    lookups = "\n      UNION ALL ".join(
+        f"SELECT item, {i} AS depth, b{i} AS bucket FROM cand_probes"
+        for i in range(depth)
+    )
+    h = _DUCK_H.format(x=f"CAST({col} AS VARCHAR)")
+    return f"""
+    WITH h AS (
+      SELECT {col} AS item, {h} % {_P} AS hm FROM {table}
+    ), probes AS (
+      SELECT item, {probe} FROM h
+    ), counters AS (
+      {counters}
+    ), exact AS (
+      SELECT item, COUNT(*) AS exact_count FROM h GROUP BY item
+      ORDER BY exact_count DESC, item LIMIT {topn}
+    ), cand_probes AS (
+      SELECT DISTINCT p.item, b0{"".join(f", b{i}" for i in range(1, depth))}
+      FROM probes p JOIN exact e USING (item)
+    ), probe_rows AS (
+      {lookups}
+    )
+    SELECT CAST(pr.item AS BIGINT) AS item,
+           CAST(e.exact_count AS BIGINT) AS exact_count,
+           CAST(MIN(c.cms_count) AS BIGINT) AS cms_estimate
+    FROM probe_rows pr
+    JOIN counters c USING (depth, bucket)
+    JOIN exact e ON e.item = pr.item
+    GROUP BY pr.item, e.exact_count
+    """
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=_cms_oracle("l_partkey", "lineitem", width=256, depth=4, seed=11, topn=20),
+    tags=("sketch-cms", "portable-hash"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the 20 hottest part keys,
+    beside their exact counts. Width 256 over ~2000 distinct keys forces
+    real collisions, so the min-over-depths estimator is actually
+    exercised (not vacuously equal to the exact count). Counter grid,
+    probes and estimates are all integer arithmetic on the portable
+    family — the whole sketch is value-hash-gated."""
+    from hpc_hd_textreuse_etl_spark.operators.sketches import cms_lookup, cms_sketch
+
+    li = spark.table("lineitem")
+    sketch = cms_sketch(li, "l_partkey", width=256, depth=4, seed=11)
+    cand = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
+    est = cms_lookup(sketch, cand.select("l_partkey"), "l_partkey",
+                     width=256, depth=4, seed=11)
+    return (
+        cand.join(est, "l_partkey")
+        .select(
+            F.col("l_partkey").alias("item"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+        )
+    )
+
+
+@query(
+    "quantile_sketch_prices",
+    oracle=None,  # installed below (needs sampling.threshold)
+    tags=("sketch-quantile", "sampling-hash"),
+)
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price quantiles from the deterministic hash-gated
+    sample sketch: the sampled row set, the rank arithmetic and the
+    type-1 pick are all reproduced by the oracle — an engine-private
+    approx_percentile could never sit under this gate."""
+    from hpc_hd_textreuse_etl_spark.operators.sketches import (
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    li = spark.table("lineitem")
+    sk = quantile_sketch(
+        li, ["l_returnflag"], "l_extendedprice",
+        sample_key_cols=["l_orderkey", "l_linenumber"], fraction=0.2,
+    )
+    return quantiles_from_sketch(
+        sk, ["l_returnflag"], "l_extendedprice",
+        qs=(0.25, 0.5, 0.9, 0.99),
+        tiebreak_cols=("l_orderkey", "l_linenumber"),
+    )
+
+
+@query(
+    "pii_scrub_docs",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'reach user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or https://site'
+              || CAST(doc_id AS VARCHAR)
+              || '.example.com/a?q=1 node 10.0.'
+              || CAST(doc_id % 250 AS VARCHAR)
+              || '.9 tel +1-555-0' || CAST(100 + doc_id % 100 AS VARCHAR)
+              || ' ' || substr(text, 1, 40) AS t0
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(t0, 'https?://[^\s]+')) AS INT)
+               AS url_count,
+             regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g') AS t1
+      FROM synth
+    ), s2 AS (
+      SELECT doc_id, url_count,
+             CAST(length(regexp_extract_all(
+               t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS email_count,
+             regexp_replace(
+               t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT doc_id, url_count, email_count,
+             CAST(length(regexp_extract_all(
+               t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT)
+               AS ip_count,
+             regexp_replace(
+               t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t3
+      FROM s2
+    )
+    SELECT doc_id, url_count, email_count, ip_count,
+           CAST(length(regexp_extract_all(t3, '\+\d[\d\- ]{6,}\d')) AS INT)
+             AS phone_count,
+           regexp_replace(t3, '\+\d[\d\- ]{6,}\d', '<PHONE>', 'g') AS scrubbed
+    FROM s3
+    """,
+    tags=("text-pii",),
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-wise PII redaction (URL -> email -> IP -> phone) with
+    per-stage match counts. The synthetic corpus contains no PII, so the
+    query deterministically splices one span of each category (built
+    from doc_id) in front of each document — exercising every pattern on
+    every row — then scrubs. Patterns live in the Java-regex / RE2
+    common subset; counts and the final scrubbed text are value-hashed.
+    """
+    from hpc_hd_textreuse_etl_spark.functions.text import scrub_pii
+
+    docs = spark.table("documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("reach user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or https://site"),
+            F.col("doc_id").cast("string"),
+            F.lit(".example.com/a?q=1 node 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".9 tel +1-555-0"),
+            (F.col("doc_id") % 100 + 100).cast("string"),
+            F.lit(" "), F.substring("text", 1, 40),
+        ).alias("t0"),
+    )
+    cols = scrub_pii("t0")
+    return synth.select(
+        "doc_id",
+        cols["url_count"].cast("int").alias("url_count"),
+        cols["email_count"].cast("int").alias("email_count"),
+        cols["ip_count"].cast("int").alias("ip_count"),
+        cols["phone_count"].cast("int").alias("phone_count"),
+        cols["scrubbed"].alias("scrubbed"),
+    )
+
+
+@query(
+    "cdc_latest_events",
+    oracle="""
+    SELECT user_id, event_type, event_id, value FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND NOT COALESCE(value > 9.0, FALSE)
+    """,
+    tags=("cdc", "W2"),
+)
+def cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction of the event stream: current state per
+    (user, event_type) under the total order (ts, event_id), with
+    value > 9 on the *winning* row acting as a tombstone — the key
+    vanishes only if its latest change is a delete, the semantic that
+    distinguishes upsert folding from plain dedup. (merge_upsert's
+    storage path — atomic snapshot swap — is pytest-verified; this
+    gates the relational core.)"""
+    from hpc_hd_textreuse_etl_spark.operators.cdc import latest_by_key
+
+    ev = spark.table("events").withColumn("__del", F.col("value") > 9.0)
+    return latest_by_key(
+        ev, ["user_id", "event_type"], ["ts", "event_id"], delete_col="__del"
+    ).select("user_id", "event_type", "event_id", "value")
+
+
+@query(
+    "leakage_safe_split_docs",
+    oracle=None,  # installed below (needs sampling.threshold)
+    tags=("sampling-split", "dedup-resolution"),
+)
+def leakage_safe_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/test split: near-duplicate documents (portable
+    MinHash pairs, transitively closed) always land on the same side —
+    the split that doesn't leak test data through paraphrases. The
+    oracle recomputes pairs, closure, representative AND band per
+    document, so group-atomicity itself is value-hash-gated."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import minhash_near_duplicates
+    from hpc_hd_textreuse_etl_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.table("documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", num_hashes=32, num_bands=8, threshold=0.7,
+        hash_family="portable",
+    )
+    return leakage_safe_split(
+        docs.select("doc_id"), "doc_id", pairs, test_fraction=0.25
+    ).select("doc_id", "canonical_id", "split")
+
+
+def _install_wave4_oracles() -> None:
+    from hpc_hd_textreuse_etl_spark.operators.sampling import threshold
+
+    QUERIES["quantile_sketch_prices"].oracle = f"""
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+      FROM lineitem
+      WHERE {_DUCK_H.format(
+          x="'qsk-v1|' || CAST(l_orderkey AS VARCHAR)"
+            " || '|' || CAST(l_linenumber AS VARCHAR)")} < {threshold(0.2)}
+    ), r AS (
+      SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM s
+    )
+    SELECT l_returnflag, CAST(q AS DOUBLE) AS quantile, l_extendedprice AS value
+    FROM r JOIN (VALUES (0.25), (0.5), (0.9), (0.99)) qs(q)
+      ON rn = GREATEST(1, CAST(CEIL(q * n) AS BIGINT))
+    """
+
+    QUERIES["leakage_safe_split_docs"].oracle = f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM (
+        {_minhash_oracle(num_hashes=32, shingle=5, num_bands=8, threshold=0.7)}
+      )
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS x FROM e
+      UNION
+      SELECT r.node, e.dst AS x FROM reach r JOIN e ON e.src = r.x
+    ), canon AS (
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+             COALESCE(MIN(r.x), CAST(d.doc_id AS BIGINT)) AS canonical_id
+      FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, canonical_id,
+           CASE WHEN {_DUCK_H.format(
+               x="'lsplit-v1|' || CAST(canonical_id AS VARCHAR)")}
+                < {threshold(0.25)}
+                THEN 'test' ELSE 'train' END AS split
+    FROM canon
+    """
+
+
+_install_wave4_oracles()

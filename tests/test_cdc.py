@@ -1,0 +1,131 @@
+"""CDC compaction: latest-by-key semantics and the parquet upsert sink."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.catalog import path_exists
+from hpc_hd_textreuse_etl_spark.operators.cdc import latest_by_key, merge_upsert
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, ver int, payload string, deleted boolean"
+    )
+
+
+def test_latest_by_key_picks_winner_by_total_order(spark):
+    df = _changes(
+        spark,
+        [("a", 1, "old", False), ("a", 3, "new", False), ("b", 2, "only", False)],
+    )
+    out = {
+        r["k"]: r["payload"]
+        for r in latest_by_key(df, ["k"], ["ver"]).collect()
+    }
+    assert out == {"a": "new", "b": "only"}
+
+
+def test_latest_delete_shadows_earlier_upserts(spark):
+    df = _changes(
+        spark,
+        [("a", 1, "v1", False), ("a", 2, None, True), ("b", 1, "keep", False)],
+    )
+    out = latest_by_key(df, ["k"], ["ver"], delete_col="deleted").collect()
+    assert {r["k"] for r in out} == {"b"}
+    assert "deleted" not in latest_by_key(
+        df, ["k"], ["ver"], delete_col="deleted"
+    ).columns
+
+
+def test_upsert_after_delete_resurrects_key(spark):
+    df = _changes(
+        spark,
+        [("a", 1, "v1", False), ("a", 2, None, True), ("a", 3, "v3", False)],
+    )
+    out = latest_by_key(df, ["k"], ["ver"], delete_col="deleted").collect()
+    assert [(r["k"], r["payload"]) for r in out] == [("a", "v3")]
+
+
+def test_latest_deterministic_under_repartition(spark):
+    rows = [(f"k{i % 17}", i, f"p{i}", False) for i in range(500)]
+    df = _changes(spark, rows)
+    a = sorted(map(tuple, latest_by_key(df, ["k"], ["ver"]).collect()))
+    b = sorted(
+        map(tuple, latest_by_key(df.repartition(23), ["k"], ["ver"]).collect())
+    )
+    assert a == b
+
+
+def test_merge_upsert_roundtrip_and_idempotent_replay(spark, tmp_path):
+    snap = os.path.join(str(tmp_path), "snapshot")
+    d1 = _changes(spark, [("a", 1, "v1", False), ("b", 1, "w1", False)])
+    merge_upsert(spark, snap, d1, ["k"], ["ver"], delete_col="deleted")
+
+    d2 = _changes(spark, [("a", 2, "v2", False), ("b", 2, None, True)])
+    out1 = {
+        r["k"]: (r["ver"], r["payload"])
+        for r in merge_upsert(
+            spark, snap, d2, ["k"], ["ver"], delete_col="deleted"
+        ).collect()
+    }
+    assert out1 == {"a": (2, "v2")}
+
+    # replaying the same delta converges to the same snapshot
+    out2 = {
+        r["k"]: (r["ver"], r["payload"])
+        for r in merge_upsert(
+            spark, snap, d2, ["k"], ["ver"], delete_col="deleted"
+        ).collect()
+    }
+    assert out2 == out1
+    assert path_exists(spark, snap)
+    assert not path_exists(spark, snap + ".__tmp__")
+    assert not path_exists(spark, snap + ".__old__")
+
+
+def test_merge_upsert_out_of_order_delta_loses(spark, tmp_path):
+    """An old change arriving late must NOT overwrite newer state —
+    the order columns decide, not arrival time."""
+    snap = os.path.join(str(tmp_path), "snapshot")
+    merge_upsert(
+        spark, snap, _changes(spark, [("a", 5, "v5", False)]), ["k"], ["ver"],
+        delete_col="deleted",
+    )
+    out = {
+        r["k"]: r["payload"]
+        for r in merge_upsert(
+            spark, snap, _changes(spark, [("a", 3, "stale", False)]),
+            ["k"], ["ver"], delete_col="deleted",
+        ).collect()
+    }
+    assert out == {"a": "v5"}
+
+
+def test_merge_upsert_partitioned_layout(spark, tmp_path):
+    snap = os.path.join(str(tmp_path), "snapshot")
+    delta = spark.createDataFrame(
+        [("a", 1, "x", "p1"), ("b", 1, "y", "p2")],
+        "k string, ver int, payload string, part string",
+    )
+    merge_upsert(spark, snap, delta, ["k"], ["ver"], partition_cols=["part"])
+    assert path_exists(spark, os.path.join(snap, "part=p1"))
+    back = spark.read.parquet(snap)
+    assert sorted(r["k"] for r in back.collect()) == ["a", "b"]
+
+
+def test_latest_by_key_single_window_plan(spark):
+    """One hash exchange + one window — no extra shuffles sneak in."""
+    df = _changes(spark, [("a", 1, "x", False)])
+    plan = (
+        latest_by_key(df, ["k"], ["ver"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [") == 1
+    # rank<=1 is pruned map-side BEFORE the exchange: only one row per
+    # key per input partition ever shuffles — the property that makes
+    # latest-by-key viable on a 100 TB changelog
+    assert "WindowGroupLimit" in plan and ", Partial" in plan

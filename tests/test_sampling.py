@@ -14,6 +14,7 @@ from hpc_hd_textreuse_etl_spark.catalog import load_testdata
 from hpc_hd_textreuse_etl_spark.operators.sampling import (
     hash_sample,
     per_key_quota,
+    sample_hash,
     stratified_hash_sample,
     threshold,
     train_test_split,
@@ -211,3 +212,57 @@ def test_hash_values_in_space_and_fraction_monotone(gate_hashes, f):
         assert kept == 0
     if f == 1.0:
         assert kept == len(gate_hashes)
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe (group-aware) split
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.sampling import (  # noqa: E402
+    leakage_safe_split,
+)
+
+
+def _docs_and_pairs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint")
+    # chains 0-1-2, 10-11; everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    return docs, pairs
+
+
+def test_leakage_split_groups_move_atomically(spark):
+    docs, pairs = _docs_and_pairs(spark)
+    out = leakage_safe_split(docs, "doc_id", pairs, test_fraction=0.3)
+    side = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert side[0] == side[1] == side[2]
+    assert side[10] == side[11]
+
+
+def test_leakage_split_disjoint_exhaustive(spark):
+    docs, pairs = _docs_and_pairs(spark)
+    out = leakage_safe_split(docs, "doc_id", pairs, test_fraction=0.3).collect()
+    assert len(out) == 100
+    assert {r["split"] for r in out} <= {"train", "test"}
+
+
+def test_leakage_split_without_pairs_matches_plain_split(spark):
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id bigint")
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    grouped = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            docs, "doc_id", empty, test_fraction=0.25, salt="s1"
+        ).collect()
+    }
+    # singleton groups key by their own id → same bands as gating doc_id
+    plain = {
+        r["doc_id"]: "test"
+        if r["__h"] < threshold(0.25)
+        else "train"
+        for r in docs.select(
+            "doc_id", sample_hash(["doc_id"], "s1").alias("__h")
+        ).collect()
+    }
+    assert grouped == plain

@@ -61,3 +61,126 @@ def test_merge_disjoint_keys_full_outer(spark):
     b = kmv_bottom_k(_df(spark, [("b", i) for i in range(5)]), ["g"], "v", k=k)
     out = {r.g: r.kmv_estimate for r in kmv_estimate_from_sketch(kmv_merge(a, b, ["g"], k=k), k=k).collect()}
     assert out == {"a": 4.0, "b": 5.0}
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.sketches import (  # noqa: E402
+    cms_lookup,
+    cms_merge,
+    cms_sketch,
+)
+
+
+def _items_df(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "item string")
+
+
+def test_cms_never_underestimates(spark):
+    vals = [f"k{i % 37}" for i in range(1000)]
+    df = _items_df(spark, vals)
+    sketch = cms_sketch(df, "item", width=16, depth=3)  # tiny → collisions
+    items = df.distinct()
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_lookup(sketch, items, "item", width=16, depth=3).collect()
+    }
+    from collections import Counter
+
+    exact = Counter(vals)
+    assert set(est) == set(exact)
+    for k, c in exact.items():
+        assert est[k] >= c, f"{k}: estimate {est[k]} < exact {c}"
+
+
+def test_cms_exact_when_wide(spark):
+    vals = [f"k{i % 5}" for i in range(100)]
+    df = _items_df(spark, vals)
+    sketch = cms_sketch(df, "item", width=4096, depth=4)
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_lookup(sketch, df.distinct(), "item", width=4096, depth=4).collect()
+    }
+    assert est == {"k0": 20, "k1": 20, "k2": 20, "k3": 20, "k4": 20}
+
+
+def test_cms_merge_is_linear(spark):
+    a = _items_df(spark, [f"a{i % 11}" for i in range(300)])
+    b = _items_df(spark, [f"a{i % 7}" for i in range(200)])
+    merged = cms_merge(
+        cms_sketch(a, "item", width=32, depth=3),
+        cms_sketch(b, "item", width=32, depth=3),
+    )
+    whole = cms_sketch(a.unionByName(b), "item", width=32, depth=3)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame([("x", 5), ("x", 7), ("y", 1)], "item string, w int")
+    sketch = cms_sketch(df, "item", width=1024, depth=4, weight_col="w")
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_lookup(sketch, df.select("item").distinct(), "item",
+                            width=1024, depth=4).collect()
+    }
+    assert est["x"] == 12 and est["y"] == 1
+
+
+def test_cms_missing_item_estimates_from_zero_cells(spark):
+    df = _items_df(spark, ["only"])
+    sketch = cms_sketch(df, "item", width=1024, depth=4)
+    probe = _items_df(spark, ["absent"])
+    [row] = cms_lookup(sketch, probe, "item", width=1024, depth=4).collect()
+    assert row["cms_estimate"] == 0  # untouched cells coalesce to 0
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch (hash-gated sample + type-1 quantiles)
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.sketches import (  # noqa: E402
+    quantile_sketch,
+    quantiles_from_sketch,
+)
+
+
+def _vals_df(spark, n=200):
+    return spark.createDataFrame(
+        [(i, float((i * 37) % n)) for i in range(n)], "rid bigint, v double"
+    ).withColumn("g", F.lit("all"))
+
+
+def test_quantile_full_sample_is_exact(spark):
+    n = 200
+    sk = quantile_sketch(
+        _vals_df(spark, n), ["g"], "v", sample_key_cols=["rid"], fraction=1.0
+    )
+    out = {
+        r["quantile"]: r["value"]
+        for r in quantiles_from_sketch(
+            sk, ["g"], "v", qs=(0.5, 0.9), tiebreak_cols=("rid",)
+        ).collect()
+    }
+    # values are a permutation of 0..199 → type-1 quantiles are exact ranks
+    assert out[0.5] == 99.0  # ceil(0.5*200)=100th smallest = 99
+    assert out[0.9] == 179.0
+
+
+def test_quantile_sample_deterministic_under_repartition(spark):
+    df = _vals_df(spark)
+    a = quantile_sketch(df, ["g"], "v", ["rid"], fraction=0.3)
+    b = quantile_sketch(df.repartition(13), ["g"], "v", ["rid"], fraction=0.3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_quantile_sketch_merges_by_union(spark):
+    df = _vals_df(spark)
+    half1 = df.where(F.col("rid") < 100)
+    half2 = df.where(F.col("rid") >= 100)
+    merged = quantile_sketch(half1, ["g"], "v", ["rid"], fraction=0.4).unionByName(
+        quantile_sketch(half2, ["g"], "v", ["rid"], fraction=0.4)
+    )
+    whole = quantile_sketch(df, ["g"], "v", ["rid"], fraction=0.4)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))

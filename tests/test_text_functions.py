@@ -99,3 +99,54 @@ def test_repetition_stats_degenerate_docs(spark):
     assert rows[1].dup_line_fraction == 0.0  # single line, no dups
     assert rows[3].dup_line_fraction == 1.0  # all three lines identical
     assert rows[3].dup_line_char_fraction == 1.0
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.functions.text import scrub_pii  # noqa: E402
+
+
+def _scrub_one(spark, text):
+    df = spark.createDataFrame([(text,)], "t string")
+    cols = scrub_pii("t")
+    [row] = df.select(
+        *[v.alias(k) for k, v in cols.items()]
+    ).collect()
+    return row.asDict()
+
+
+def test_scrub_pii_each_category(spark):
+    r = _scrub_one(
+        spark,
+        "mail a@b.org visit https://x.io/p?q=1 host 10.0.0.1 tel +1-555-0100 end",
+    )
+    assert (r["url_count"], r["email_count"], r["ip_count"], r["phone_count"]) == (
+        1, 1, 1, 1,
+    )
+    assert r["scrubbed"] == "mail <EMAIL> visit <URL> host <IP> tel <PHONE> end"
+
+
+def test_scrub_pii_url_absorbs_inner_email_and_ip(spark):
+    # the URL is replaced first, so its userinfo-ish '@' and dotted
+    # digits never reach the email/IP stages
+    r = _scrub_one(spark, "see http://u@h.com/10.0.0.1/x now")
+    assert r["url_count"] == 1
+    assert r["email_count"] == 0
+    assert r["ip_count"] == 0
+    assert r["scrubbed"] == "see <URL> now"
+
+
+def test_scrub_pii_multiple_matches_counted(spark):
+    r = _scrub_one(spark, "a@b.co c@d.co")
+    assert r["email_count"] == 2
+    assert r["scrubbed"] == "<EMAIL> <EMAIL>"
+
+
+def test_scrub_pii_clean_text_untouched(spark):
+    r = _scrub_one(spark, "no pii here, just words and 3.14 pie")
+    assert r["scrubbed"] == "no pii here, just words and 3.14 pie"
+    assert (r["url_count"], r["email_count"], r["ip_count"], r["phone_count"]) == (
+        0, 0, 0, 0,
+    )
