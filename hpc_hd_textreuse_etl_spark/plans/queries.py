@@ -2906,3 +2906,133 @@ def _install_wave4_oracles() -> None:
 
 
 _install_wave4_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Round-3 wave 5: grouping sets (ROLLUP / CUBE), UNPIVOT, fuzzy joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("A-rollup", "grouping-sets"),
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in one pass: ROLLUP(flag, status) emits
+    leaf groups, per-flag subtotals and the grand total, disambiguated
+    by GROUPING flags (a NULL key value vs a rolled-up level look the
+    same without them). Spark expands grouping sets *before* the
+    aggregate, so it stays a single map-side-combined hash aggregate —
+    no second pass over the data for the subtotal levels."""
+    li = spark.table("lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        dsum(F.col("l_quantity"), alias="sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
+
+
+@query(
+    "order_status_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("A-cube", "grouping-sets"),
+)
+def order_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cross-classified totals: CUBE emits every subset of the two
+    dimensions (leaves, both one-dim margins, grand total) — the OLAP
+    dashboard query. Same single-aggregate expansion as ROLLUP."""
+    orders = spark.table("orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        dsum(F.col("o_totalprice"), alias="sum_price"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+        "sum_price", "n",
+    )
+
+
+@query(
+    "part_measures_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+    FROM part
+    """,
+    tags=("unpivot",),
+)
+def part_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long melt: one (key, measure, value) row per measure
+    column — the inverse of the pivot query (returnflag_pivot). Spark's
+    native unpivot is a zero-shuffle Expand node (row count ×2, no
+    exchange); the oracle spells the same thing as UNION ALL."""
+    part = spark.table("part")
+    return part.withColumn(
+        "p_size_d", F.col("p_size").cast("double")
+    ).unpivot(
+        ["p_partkey"],
+        ["p_size_d", "p_retailprice"],
+        "measure",
+        "value",
+    ).select(
+        "p_partkey",
+        F.when(F.col("measure") == "p_size_d", "p_size")
+        .otherwise(F.col("measure"))
+        .alias("measure"),
+        "value",
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, MIN(p_partkey) AS pid FROM part GROUP BY p_name
+    )
+    SELECT a.pid AS id_a, b.pid AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+    FROM names a JOIN names b
+      ON b.pid > a.pid
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+     AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("fuzzy-join",),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over short strings: distinct part names within
+    2 edits of each other (keyed by their smallest partkey). The
+    operator's sound length-band blocking (bucketed equi-join, no range
+    join, no cartesian) must reproduce DuckDB's brute-force all-pairs
+    answer exactly — blocking recall IS the thing under test."""
+    from hpc_hd_textreuse_etl_spark.operators.fuzzy import fuzzy_self_join
+
+    names = (
+        spark.table("part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("pid"))
+    )
+    return fuzzy_self_join(names, "pid", "p_name", max_dist=2).select(
+        "id_a", "id_b", F.col("edit_distance").cast("int").alias("edit_distance")
+    )

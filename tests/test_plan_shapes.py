@@ -115,3 +115,27 @@ def test_lsh_blocked_embedding_dedup_is_equi_join(spark):
     plan = executed_plan(spark, "embedding_near_dup_lsh_blocked")
     assert "CartesianProduct" not in plan
     assert "lsh_bucket" in plan
+
+
+def test_rollup_is_single_expand_aggregate(spark):
+    """ROLLUP/CUBE plan: Expand generates the grouping-set copies and ONE
+    map-side-combined aggregate consumes them — no second scan of the
+    fact table per subtotal level, one exchange total."""
+    plan = executed_plan(spark, "lineitem_rollup")
+    assert "Expand" in plan
+    assert "partial" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_unpivot_is_zero_shuffle_expand(spark):
+    """Wide-to-long melt is pure row generation: an Expand (or union of
+    projections) over one scan, never an exchange."""
+    plan = executed_plan(spark, "part_measures_unpivot")
+    assert "Exchange" not in plan
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    plan = executed_plan(spark, "fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
