@@ -35,7 +35,7 @@ def main() -> None:
     QUERIES[names[0]].builder(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     for name in names:
         best = float("inf")
         for _ in range(repeats):

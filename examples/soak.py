@@ -36,7 +36,15 @@ def _stage_totals(spark) -> tuple[int, int]:
     return read, write
 
 
+def _wanted(family: str) -> bool:
+    """Family filter: SPARK_GRAFT_SOAK_FAMILIES=cms,cdc runs only those."""
+    sel = os.environ.get("SPARK_GRAFT_SOAK_FAMILIES", "")
+    return not sel or family in {s.strip() for s in sel.split(",")}
+
+
 def measured(spark, family: str, rows: int, fn) -> None:
+    if not _wanted(family):
+        return
     r0, w0 = _stage_totals(spark)
     t0 = time.perf_counter()
     out_rows = fn()
@@ -174,6 +182,78 @@ def main() -> None:
         spark, "connected_components", n_nodes,
         lambda: connected_components(chain).count(),
     )
+
+    # Fuzzy join — 200k entity strings, block_cols as the scale contract
+    # demands (length-band alone over same-length corpora is quadratic)
+    from hpc_hd_textreuse_etl_spark.operators.fuzzy import fuzzy_self_join
+
+    n_names = int(200_000 * mult)
+    names = spark.range(n_names).select(
+        F.col("id").alias("nid"),
+        (F.col("id") % 5000).alias("blk"),
+        F.concat(
+            F.lit("entity-"),
+            (F.pmod(F.xxhash64("id"), F.lit(40_000))).cast("string"),
+            F.lit("-"),
+            (F.col("id") % 97).cast("string"),
+        ).alias("name"),
+    )
+    names.cache().count()
+    measured(
+        spark, "fuzzy_join_blocked", n_names,
+        lambda: fuzzy_self_join(
+            names, "nid", "name", max_dist=2, block_cols=["blk"]
+        ).count(),
+    )
+
+    # Count-Min sketch — 20M skewed events into a 4x65536 grid
+    from hpc_hd_textreuse_etl_spark.operators.sketches import cms_sketch
+
+    n_ev = int(20_000_000 * mult)
+    ev = spark.range(n_ev).select(
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_000)) % (1 + F.col("id") % 997))
+        .alias("item")
+    )
+    measured(
+        spark, "cms_sketch", n_ev,
+        lambda: cms_sketch(ev, "item", width=65536, depth=4).count(),
+    )
+
+    # CDC latest-by-key — 20M-change log over 2M keys: the map-side
+    # WindowGroupLimit prune is what bounds the shuffle
+    from hpc_hd_textreuse_etl_spark.operators.cdc import latest_by_key
+
+    n_chg = int(20_000_000 * mult)
+    chg = spark.range(n_chg).select(
+        (F.col("id") % 2_000_000).alias("k"),
+        F.col("id").alias("ver"),
+        F.xxhash64("id").alias("payload"),
+    )
+    measured(
+        spark, "cdc_latest_by_key", n_chg,
+        lambda: latest_by_key(chg, ["k"], ["ver"]).count(),
+    )
+
+    # Quantile sketch — 20M values, 1% deterministic sample, p50/p99
+    from hpc_hd_textreuse_etl_spark.operators.sketches import (
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    n_val = int(20_000_000 * mult)
+    vals = spark.range(n_val).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 37).cast("string").alias("g"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000_000)) / 100.0).alias("v"),
+    )
+
+    def run_quantiles():
+        sk = quantile_sketch(vals, ["g"], "v", ["rid"], fraction=0.01)
+        return quantiles_from_sketch(
+            sk, ["g"], "v", qs=(0.5, 0.99), tiebreak_cols=("rid",)
+        ).count()
+
+    measured(spark, "quantile_sketch", n_val, run_quantiles)
     spark.stop()
 
 

@@ -129,11 +129,32 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+#: per-application memo of the last ``load_testdata``: app_id -> (sf_dir,
+#: {name: df}). Temp views are session-global state, so only ONE sf_dir is
+#: live at a time; a different sf_dir (or a fresh application) reloads and
+#: re-registers everything, which keeps repeated builder calls from paying
+#: 10 footer reads + view registrations of pure fixed cost per query.
+_TESTDATA_MEMO: dict[str, tuple[str, dict[str, DataFrame]]] = {}
+
+
 def load_testdata(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
     """Read + register the synthetic tables for a scale factor dir."""
-    return {n: load_table(spark, sf_dir, n) for n in names}
+    app_id = spark.sparkContext.applicationId
+    sf_key = os.path.abspath(sf_dir)
+    memo = _TESTDATA_MEMO.get(app_id)
+    if memo is not None and memo[0] == sf_key and all(n in memo[1] for n in names):
+        return {n: memo[1][n] for n in names}
+    if memo is not None and memo[0] == sf_key:
+        dfs = dict(memo[1])  # same dir, extra tables requested
+    else:
+        dfs = {}
+    for n in names:
+        if n not in dfs:
+            dfs[n] = load_table(spark, sf_dir, n)
+    _TESTDATA_MEMO[app_id] = (sf_key, dfs)
+    return {n: dfs[n] for n in names}
 
 
 # ---------------------------------------------------------------------------

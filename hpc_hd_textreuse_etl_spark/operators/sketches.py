@@ -154,14 +154,25 @@ def kmv_estimate_from_sketch(
 # rows shuffle; values never do.
 
 
-def _cms_bucket_cols(value: Column, width: int, depth: int, seed: int) -> Column:
-    """Array of ``depth`` bucket indices for one value."""
+def _cms_bucket_cols(
+    value: Column, width: int, depth: int, seed: int, hash_family: str
+) -> Column:
+    """Array of ``depth`` bucket indices for one value. ``hash_family``
+    follows the dedup convention: "fast" = xxhash64 (JVM-vectorized,
+    ~5x cheaper, the 100 TB default), "portable" = the md5 family the
+    DuckDB oracle can recompute bit-identically."""
     from hpc_hd_textreuse_etl_spark.functions.hashing import (
         MERSENNE_P,
         minhash_coeffs,
     )
 
-    hm = portable_hash64(value.cast("string")) % MERSENNE_P
+    if hash_family == "portable":
+        base = portable_hash64(value.cast("string"))
+    elif hash_family == "fast":
+        base = F.pmod(F.xxhash64(value.cast("string")), F.lit(1 << 60))
+    else:
+        raise ValueError(f"hash_family must be 'fast' or 'portable', got {hash_family!r}")
+    hm = base % MERSENNE_P
     coeffs = minhash_coeffs(depth, seed=seed)
     return F.array(
         *[((F.lit(a) * hm + F.lit(b)) % MERSENNE_P) % F.lit(width) for a, b in coeffs]
@@ -175,6 +186,7 @@ def cms_sketch(
     depth: int = 4,
     seed: int = 11,
     weight_col: str | Column | None = None,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """Build the counter grid: one row per touched ``(depth, bucket)``
     with its total count (or sum of ``weight_col``). Untouched cells are
@@ -191,7 +203,7 @@ def cms_sketch(
     )
     return (
         df.select(
-            F.posexplode(_cms_bucket_cols(v, width, depth, seed)).alias(
+            F.posexplode(_cms_bucket_cols(v, width, depth, seed, hash_family)).alias(
                 "depth", "bucket"
             ),
             w.alias("__w"),
@@ -219,6 +231,7 @@ def cms_lookup(
     depth: int = 4,
     seed: int = 11,
     estimate_col: str = "cms_estimate",
+    hash_family: str = "fast",
 ) -> DataFrame:
     """Point-query the grid for each row of ``items``: estimate =
     min over depths of counter[g_i(item)], never an underestimate.
@@ -226,7 +239,7 @@ def cms_lookup(
     probes = items.select(
         F.col(item_col),
         F.posexplode(
-            _cms_bucket_cols(F.col(item_col), width, depth, seed)
+            _cms_bucket_cols(F.col(item_col), width, depth, seed, hash_family)
         ).alias("depth", "bucket"),
     )
     joined = probes.join(F.broadcast(sketch), ["depth", "bucket"], "left")

@@ -2676,7 +2676,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpc_hd_textreuse_etl_spark.operators.sketches import cms_lookup, cms_sketch
 
     li = spark.table("lineitem")
-    sketch = cms_sketch(li, "l_partkey", width=256, depth=4, seed=11)
+    sketch = cms_sketch(
+        li, "l_partkey", width=256, depth=4, seed=11, hash_family="portable"
+    )
     cand = (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("exact_count"))
@@ -2684,7 +2686,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     est = cms_lookup(sketch, cand.select("l_partkey"), "l_partkey",
-                     width=256, depth=4, seed=11)
+                     width=256, depth=4, seed=11, hash_family="portable")
     return (
         cand.join(est, "l_partkey")
         .select(

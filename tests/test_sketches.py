@@ -184,3 +184,30 @@ def test_quantile_sketch_merges_by_union(spark):
     )
     whole = quantile_sketch(df, ["g"], "v", ["rid"], fraction=0.4)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_cms_fast_family_same_guarantees(spark):
+    """The xxhash64 production path keeps the overestimate invariant and
+    merge linearity (values differ from the portable path; properties
+    must not)."""
+    vals = [f"k{i % 23}" for i in range(400)]
+    df = _items_df(spark, vals)
+    sketch = cms_sketch(df, "item", width=16, depth=3, hash_family="fast")
+    est = {
+        r["item"]: r["cms_estimate"]
+        for r in cms_lookup(
+            sketch, df.distinct(), "item", width=16, depth=3, hash_family="fast"
+        ).collect()
+    }
+    from collections import Counter
+
+    for k, c in Counter(vals).items():
+        assert est[k] >= c
+
+
+def test_cms_rejects_unknown_family(spark):
+    import pytest
+
+    df = _items_df(spark, ["x"])
+    with pytest.raises(ValueError, match="hash_family"):
+        cms_sketch(df, "item", hash_family="sha512").collect()
