@@ -119,3 +119,50 @@ def asof_join(
         *[matched[c].alias(n) for c, n in zip(right_cols, out_names)],
     )
     return out
+
+
+def gapfill_buckets(
+    df: DataFrame,
+    bucket_col: str,
+    group_cols: Sequence[str],
+    value_cols: dict[str, Column],
+    step: str = "interval 1 day",
+    fill: dict[str, object] | None = None,
+) -> DataFrame:
+    """Dense time-series re-grid: one row for EVERY (group, bucket) in
+    the span, empty buckets filled — the hypertable ``time_bucket_gapfill``
+    / gap-filling rollup. ``bucket_col`` must already be truncated
+    (``F.date_trunc``); ``value_cols`` are the aggregates per cell.
+
+    Scale shape: the aggregation is the only pass over the data (one
+    map-side-combined shuffle). The dense grid is built from two *dims*
+    — the global bucket span (driver-held min/max, exploded ``sequence``)
+    cross-joined with distinct groups — so the cross join is
+    |buckets| × |groups| rows regardless of input size, then a
+    broadcast-able left join attaches the sparse aggregates. Grids too
+    big to enumerate (microsecond buckets × 10^9 groups) are not a
+    gap-fill use case.
+    """
+    agged = df.groupBy(*group_cols, bucket_col).agg(
+        *[c.alias(n) for n, c in value_cols.items()]
+    )
+    span = df.select(
+        F.min(bucket_col).alias("lo"), F.max(bucket_col).alias("hi")
+    )
+    buckets = span.select(
+        F.explode(F.expr(f"sequence(lo, hi, {step})")).alias(bucket_col)
+    )
+    groups = df.select(*group_cols).distinct()
+    grid = buckets.crossJoin(groups)
+    out = grid.join(agged, [*group_cols, bucket_col], "left")
+    fills = fill or {}
+    return out.select(
+        *group_cols,
+        bucket_col,
+        *[
+            F.coalesce(F.col(n), F.lit(fills[n])).alias(n)
+            if n in fills
+            else F.col(n)
+            for n in value_cols
+        ],
+    )

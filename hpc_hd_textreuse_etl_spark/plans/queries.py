@@ -3038,3 +3038,188 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_join(names, "pid", "p_name", max_dist=2).select(
         "id_a", "id_b", F.col("edit_distance").cast("int").alias("edit_distance")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 wave 6: window zoo, multiset ops, gap-fill, incremental aggs
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_function_zoo",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+           lead(o_totalprice, 1, -1.0) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_price,
+           nth_value(o_totalprice, 3) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS third_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("W-zoo",),
+)
+def window_function_zoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/navigation window surface in one gated query:
+    ntile, percent_rank, cume_dist, lag/lead with defaults, first/last/
+    nth_value with explicit whole-partition frames (the default
+    running frame makes last_value the current row — a classic
+    cross-engine trap this query pins instead of dodging). The
+    (date, key) order is total, so every value is deterministic."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders = spark.table("orders")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("o_totalprice", 1, -1.0).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1, -1.0).over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(wf).alias("third_price"),
+    )
+
+
+@query(
+    "custkey_set_ops",
+    oracle="""
+    SELECT 'both_all' AS tag, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'o_minus_f_all' AS tag, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'both_distinct' AS tag, o_custkey FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+    tags=("U-setops",),
+)
+def custkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset algebra beyond UNION: INTERSECT ALL / EXCEPT ALL keep
+    bag multiplicities (how many 'O' orders survive pairing off against
+    'F' orders per customer), INTERSECT collapses to the distinct
+    overlap. All three tagged into one value-hashed result."""
+    orders = spark.table("orders")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        o.intersectAll(f).select(F.lit("both_all").alias("tag"), "o_custkey")
+        .unionByName(
+            o.exceptAll(f).select(F.lit("o_minus_f_all").alias("tag"), "o_custkey")
+        )
+        .unionByName(
+            o.intersect(f).select(F.lit("both_distinct").alias("tag"), "o_custkey")
+        )
+    )
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH agged AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), span AS (
+      SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ), buckets AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+      FROM span
+    ), grid AS (
+      SELECT t.event_type, b.bucket
+      FROM buckets b CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT g.event_type, g.bucket, COALESCE(a.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN agged a
+      ON a.event_type = g.event_type AND a.bucket = g.bucket
+    """,
+    tags=("temporal-gapfill",),
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type hourly event counts over the global span, silent
+    hours emitted as explicit zeros — the time_bucket_gapfill rollup a
+    monitoring/feature pipeline needs (a missing row and a zero row are
+    different facts). Data is aggregated in one shuffled pass; the
+    dense grid is dims-only (span × types) and broadcast-joined on."""
+    from hpc_hd_textreuse_etl_spark.operators.temporal import gapfill_buckets
+
+    ev = spark.table("events").withColumn(
+        "bucket", F.date_trunc("hour", F.col("ts"))
+    )
+    return gapfill_buckets(
+        ev,
+        "bucket",
+        ["event_type"],
+        {"n_events": F.count(F.lit(1)).cast("bigint")},
+        step="interval 1 hour",
+        fill={"n_events": 0},
+    ).select("event_type", "bucket", "n_events")
+
+
+@query(
+    "incremental_order_aggs",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("incremental-agg",),
+)
+def incremental_order_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: per-customer aggregates built as
+    snapshot(pre-1996 history) + delta(1996-on) via the partial-state
+    merge algebra (operators/incremental.py) — and the oracle aggregates
+    everything from scratch, so the query IS the invariant that
+    incremental maintenance equals recomputation. Sums stay decimal
+    through both stages; the cast to double happens once at the end."""
+    from hpc_hd_textreuse_etl_spark.operators.incremental import (
+        aggregate_delta,
+        incremental_aggregate,
+    )
+
+    orders = spark.table("orders")
+    cut = F.lit("1996-01-01").cast("date")
+    specs = {
+        "n_orders": ("count", None),
+        "sum_price": ("sum", F.col("o_totalprice").cast("decimal(30,4)")),
+        "first_order": ("min", "o_orderdate"),
+        "last_order": ("max", "o_orderdate"),
+    }
+    snapshot = aggregate_delta(
+        orders.where(F.col("o_orderdate") < cut), ["o_custkey"], specs
+    )
+    merged = incremental_aggregate(
+        snapshot, orders.where(F.col("o_orderdate") >= cut), ["o_custkey"], specs
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "first_order",
+        "last_order",
+    )

@@ -52,3 +52,44 @@ def read_idempotent_table(spark, path: str) -> DataFrame:
     physical ``batch_id`` partition column."""
     df = spark.read.option("basePath", path).parquet(path)
     return df.drop("batch_id")
+
+
+def write_stream_upsert(
+    stream_df: DataFrame,
+    snapshot_path: str,
+    checkpoint: str,
+    key_cols,
+    order_cols,
+    delete_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming CDC sink: fold each micro-batch of keyed change rows
+    into the current-state parquet snapshot (operators/cdc.py
+    ``merge_upsert``), the ``foreachBatch`` twin of the batch path.
+
+    Idempotent under batch REPLAY by a stronger mechanism than the
+    batch_id-directory sink: the merge itself is convergent — the
+    explicit ``order_cols`` total order decides every key, so applying
+    the same delta twice (or deltas out of order) lands on the same
+    snapshot. Combined with merge_upsert's temp-dir + atomic-rename
+    swap, a crash at any point leaves either the old or the new
+    snapshot, never a torn one.
+    """
+    from hpc_hd_textreuse_etl_spark.operators.cdc import merge_upsert
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            batch_df.sparkSession,
+            snapshot_path,
+            batch_df,
+            key_cols,
+            order_cols,
+            delete_col=delete_col,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

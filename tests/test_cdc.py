@@ -129,3 +129,62 @@ def test_latest_by_key_single_window_plan(spark):
     # key per input partition ever shuffles — the property that makes
     # latest-by-key viable on a 100 TB changelog
     assert "WindowGroupLimit" in plan and ", Partial" in plan
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC sink
+# ---------------------------------------------------------------------------
+
+
+def test_stream_upsert_folds_changelog_into_snapshot(spark, tmp_path):
+    from hpc_hd_textreuse_etl_spark.streaming.sinks import write_stream_upsert
+
+    src = str(tmp_path / "changes")
+    snap = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    _changes(
+        spark,
+        [("a", 1, "v1", False), ("b", 1, "w1", False)],
+    ).write.parquet(src + "/f1.parquet")
+    _changes(
+        spark,
+        [("a", 2, "v2", False), ("b", 2, None, True), ("c", 1, "x1", False)],
+    ).write.parquet(src + "/f2.parquet")
+
+    stream = (
+        spark.readStream.schema("k string, ver int, payload string, deleted boolean")
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src + "/*")
+    )
+    q = write_stream_upsert(
+        stream, snap, ckpt, ["k"], ["ver"], delete_col="deleted"
+    )
+    q.awaitTermination(120)
+    out = {
+        r["k"]: (r["ver"], r["payload"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert out == {"a": (2, "v2"), "c": (1, "x1")}
+
+
+def test_stream_upsert_replay_converges(spark, tmp_path):
+    """Re-running from a FRESH checkpoint (worst-case full replay) must
+    land on the identical snapshot — the order columns decide, not
+    arrival count."""
+    from hpc_hd_textreuse_etl_spark.streaming.sinks import write_stream_upsert
+
+    src = str(tmp_path / "changes")
+    snap = str(tmp_path / "snapshot")
+    _changes(
+        spark, [("a", 2, "new", False), ("a", 1, "old", False)]
+    ).write.parquet(src + "/f1.parquet")
+    schema = "k string, ver int, payload string, deleted boolean"
+    for i, ckpt in enumerate(("c1", "c2")):
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        q = write_stream_upsert(
+            stream, snap, str(tmp_path / ckpt), ["k"], ["ver"],
+            delete_col="deleted",
+        )
+        q.awaitTermination(120)
+        out = [tuple(r) for r in spark.read.parquet(snap).collect()]
+        assert out == [("a", 2, "new")], f"run {i}: {out}"
