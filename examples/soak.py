@@ -254,6 +254,20 @@ def main() -> None:
         ).count()
 
     measured(spark, "quantile_sketch", n_val, run_quantiles)
+
+    # Integer PageRank — 1M-edge scale-free-ish directed graph, 3 rounds
+    from hpc_hd_textreuse_etl_spark.operators.graph import pagerank_scaled
+
+    n_pr_edges = int(1_000_000 * mult)
+    pr_edges = spark.range(n_pr_edges).select(
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("src"),
+        (F.pmod(F.xxhash64(F.col("id") + 1), F.lit(100_000)) % 1000).alias("dst"),
+    )
+    pr_edges.cache().count()
+    measured(
+        spark, "pagerank_scaled", n_pr_edges,
+        lambda: pagerank_scaled(pr_edges, iterations=3).count(),
+    )
     spark.stop()
 
 

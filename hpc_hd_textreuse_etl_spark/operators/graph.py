@@ -148,3 +148,79 @@ def _truncate(spark: SparkSession, e: DataFrame, checkpoint: str, it: int) -> Da
     path = f"{checkpoint}/edges_{it % 2}"
     e.write.mode("overwrite").option("compression", "zstd").parquet(path)
     return spark.read.parquet(path)
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000_000_000,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank in exact integer arithmetic: ranks live on a
+    ``scale``-denominator lattice and every contribution is a floor
+    division, so the result after a FIXED number of power iterations is
+    a pure deterministic integer function of the edge set — identical
+    under any partitioning, retry, or engine. That puts an *iterative
+    graph algorithm* under the DuckDB value-hash gate, which
+    floating-point PageRank never can be (per-partition summation order
+    changes the ulps; a rounding gate is fragile — see the matmul ANN
+    rank-gate precedent).
+
+        r0(v)   = scale // N
+        r_k+1(v)= (scale * (den-num)) // (den * N)
+                  + Σ_{u→v} (r_k(u) * num) // (den * outdeg(u))
+
+    Dangling-node mass is dropped (the classic simplification; total
+    rank decays slightly rather than redistributing — documented, and
+    identical in the oracle). Each iteration is one equi-join of the
+    current ranks against the edge list plus a map-side-combined sum —
+    shuffle ∝ edges, the same bound as one CC round. For iteration
+    counts beyond ~10 insert a checkpoint via the CC loop's
+    ``_truncate`` pattern to keep lineage flat.
+
+    Returns ``(node, rank_scaled)`` over every node appearing in edges.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    n_nodes = nodes.count()  # tiny driver scalar, fixed for the run
+    base = (scale * (damping_den - damping_num)) // (damping_den * n_nodes)
+    # outdeg is a function of the static edge set: fold it in ONCE so the
+    # loop is a single join + aggregate per iteration, not two joins.
+    # (the persisted table is (src, dst, outdeg) keys only — kilobytes
+    # per million edges; repeated calls cache independent copies and
+    # rely on LRU eviction, the standard trade for loop-invariant state)
+    e_deg = e.join(outdeg.withColumnRenamed("node", "src"), "src").persist()
+    ranks = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("rank_scaled")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(rank_scaled * {damping_num}) div ({damping_den} * outdeg)"
+                ).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(F.sum("c").alias("in_mass"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (F.lit(base).cast("long") + F.coalesce(F.col("in_mass"), F.lit(0).cast("long")))
+            .alias("rank_scaled"),
+        )
+    return ranks

@@ -2815,6 +2815,7 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn = 1 AND NOT COALESCE(value > 9.0, FALSE)
     """,
     tags=("cdc", "W2"),
+    bench=True,
 )
 def cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC compaction of the event stream: current state per
@@ -2927,6 +2928,7 @@ _install_wave4_oracles()
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
     tags=("A-rollup", "grouping-sets"),
+    bench=True,
 )
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals in one pass: ROLLUP(flag, status) emits
@@ -3189,6 +3191,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders GROUP BY o_custkey
     """,
     tags=("incremental-agg",),
+    bench=True,
 )
 def incremental_order_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view maintenance: per-customer aggregates built as
@@ -3222,4 +3225,69 @@ def incremental_order_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price").cast("double").alias("sum_price"),
         "first_order",
         "last_order",
+    )
+
+
+def _pagerank_oracle(
+    edges_sql: str, iterations: int, scale: int, num: int, den: int
+) -> str:
+    """DuckDB SQL mirroring pagerank_scaled: the fixed power iteration
+    unrolled as chained CTEs, every step integer floor division."""
+    ctes = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "outdeg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, {scale} // n AS rank_scaled FROM nodes, nn)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT n.node,
+             ({scale} * {den - num}) // ({den} * nn.n)
+               + COALESCE(SUM((r.rank_scaled * {num}) // ({den} * d.outdeg)), 0)
+               AS rank_scaled
+      FROM nodes n
+      CROSS JOIN nn
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN r{k - 1} r ON r.node = e.src
+      LEFT JOIN outdeg d ON d.node = e.src
+      GROUP BY n.node, nn.n
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r{iterations}"
+    )
+
+
+@query(
+    "pagerank_supplier_parts",
+    oracle=_pagerank_oracle(
+        edges_sql="""
+        SELECT CAST(l_suppkey AS BIGINT) AS src,
+               CAST(l_partkey + 1000000 AS BIGINT) AS dst
+        FROM lineitem
+        """,
+        iterations=3, scale=1_000_000_000_000, num=85, den=100,
+    ),
+    tags=("graph-pagerank", "iterative"),
+)
+def pagerank_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three power iterations of integer-lattice PageRank over the
+    supplier→part supply graph (part ids offset to disjoin the key
+    spaces). An ITERATIVE algorithm under the full value-hash gate:
+    floor-division arithmetic makes every rank a deterministic integer,
+    so the oracle unrolls the same three iterations as chained CTEs and
+    must agree bit-for-bit — no rounding tolerance anywhere."""
+    from hpc_hd_textreuse_etl_spark.operators.graph import pagerank_scaled
+
+    li = spark.table("lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 1_000_000).cast("long").alias("dst"),
+    )
+    return pagerank_scaled(edges, iterations=3).select(
+        "node", F.col("rank_scaled").cast("bigint").alias("rank_scaled")
     )

@@ -53,3 +53,79 @@ def test_no_fixpoint_raises(spark, tmp_path):
     e = spark.createDataFrame([(i, i + 1) for i in range(1, 40)], "src long, dst long")
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(e, max_iter=1, checkpoint_dir=str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# Integer-lattice PageRank
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hpc_hd_textreuse_etl_spark.operators.graph import pagerank_scaled  # noqa: E402
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_pagerank_hand_computed_cycle(spark):
+    # 3-cycle: perfectly symmetric, every node keeps the uniform rank
+    # (up to the floor-division lattice)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1)])
+    scale = 3_000_000  # divisible by 3 => r0 exact
+    out = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_scaled(e, iterations=2, scale=scale).collect()
+    }
+    base = (scale * 15) // (100 * 3)
+    r0 = scale // 3
+    r1 = base + (r0 * 85) // 100
+    r2 = base + (r1 * 85) // 100
+    assert out == {1: r2, 2: r2, 3: r2}
+
+
+def test_pagerank_sink_accumulates_hub_splits(spark):
+    # 1 -> {2, 3}: the hub's mass splits by outdeg; 2 and 3 tie
+    e = _edges(spark, [(1, 2), (1, 3)])
+    out = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_scaled(e, iterations=1, scale=300).collect()
+    }
+    base = (300 * 15) // (100 * 3)  # 0 on this tiny lattice... keep exact
+    r0 = 300 // 3
+    contrib = (r0 * 85) // (100 * 2)
+    assert out[2] == out[3] == base + contrib
+    assert out[1] == base  # dangling inflow: nothing points at 1
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(50), rng.randrange(50)) for _ in range(300)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    a = sorted(map(tuple, pagerank_scaled(_edges(spark, pairs), 3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank_scaled(_edges(spark, pairs).repartition(17), 3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pagerank_mass_never_exceeds_scale(spark):
+    # floor division only loses mass (dangling + lattice truncation)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (2, 4)])
+    total = (
+        pagerank_scaled(e, iterations=4)
+        .agg(F.sum("rank_scaled").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total <= 1_000_000_000_000
+
+
+def test_pagerank_zero_iterations_is_uniform(spark):
+    e = _edges(spark, [(1, 2), (2, 1)])
+    out = {r["node"]: r["rank_scaled"] for r in pagerank_scaled(e, 0, scale=10).collect()}
+    assert out == {1: 5, 2: 5}
