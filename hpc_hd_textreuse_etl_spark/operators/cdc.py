@@ -100,3 +100,62 @@ def merge_upsert(
     rename_path(spark, tmp, snapshot_path)
     delete_path(spark, old)
     return spark.read.parquet(snapshot_path)
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    order_cols: Sequence[str] | None = None,
+    end_of_time=None,
+) -> DataFrame:
+    """Slowly-changing-dimension **Type 2**: fold a keyed change stream
+    into validity-interval history rows — the dimension-table twin of
+    :func:`latest_by_key` (which keeps only the last state, this keeps
+    them all with ``[valid_from, valid_to)`` spans).
+
+    For each key, change rows ordered by ``order_cols`` (default:
+    ``(ts_col,)`` — append a unique id to make it total if timestamps
+    can collide) become one history row each:
+
+    - ``valid_from``  = the row's ``ts_col``;
+    - ``valid_to``    = the NEXT change's ``ts_col`` (``end_of_time`` /
+      NULL for the current row) — half-open, so as-of lookups are
+      ``valid_from <= t AND (valid_to IS NULL OR t < valid_to)``;
+    - ``is_current``  = no later change exists.
+
+    Consecutive rows with identical ``attr_cols`` are collapsed first
+    (a "change" that changes nothing must not split an interval — the
+    run-length dedup uses a lag comparison, not a distinct, so
+    re-appearing earlier values still open new intervals).
+
+    One window per step over the same ``(keys, order)`` partitioning —
+    Catalyst plans a single Exchange+Sort reused by the lag-dedup and
+    the lead; shuffle ∝ input rows. Joining facts against the result is
+    a job for :func:`~hpc_hd_textreuse_etl_spark.operators.temporal.asof_join`
+    (on ``valid_from``) or ``interval_join`` (on the spans).
+    """
+    keys = list(key_cols)
+    order = list(order_cols) if order_cols else [ts_col]
+    attrs = list(attr_cols)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    cur = F.struct(*[F.col(c) for c in attrs])
+    changed = (
+        changes.withColumn("__prev", F.lag(cur).over(w))
+        # first row of the key, or any attribute differs from the
+        # previous state → opens a new interval
+        .where(F.col("__prev").isNull() | (cur != F.col("__prev")))
+        .drop("__prev")
+    )
+    out = changed.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+    if end_of_time is not None:
+        out = out.withColumn(
+            "valid_to", F.coalesce(F.col("valid_to"), F.lit(end_of_time))
+        )
+    return out

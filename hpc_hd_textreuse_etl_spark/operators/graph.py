@@ -224,3 +224,72 @@ def pagerank_scaled(
             .alias("rank_scaled"),
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via **degree-ordered orientation** — the
+    standard distributed triangle algorithm (Suri & Vassilvitskii's
+    MR "node-iterator++" / Cohen's scheme).
+
+    A naive wedge join (edges ⋈ edges on the shared endpoint) generates
+    Σ deg(v)² candidates — a skew bomb: one celebrity node with 10⁷
+    neighbors yields 10¹⁴ wedges. Orienting every undirected edge from
+    the lexicographically-smaller ``(degree, id)`` endpoint to the
+    larger caps every out-degree at O(√m), so the wedge count is
+    O(m^{3/2}) — the optimal bound — and hub skew disappears by
+    construction (a high-degree node has tiny out-degree).
+
+    Plan shape: degree computation (one map-side-combined shuffle),
+    two hash equi-joins (wedge build on the pivot node, closure probe
+    on the (v, w) pair), one explode + count. Each triangle {u,v,w}
+    with rank(u) < rank(v) < rank(w) is found exactly once: as the
+    wedge v←u→w closed by v→w.
+
+    Returns ``(node, triangles)`` for every node of the graph (nodes in
+    no triangle included with 0 — a node's absence and a zero count are
+    different facts).
+    """
+    und = _canonical(edges, src, dst).select(
+        F.col("v").alias("a"), F.col("u").alias("b")  # a < b by id
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    w1 = oriented.select("u", "v", "dv")
+    w2 = oriented.select(
+        F.col("u").alias("u"), F.col("v").alias("w"), F.col("dv").alias("dw")
+    )
+    rank_lt = (F.col("dv") < F.col("dw")) | (
+        (F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))
+    )
+    wedges = w1.join(w2, "u").filter(rank_lt).select("u", "v", "w")
+    closed = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"],
+    )
+    per_node = (
+        closed.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    nodes = deg.select("node")
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles")
+    )

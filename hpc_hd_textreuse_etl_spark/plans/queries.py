@@ -3291,3 +3291,182 @@ def pagerank_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_scaled(edges, iterations=3).select(
         "node", F.col("rank_scaled").cast("bigint").alias("rank_scaled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join (binned equi-join range join — operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_overlap_pairs",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(event_id AS BIGINT) AS event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) + 1 AS e
+      FROM events
+    )
+    SELECT a.user_id AS user_id,
+           a.event_id AS event_id_l,
+           b.event_id AS event_id_r,
+           GREATEST(a.s, b.s) AS overlap_start,
+           LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id
+     AND a.s < b.e AND b.s < a.e
+     AND a.event_id < b.event_id
+    """,
+    tags=("interval-join", "range-join"),
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs of same-user event intervals that overlap in time, via
+    the binned-equi-join range join (operators/temporal.py
+    interval_join). The oracle is the naive θ-join DuckDB can afford at
+    sf0.01 — the whole point is that the Spark side never plans one:
+    candidates come from a hash-joinable (user, bin) key and are emitted
+    exactly once via the anchor-bin rule, then re-verified on the exact
+    integers. Same operator family as the reference's piece-overlap
+    reasoning (defrag windows), generalized to arbitrary intervals."""
+    from hpc_hd_textreuse_etl_spark.operators.temporal import interval_join
+
+    iv = spark.table("events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.col("value") * 1_000_000).cast("long")
+            + F.lit(1)
+        ).alias("e"),
+    )
+    pairs = interval_join(
+        iv,
+        iv,
+        "s",
+        "e",
+        "s",
+        "e",
+        by=["user_id"],
+        bin_width=60_000_000,  # 60 s bins ≈ median interval length
+        suffixes=("_l", "_r"),
+    )
+    s_l, s_r = F.col("s_l"), F.col("s_r")
+    e_l, e_r = F.col("e_l"), F.col("e_r")
+    return pairs.filter(F.col("event_id_l") < F.col("event_id_r")).select(
+        "user_id",
+        "event_id_l",
+        "event_id_r",
+        F.greatest(s_l, s_r).alias("overlap_start"),
+        (F.least(e_l, e_r) - F.greatest(s_l, s_r)).alias("overlap_us"),
+    )
+
+
+@query(
+    "triangle_counts_supplier",
+    oracle="""
+    WITH und AS (
+      SELECT DISTINCT
+             LEAST(CAST(a.l_suppkey AS BIGINT), CAST(b.l_suppkey AS BIGINT)) AS x,
+             GREATEST(CAST(a.l_suppkey AS BIGINT), CAST(b.l_suppkey AS BIGINT)) AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), tri AS (
+      SELECT e1.x AS u, e1.y AS v, e2.y AS w
+      FROM und e1
+      JOIN und e2 ON e2.x = e1.x AND e2.y > e1.y
+      JOIN und e3 ON e3.x = e1.y AND e3.y = e2.y
+    ), hits AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    ), nodes AS (
+      SELECT DISTINCT x AS node FROM und
+      UNION SELECT DISTINCT y FROM und
+    )
+    SELECT n.node, CAST(COALESCE(c.triangles, 0) AS BIGINT) AS triangles
+    FROM nodes n
+    LEFT JOIN (SELECT node, count(*) AS triangles FROM hits GROUP BY node) c
+      ON c.node = n.node
+    """,
+    tags=("graph-triangles",),
+)
+def triangle_counts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts over the co-supply graph (two
+    suppliers adjacent iff they supply the same order). The Spark side
+    runs the degree-ordered-orientation algorithm (O(m^1.5) wedges,
+    skew-proof — operators/graph.py triangle_count); the oracle
+    brute-forces the id-ordered triple join, which is affordable at
+    sf0.01 and provably enumerates the same triangle set."""
+    from hpc_hd_textreuse_etl_spark.operators.graph import triangle_count
+
+    li = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").cast("long").alias("src"),
+            F.col("b.l_suppkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return triangle_count(pairs)
+
+
+@query(
+    "scd2_customer_status",
+    oracle="""
+    WITH ch AS (
+      SELECT CAST(o_custkey AS BIGINT) AS custkey,
+             o_orderstatus AS status,
+             epoch_us(o_orderdate) AS t,
+             CAST(o_orderkey AS BIGINT) AS oid
+      FROM orders
+    ), marked AS (
+      SELECT *, lag(status) OVER (PARTITION BY custkey ORDER BY t, oid) AS prev
+      FROM ch
+    ), opens AS (
+      SELECT custkey, status, t, oid
+      FROM marked WHERE prev IS NULL OR status <> prev
+    )
+    SELECT custkey, status,
+           t AS valid_from,
+           lead(t) OVER (PARTITION BY custkey ORDER BY t, oid) AS valid_to,
+           (lead(t) OVER (PARTITION BY custkey ORDER BY t, oid) IS NULL)
+             AS is_current
+    FROM opens
+    """,
+    tags=("scd2", "cdc"),
+)
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from the per-customer
+    order-status change stream: run-length-collapsed states with
+    half-open [valid_from, valid_to) spans and a current flag
+    (operators/cdc.py scd2_history — the history-keeping twin of
+    latest_by_key). Single exchange+sort per key reused by the
+    lag-dedup and the lead."""
+    from hpc_hd_textreuse_etl_spark.operators.cdc import scd2_history
+
+    ch = spark.table("orders").select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.unix_micros(F.col("o_orderdate")).alias("t"),
+        F.col("o_orderkey").cast("long").alias("oid"),
+    )
+    return scd2_history(
+        ch,
+        key_cols=["custkey"],
+        ts_col="t",
+        attr_cols=["status"],
+        order_cols=["t", "oid"],
+    ).select(
+        "custkey",
+        "status",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

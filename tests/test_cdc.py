@@ -188,3 +188,80 @@ def test_stream_upsert_replay_converges(spark, tmp_path):
         q.awaitTermination(120)
         out = [tuple(r) for r in spark.read.parquet(snap).collect()]
         assert out == [("a", 2, "new")], f"run {i}: {out}"
+
+
+# ---------------------------------------------------------------------------
+# scd2_history
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.cdc import scd2_history  # noqa: E402
+
+
+def _scd2(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "k long, t long, v string, uid long")
+    kw.setdefault("key_cols", ["k"])
+    kw.setdefault("ts_col", "t")
+    kw.setdefault("attr_cols", ["v"])
+    kw.setdefault("order_cols", ["t", "uid"])
+    return {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(df, **kw).collect()
+    }
+
+
+def test_scd2_basic_intervals_and_current_flag(spark):
+    rows = [(1, 10, "a", 1), (1, 20, "b", 2), (1, 30, "c", 3)]
+    assert _scd2(spark, rows) == {
+        (1, "a", 10, 20, False),
+        (1, "b", 20, 30, False),
+        (1, "c", 30, None, True),
+    }
+
+
+def test_scd2_collapses_no_op_changes_but_reopens_reverts(spark):
+    # a → a (no-op, collapsed) → b → a (revert REOPENS an interval)
+    rows = [(1, 10, "a", 1), (1, 20, "a", 2), (1, 30, "b", 3), (1, 40, "a", 4)]
+    assert _scd2(spark, rows) == {
+        (1, "a", 10, 30, False),
+        (1, "b", 30, 40, False),
+        (1, "a", 40, None, True),
+    }
+
+
+def test_scd2_per_key_isolation_and_end_of_time(spark):
+    rows = [(1, 10, "a", 1), (2, 5, "x", 2), (2, 7, "y", 3)]
+    df = spark.createDataFrame(rows, "k long, t long, v string, uid long")
+    got = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(
+            df, ["k"], "t", ["v"], ["t", "uid"], end_of_time=999
+        ).collect()
+    }
+    assert got == {
+        (1, "a", 10, 999, True),
+        (2, "x", 5, 7, False),
+        (2, "y", 7, 999, True),
+    }
+
+
+def test_scd2_same_ts_total_order_tiebreak(spark):
+    # two changes at the same timestamp: uid decides; later uid wins the
+    # open interval, earlier becomes a zero-length span (documented)
+    rows = [(1, 10, "a", 1), (1, 10, "b", 2)]
+    assert _scd2(spark, rows) == {
+        (1, "a", 10, 10, False),
+        (1, "b", 10, None, True),
+    }
+
+
+def test_scd2_single_exchange_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a", 1), (1, 20, "b", 2)], "k long, t long, v string, uid long"
+    )
+    plan = (
+        scd2_history(df, ["k"], "t", ["v"], ["t", "uid"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -129,3 +129,67 @@ def test_pagerank_zero_iterations_is_uniform(spark):
     e = _edges(spark, [(1, 2), (2, 1)])
     out = {r["node"]: r["rank_scaled"] for r in pagerank_scaled(e, 0, scale=10).collect()}
     assert out == {1: 5, 2: 5}
+
+
+# ---------------------------------------------------------------------------
+# triangle_count (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+from itertools import combinations  # noqa: E402
+import random  # noqa: E402
+
+from hpc_hd_textreuse_etl_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def _tri(spark, edges):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    return {(r.node, r.triangles) for r in triangle_count(e).collect()}
+
+
+def brute_triangles(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    adj = {n: set() for n in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    counts = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                counts[n] += 1
+    return set(counts.items())
+
+
+def test_triangle_hand_graphs(spark):
+    # single triangle
+    assert _tri(spark, [(1, 2), (2, 3), (3, 1)]) == {(1, 1), (2, 1), (3, 1)}
+    # square (no diagonal): zero triangles everywhere
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == {
+        (1, 0), (2, 0), (3, 0), (4, 0)
+    }
+    # square + one diagonal: two triangles sharing the diagonal
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]) == {
+        (1, 2), (3, 2), (2, 1), (4, 1)
+    }
+    # star: hub has huge degree, zero triangles (skew-shaped input)
+    assert _tri(spark, [(0, i) for i in range(1, 8)]) == {
+        (i, 0) for i in range(8)
+    }
+
+
+def test_triangle_duplicate_orientation_selfloop_insensitive(spark):
+    base = [(1, 2), (2, 3), (3, 1)]
+    noisy = base + [(2, 1), (3, 2), (1, 1), (2, 3), (3, 3)]
+    assert _tri(spark, noisy) == _tri(spark, base)
+
+
+def test_triangle_random_graph_matches_brute_force(spark):
+    rng = random.Random(17)
+    nodes = list(range(24))
+    edges = [
+        (a, b) for a, b in combinations(nodes, 2) if rng.random() < 0.25
+    ]
+    rng.shuffle(edges)
+    flipped = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in edges]
+    assert _tri(spark, flipped) == brute_triangles(edges)

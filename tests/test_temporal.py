@@ -110,3 +110,86 @@ def test_asof_plan_is_single_exchange(spark):
     assert "Exchange" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# interval_join (binned range join)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Row  # noqa: E402
+
+from hpc_hd_textreuse_etl_spark.operators.temporal import interval_join  # noqa: E402
+
+
+def brute_force_overlaps(lefts, rights, keyed=True):
+    """[(key, id, s, e)] × 2 → {(lid, rid)} for overlapping half-open pairs."""
+    out = set()
+    for lk, lid, ls, le in lefts:
+        for rk, rid, rs, re_ in rights:
+            if (not keyed or lk == rk) and ls < re_ and rs < le:
+                out.add((lid, rid))
+    return out
+
+
+iv_st = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # key
+        st.integers(-50, 200),      # start
+        st.integers(1, 120),        # length (spans many width-7 bins)
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(iv_st, iv_st, st.sampled_from([3, 7, 64]))
+@settings(max_examples=25, deadline=None)
+def test_interval_join_matches_brute_force(spark, livs, rivs, width):
+    lefts = [(k, i, s, s + n) for i, (k, s, n) in enumerate(livs)]
+    rights = [(k, 1000 + i, s, s + n) for i, (k, s, n) in enumerate(rivs)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [Row(key=k, rid=i, s=s, e=e) for k, i, s, e in rows],
+        "key long, rid long, s long, e long",
+    )
+    got = interval_join(
+        mk(lefts), mk(rights), "s", "e", "s", "e", by=["key"], bin_width=width
+    )
+    pairs = {(r.rid_l, r.rid_r) for r in got.collect()}
+    assert pairs == brute_force_overlaps(lefts, rights)
+    # exactly-once: no duplicate pair rows even when pairs share many bins
+    assert got.count() == len(pairs)
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    iv = spark.createDataFrame(
+        [Row(key=1, rid=i, s=i * 10, e=i * 10 + 25) for i in range(50)],
+        "key long, rid long, s long, e long",
+    )
+    plan = interval_join(
+        iv, iv, "s", "e", "s", "e", by=["key"], bin_width=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_join_fanout_guard_raises(spark):
+    import pytest as _pytest
+
+    wide = spark.createDataFrame(
+        [Row(key=1, rid=1, s=0, e=10_000_000)], "key long, rid long, s long, e long"
+    )
+    bad = interval_join(
+        wide, wide, "s", "e", "s", "e", by=["key"], bin_width=10, max_bins_per_row=64
+    )
+    with _pytest.raises(Exception, match="interval_join"):
+        bad.count()
+
+
+def test_interval_join_no_keys_and_boundary_touch(spark):
+    a = spark.createDataFrame(
+        [Row(rid=1, s=0, e=10), Row(rid=2, s=10, e=20)], "rid long, s long, e long"
+    )
+    got = interval_join(a, a, "s", "e", "s", "e", bin_width=10)
+    pairs = {(r.rid_l, r.rid_r) for r in got.collect()}
+    # half-open: [0,10) and [10,20) touch but do NOT overlap
+    assert pairs == {(1, 1), (2, 2)}
