@@ -308,3 +308,193 @@ def quantiles_from_sketch(
         )
         picks = p if picks is None else picks.unionByName(p)
     return picks
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (portable-register variant)
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    p: int = 9,
+) -> DataFrame:
+    """HyperLogLog register table on the portable hash family —
+    Flajolet et al.'s sketch with every register value an exact integer
+    both engines can recompute (Spark's own ``approx_count_distinct``
+    is HLL++ too, but its register layout is engine-private, so it can
+    only ever get a rows-only check; this variant puts HLL itself under
+    the DuckDB value-hash gate, the same reasoning as KMV above).
+
+    The 60-bit hash splits as: low ``p`` bits → register index
+    (``H & (2^p - 1)``), remaining ``60-p`` bits → the pattern whose
+    leading-zero count is ranked. ``rho`` = position of the first 1-bit
+    = ``(60 - p) - floor(log2(rest))`` computed exactly as
+    ``61 - p - length(bin(rest))`` (binary-string length — no floating
+    log); all-zero pattern → sentinel ``61 - p``.
+
+    One map-side-combined ``max`` shuffle of ≤ 2^p counter rows per key
+    group; registers never materialize per input row. Mergeable:
+    element-wise max (:func:`hll_merge`). Returns
+    ``(*keys, register, max_rho)`` — absent registers are empties
+    (estimator counts them as zeros).
+    """
+    m = 1 << p
+    v = F.col(value_col)
+    h = portable_hash64(v.cast("string"))
+    rest_bits = 60 - p
+    rest = F.shiftright(h, p)
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(
+            *keys,
+            (h.bitwiseAND(F.lit(m - 1))).alias("register"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy(*keys, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, keys: Sequence[str] = ()) -> DataFrame:
+    """Merge two register tables: element-wise max — the HLL union."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys, "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(sketch: DataFrame, p: int = 9) -> float:
+    """Cardinality estimate from a (single-group) register table.
+
+    Standard HLL estimator: ``E = alpha_m · m² / Σ 2^(-M_j)`` with the
+    small-range linear-counting correction (``E ≤ 2.5 m`` and empty
+    registers exist → ``m · ln(m / V)``). The sketch is ≤ 2^p rows by
+    construction, so collecting it is free; the float math happens
+    driver-side AFTER the gated integer registers."""
+    import math
+
+    m = 1 << p
+    rows = sketch.select("register", "max_rho").collect()
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
+    denom = sum(2.0 ** -r.max_rho for r in rows) + (m - len(rows))  # empties: 2^0
+    est = alpha * m * m / denom
+    zeros = m - len(rows)
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (portable-bitmap variant)
+# ---------------------------------------------------------------------------
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: int = 97,
+) -> DataFrame:
+    """Build a Bloom filter as a relational bitmap: ``(word, bits)``
+    rows of 32-bit words (32 so ``1 << bit`` stays far from the int64
+    sign bit in every engine). Bit positions come from the seeded
+    universal family over the portable hash
+    (functions/hashing.py) — k positions per value, ``word = pos >> 5``,
+    ``bit = pos & 31`` — folded with one map-side-combined ``bit_or``
+    shuffle of ≤ k rows per input value and ≤ m_bits/32 output rows.
+
+    Spark's own ``bloom_filter_agg`` keeps the production one-shot
+    path; this variant is (a) mergeable (:func:`bloom_merge` —
+    element-wise OR), (b) cross-engine exact, so the filter CONTENT
+    sits under the DuckDB gate, and (c) a relational value a
+    broadcast-join prune (:func:`bloom_contains`) composes with
+    directly.
+    """
+    from hpc_hd_textreuse_etl_spark.functions.hashing import (
+        MERSENNE_P,
+        minhash_coeffs,
+    )
+
+    base = portable_hash64(F.col(value_col).cast("string")) % F.lit(MERSENNE_P)
+    pos_rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    ((F.lit(a) * base + F.lit(b)) % F.lit(MERSENNE_P)
+                     % F.lit(m_bits)).alias("p")
+                    for a, b in minhash_coeffs(k, seed=seed)
+                ]
+            )
+        ).alias("pos")
+    )
+    return (
+        pos_rows.select(
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.expr("shiftleft(1L, CAST(pos & 31 AS INT))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two filters with identical (m_bits, k, seed): OR words."""
+    return a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    probes: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: int = 97,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Membership probe: ``out_col`` true iff ALL k bits are set — no
+    false negatives, tunable false positives (the semi-join prune for
+    100 TB: broadcast the ≤ m_bits/32-row bitmap against the big fact
+    side and drop rows that cannot match before the real join).
+
+    Plan: k probe positions explode, broadcast-join the bitmap on
+    ``word`` (missing word ⇒ bit unset), then an all-bits-hit
+    ``min`` re-group keyed by the probe's original columns.
+    """
+    from hpc_hd_textreuse_etl_spark.functions.hashing import (
+        MERSENNE_P,
+        minhash_coeffs,
+    )
+
+    cols = probes.columns
+    base = portable_hash64(F.col(value_col).cast("string")) % F.lit(MERSENNE_P)
+    pos_rows = probes.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    ((F.lit(a) * base + F.lit(b)) % F.lit(MERSENNE_P)
+                     % F.lit(m_bits))
+                    for a, b in minhash_coeffs(k, seed=seed)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        *cols,
+        F.shiftright(F.col("pos"), 5).alias("word"),
+        F.col("pos").bitwiseAND(F.lit(31)).cast("int").alias("bit"),
+    )
+    joined = pos_rows.join(F.broadcast(bloom), "word", "left")
+    hit = F.expr("shiftright(coalesce(bits, 0L), bit) & 1")
+    return (
+        joined.groupBy(*cols)
+        .agg((F.min(hit) == 1).alias(out_col))
+    )

@@ -3470,3 +3470,111 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+@query(
+    "hll_user_registers",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+      FROM events
+    ), r AS (
+      SELECT event_type, hh & 511 AS register,
+             CASE WHEN (hh >> 9) = 0 THEN 52
+                  ELSE 52 - length(printf('%b', hh >> 9)) END AS rho
+      FROM h
+    )
+    SELECT event_type, register, CAST(max(rho) AS BIGINT) AS max_rho
+    FROM r GROUP BY event_type, register
+    """,
+    tags=("sketch-hll",),
+)
+def hll_user_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HyperLogLog register tables (p=9) over user ids on
+    the portable hash family — every register an exact integer both
+    engines recompute, so the HLL sketch CONTENT sits under the full
+    value-hash gate (operators/sketches.py hll_registers; Spark's own
+    HLL++ register layout is engine-private and could only ever get
+    rows-only). The float estimator runs downstream of the gated
+    registers (accuracy pytest-checked in test_sketches)."""
+    from hpc_hd_textreuse_etl_spark.operators.sketches import hll_registers
+
+    return hll_registers(
+        spark.table("events"), "user_id", keys=["event_type"], p=9
+    )
+
+
+def _register_bloom_probe_query() -> None:
+    from hpc_hd_textreuse_etl_spark.functions.hashing import minhash_coeffs
+
+    coeff_values = ", ".join(
+        f"({a}, {b})" for a, b in minhash_coeffs(5, seed=97)
+    )
+
+    @query(
+        "bloom_supplier_probe",
+        oracle=f"""
+        WITH coeffs(a, b) AS (VALUES {coeff_values}),
+        members AS (
+          SELECT DISTINCT CAST(CAST(s_suppkey AS BIGINT) AS VARCHAR) AS v
+          FROM supplier WHERE s_acctbal >= 5000
+        ),
+        words AS (
+          SELECT pos >> 5 AS word,
+                 bit_or(1::BIGINT << CAST(pos & 31 AS INT)) AS bits
+          FROM (
+            SELECT ((c.a * (('0x' || substr(md5(m.v), 1, 15))::BIGINT
+                             % 2147483647) + c.b) % 2147483647) % 65536 AS pos
+            FROM members m CROSS JOIN coeffs c
+          ) GROUP BY 1
+        ),
+        probes AS (
+          SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS suppkey FROM lineitem
+        ),
+        ppos AS (
+          SELECT p.suppkey,
+                 ((c.a * (('0x' || substr(md5(CAST(p.suppkey AS VARCHAR)), 1, 15))::BIGINT
+                           % 2147483647) + c.b) % 2147483647) % 65536 AS pos
+          FROM probes p CROSS JOIN coeffs c
+        )
+        SELECT suppkey,
+               (min((coalesce(w.bits, 0) >> CAST(pos & 31 AS INT)) & 1) = 1)
+                 AS might_contain
+        FROM ppos LEFT JOIN words w ON w.word = pos >> 5
+        GROUP BY suppkey
+        """,
+        tags=("sketch-bloom",),
+    )
+    def bloom_supplier_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bloom-filter semi-join prune, fully under the gate: the filter
+        is built over rich suppliers (acctbal >= 5000), then every
+        distinct lineitem supplier is probed — word/bit arithmetic on the
+        portable universal family, so the oracle rebuilds the identical
+        bitmap and probe verdicts (operators/sketches.py bloom_bits /
+        bloom_contains). At 100 TB the ≤ m/32-row bitmap broadcasts
+        against the fact table and prunes before the real join — no
+        false negatives by construction (pytest-pinned)."""
+        from hpc_hd_textreuse_etl_spark.operators.sketches import (
+            bloom_bits,
+            bloom_contains,
+        )
+
+        members = (
+            spark.table("supplier")
+            .filter(F.col("s_acctbal") >= 5000)
+            .select(F.col("s_suppkey").cast("long").cast("string").alias("v"))
+            .distinct()
+        )
+        bloom = bloom_bits(members, "v", m_bits=1 << 16, k=5, seed=97)
+        probes = (
+            spark.table("lineitem")
+            .select(F.col("l_suppkey").cast("long").alias("suppkey"))
+            .distinct()
+        )
+        return bloom_contains(
+            probes, "suppkey", bloom, m_bits=1 << 16, k=5, seed=97
+        )
+
+
+_register_bloom_probe_query()

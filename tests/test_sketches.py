@@ -211,3 +211,92 @@ def test_cms_rejects_unknown_family(spark):
     df = _items_df(spark, ["x"])
     with pytest.raises(ValueError, match="hash_family"):
         cms_sketch(df, "item", hash_family="sha512").collect()
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (portable registers)
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.sketches import (  # noqa: E402
+    bloom_bits,
+    bloom_contains,
+    bloom_merge,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def test_hll_estimate_within_expected_error(spark):
+    n = 20_000
+    df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    sk = hll_registers(df, "v", p=9)
+    est = hll_estimate(sk, p=9)
+    # stderr ≈ 1.04/sqrt(512) ≈ 4.6%; allow 3σ
+    assert abs(est - n) / n < 0.15
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.range(30).select(F.col("id").cast("string").alias("v"))
+    est = hll_estimate(hll_registers(df, "v", p=9), p=9)
+    assert abs(est - 30) / 30 < 0.25
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    a = spark.range(0, 5000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(2500, 9000).select(F.col("id").cast("string").alias("v"))
+    merged = hll_merge(hll_registers(a, "v"), hll_registers(b, "v"))
+    direct = hll_registers(a.union(b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    a = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    dup = a.union(a).union(a)
+    assert sorted(map(tuple, hll_registers(dup, "v").collect())) == sorted(
+        map(tuple, hll_registers(a, "v").collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (portable bitmap)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    members = spark.range(0, 500).select(F.col("id").cast("string").alias("v"))
+    bloom = bloom_bits(members, "v", m_bits=1 << 14, k=5)
+    probes = spark.range(0, 2000).select(F.col("id").alias("x"))
+    got = {
+        r.x: r.might_contain
+        for r in bloom_contains(probes, "x", bloom, m_bits=1 << 14, k=5).collect()
+    }
+    assert all(got[i] for i in range(500)), "false negative!"
+    fp = sum(1 for i in range(500, 2000) if got[i])
+    # 500 elements in 16384 bits, k=5 → fp ≈ 0.1%; 1500 probes → expect ~2
+    assert fp < 25
+
+
+def test_bloom_merge_equals_union_build(spark):
+    a = spark.range(0, 300).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(200, 600).select(F.col("id").cast("string").alias("v"))
+    merged = bloom_merge(bloom_bits(a, "v"), bloom_bits(b, "v"))
+    direct = bloom_bits(a.union(b), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_bloom_probe_plan_broadcasts_bitmap(spark):
+    members = spark.range(100).select(F.col("id").cast("string").alias("v"))
+    bloom = bloom_bits(members, "v")
+    probes = spark.range(1000).select(F.col("id").alias("x"))
+    plan = (
+        bloom_contains(probes, "x", bloom)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
