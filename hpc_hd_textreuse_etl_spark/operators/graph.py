@@ -293,3 +293,65 @@ def triangle_count(
     return nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source breadth-first hop distances, bounded at
+    ``max_hops`` — the third iterative graph primitive next to
+    connected components and PageRank. Returns ``(node, hops)`` for
+    every node reachable within the bound; ``hops`` is the exact
+    minimum hop count (an integer — deterministic under any
+    partitioning, so like `pagerank_scaled` a FIXED number of rounds is
+    fully value-hash gateable by unrolling the same rounds as oracle
+    CTEs).
+
+    Frontier algorithm: each round joins only the newest frontier
+    against the (static, persisted) edge list and anti-joins already-
+    settled nodes — shuffle per round ∝ frontier out-edges, not the
+    whole graph; settled state only ever grows by genuinely new nodes.
+    For deep traversals (max_hops ≳ 10) cut lineage with the CC loop's
+    checkpoint pattern; hop-bounded neighborhoods (the common
+    feature-engineering ask) stay shallow by definition.
+
+    ``sources`` must have a ``node`` column; duplicate sources are fine
+    (distinct applied). ``directed=False`` symmetrizes first.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    if not directed:
+        e = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.filter(F.col("s") != F.col("d")).distinct().persist()
+    dist = (
+        sources.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .persist()
+    )
+    frontier = dist
+    for it in range(max_hops):
+        grown = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(it + 1).cast("long"))
+        )
+        grown = grown.persist()
+        if grown.rdd.isEmpty():
+            grown.unpersist()
+            break
+        new_dist = dist.unionAll(grown).persist()
+        dist.unpersist()
+        dist, frontier = new_dist, grown
+    e.unpersist()
+    return dist

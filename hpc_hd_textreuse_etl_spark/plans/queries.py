@@ -3578,3 +3578,125 @@ def _register_bloom_probe_query() -> None:
 
 
 _register_bloom_probe_query()
+
+
+@query(
+    "events_hopping_windows",
+    oracle="""
+    WITH g(i) AS (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)),
+    w AS (
+      SELECT event_type,
+             (epoch_us(ts) // 900000000) * 900000000
+               - i * 900000000 AS window_start,
+             epoch_us(ts) AS t,
+             value
+      FROM events CROSS JOIN g
+    )
+    SELECT event_type, window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+    FROM w
+    WHERE t < window_start + 3600000000
+    GROUP BY event_type, window_start
+    """,
+    tags=("window-hopping", "streaming-twin"),
+)
+def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) time-window aggregates — 1-hour windows every
+    15 minutes — via Spark's native ``F.window`` slide support (the
+    batch twin of the structured-streaming windowed counts in
+    streaming/events.py; Spark expands each row into the
+    width/slide = 4 windows it falls in, then one map-side-combined
+    shuffle). The oracle enumerates the same 4 aligned candidate starts
+    per event and filters to the containing ones — pinning Spark's
+    epoch-aligned, start-inclusive/end-exclusive assignment semantics
+    exactly, µs-integer window starts and decimal-exact sums."""
+    ev = spark.table("events")
+    agged = ev.groupBy(
+        "event_type", F.window("ts", "1 hour", "15 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 6, "sum_value"),
+    )
+    return agged.select(
+        "event_type",
+        F.unix_micros(F.col("w.start")).alias("window_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "zorder_lineitem_keys",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+           CAST(l_linenumber AS BIGINT) AS linenumber,
+           ((((CAST(l_partkey AS BIGINT) >> 0) & 1) << 0) + (((CAST(l_suppkey AS BIGINT) >> 0) & 1) << 1)) + ((((CAST(l_partkey AS BIGINT) >> 1) & 1) << 2) + (((CAST(l_suppkey AS BIGINT) >> 1) & 1) << 3)) + ((((CAST(l_partkey AS BIGINT) >> 2) & 1) << 4) + (((CAST(l_suppkey AS BIGINT) >> 2) & 1) << 5)) + ((((CAST(l_partkey AS BIGINT) >> 3) & 1) << 6) + (((CAST(l_suppkey AS BIGINT) >> 3) & 1) << 7)) + ((((CAST(l_partkey AS BIGINT) >> 4) & 1) << 8) + (((CAST(l_suppkey AS BIGINT) >> 4) & 1) << 9)) + ((((CAST(l_partkey AS BIGINT) >> 5) & 1) << 10) + (((CAST(l_suppkey AS BIGINT) >> 5) & 1) << 11)) + ((((CAST(l_partkey AS BIGINT) >> 6) & 1) << 12) + (((CAST(l_suppkey AS BIGINT) >> 6) & 1) << 13)) + ((((CAST(l_partkey AS BIGINT) >> 7) & 1) << 14) + (((CAST(l_suppkey AS BIGINT) >> 7) & 1) << 15)) + ((((CAST(l_partkey AS BIGINT) >> 8) & 1) << 16) + (((CAST(l_suppkey AS BIGINT) >> 8) & 1) << 17)) + ((((CAST(l_partkey AS BIGINT) >> 9) & 1) << 18) + (((CAST(l_suppkey AS BIGINT) >> 9) & 1) << 19)) + ((((CAST(l_partkey AS BIGINT) >> 10) & 1) << 20) + (((CAST(l_suppkey AS BIGINT) >> 10) & 1) << 21)) + ((((CAST(l_partkey AS BIGINT) >> 11) & 1) << 22) + (((CAST(l_suppkey AS BIGINT) >> 11) & 1) << 23)) AS zkey
+    FROM lineitem
+    """,
+    tags=("layout-zorder",),
+)
+def zorder_lineitem_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-order clustering keys over (l_partkey, l_suppkey) —
+    the multi-dimensional data-layout key (operators/layout.py
+    zorder_key): pure Catalyst shift-and-mask interleave, exact integer
+    arithmetic the oracle reproduces term by term. Range-sorting files
+    by this key gives tight parquet min/max stats on BOTH dimensions
+    (pruning proof in test_layout)."""
+    from hpc_hd_textreuse_etl_spark.operators.layout import zorder_key
+
+    return spark.table("lineitem").select(
+        F.col("l_orderkey").cast("long").alias("orderkey"),
+        F.col("l_linenumber").cast("long").alias("linenumber"),
+        zorder_key(["l_partkey", "l_suppkey"], bits=12).alias("zkey"),
+    )
+
+
+@query(
+    "bfs_hops_supply_graph",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,
+             CAST(l_partkey AS BIGINT) + 1000000 AS d
+      FROM lineitem
+    ), und AS (
+      SELECT s, d FROM e UNION SELECT d, s FROM e
+    ), d0(node) AS (VALUES (CAST(1 AS BIGINT))),
+    r1 AS (
+      SELECT DISTINCT d AS node FROM und JOIN d0 ON und.s = d0.node
+      WHERE d NOT IN (SELECT node FROM d0)
+    ),
+    r2 AS (
+      SELECT DISTINCT d AS node FROM und JOIN r1 ON und.s = r1.node
+      WHERE d NOT IN (SELECT node FROM d0)
+        AND d NOT IN (SELECT node FROM r1)
+    ),
+    r3 AS (
+      SELECT DISTINCT d AS node FROM und JOIN r2 ON und.s = r2.node
+      WHERE d NOT IN (SELECT node FROM d0)
+        AND d NOT IN (SELECT node FROM r1)
+        AND d NOT IN (SELECT node FROM r2)
+    )
+    SELECT node, CAST(0 AS BIGINT) AS hops FROM d0
+    UNION ALL SELECT node, 1 FROM r1
+    UNION ALL SELECT node, 2 FROM r2
+    UNION ALL SELECT node, 3 FROM r3
+    """,
+    tags=("graph-bfs", "iterative"),
+)
+def bfs_hops_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS distances from supplier 1 over the undirected
+    supplier↔part supply graph (part ids offset into a disjoint key
+    space). An ITERATIVE traversal under the full value-hash gate —
+    hop counts are exact integers, so the oracle unrolls the same three
+    frontier expansions as chained CTEs (operators/graph.py bfs_hops;
+    same gating strategy as pagerank_supplier_parts)."""
+    from hpc_hd_textreuse_etl_spark.operators.graph import bfs_hops
+
+    li = spark.table("lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 1_000_000).cast("long").alias("dst"),
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    return bfs_hops(edges, sources, max_hops=3)

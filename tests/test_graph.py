@@ -193,3 +193,45 @@ def test_triangle_random_graph_matches_brute_force(spark):
     rng.shuffle(edges)
     flipped = [(b, a) if rng.random() < 0.5 else (a, b) for a, b in edges]
     assert _tri(spark, flipped) == brute_triangles(edges)
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.graph import bfs_hops  # noqa: E402
+
+
+def _bfs(spark, edges, sources, k, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    return {(r.node, r.hops) for r in bfs_hops(e, s, k, **kw).collect()}
+
+
+def test_bfs_path_graph_hand_distances(spark):
+    path = [(i, i + 1) for i in range(5)]  # 0-1-2-3-4-5
+    assert _bfs(spark, path, [0], 3) == {(0, 0), (1, 1), (2, 2), (3, 3)}
+    # full depth
+    assert _bfs(spark, path, [0], 10) == {(i, i) for i in range(6)}
+
+
+def test_bfs_multi_source_takes_minimum(spark):
+    path = [(i, i + 1) for i in range(6)]  # 0..6
+    got = _bfs(spark, path, [0, 6], 10)
+    assert got == {(0, 0), (6, 0), (1, 1), (5, 1), (2, 2), (4, 2), (3, 3)}
+
+
+def test_bfs_directed_vs_undirected(spark):
+    chain = [(1, 2), (2, 3)]
+    assert _bfs(spark, chain, [3], 5, directed=True) == {(3, 0)}
+    assert _bfs(spark, chain, [3], 5, directed=False) == {(3, 0), (2, 1), (1, 2)}
+
+
+def test_bfs_early_stop_and_cycle(spark):
+    tri = [(1, 2), (2, 3), (3, 1)]
+    # converges in 1 round; loop must early-stop without error at k=10
+    assert _bfs(spark, tri, [1], 10) == {(1, 0), (2, 1), (3, 1)}
+
+
+def test_bfs_zero_hops_and_duplicate_sources(spark):
+    assert _bfs(spark, [(1, 2)], [1, 1], 0) == {(1, 0)}
