@@ -72,3 +72,56 @@ def tf_idf(
         "df",
         (F.col("tf") * idf).alias("tf_idf"),
     )
+
+
+def cooccurrence_counts(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Symmetric token co-occurrence counts within a ±``window``
+    position window — the exact integer core of PMI / word-vector /
+    collocation statistics (PMI itself is a driver-side ``ln`` over
+    these counts; like TF-IDF's ln-weight it stays OUT of the gated
+    integers — see tests for the float layer).
+
+    The naive spelling self-joins token positions per document and
+    filters ``|i - j| <= window`` — O(L²) candidates per document, a
+    scale-killer on long documents. This is the **shift-join** plan:
+    for each offset k in 1..window, equi-join positions on
+    ``(doc, pos + k)`` — candidates are exactly the true pairs
+    (shuffle ∝ window × tokens, no quadratic stage, no skew from long
+    documents). Pairs are ordered lexicographically so (a,b) and (b,a)
+    accumulate together.
+
+    Returns ``(x, y, n_xy, n_x, n_y)`` with unigram counts attached —
+    everything downstream PMI needs: ``pmi = ln(n_xy · T / (n_x · n_y))``
+    with T the total within-window pair count.
+    """
+    from hpc_hd_textreuse_etl_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokens(text_col)).alias("pos", "tok"),
+    )
+    left = toks.select("__doc", "pos", F.col("tok").alias("t1"))
+    shifted = None
+    for k in range(1, window + 1):
+        s = toks.select(
+            "__doc", (F.col("pos") - k).alias("pos"), F.col("tok").alias("t2")
+        )
+        shifted = s if shifted is None else shifted.unionAll(s)
+    paired = left.join(shifted, ["__doc", "pos"]).select(
+        F.least("t1", "t2").alias("x"), F.greatest("t1", "t2").alias("y")
+    )
+    n_xy = paired.groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_xy"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    out = (
+        n_xy.join(uni.select(F.col("tok").alias("x"), F.col("n").alias("n_x")), "x")
+        .join(uni.select(F.col("tok").alias("y"), F.col("n").alias("n_y")), "y")
+    )
+    if min_count > 1:
+        out = out.filter(F.col("n_xy") >= min_count)
+    return out.select("x", "y", "n_xy", "n_x", "n_y")

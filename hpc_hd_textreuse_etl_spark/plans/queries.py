@@ -3700,3 +3700,128 @@ def bfs_hops_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = spark.createDataFrame([(1,)], "node long")
     return bfs_hops(edges, sources, max_hops=3)
+
+
+@query(
+    "token_cooccurrence",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i AS pos, lst[i] AS tok
+      FROM (SELECT doc_id, {_TOK} AS lst FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(lst))) AS i)
+    ), pairs AS (
+      SELECT least(a.tok, b.tok) AS x, greatest(a.tok, b.tok) AS y
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+    ), nxy AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy
+      FROM pairs GROUP BY x, y HAVING count(*) >= 5
+    ), uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n FROM pos GROUP BY tok
+    )
+    SELECT nxy.x, nxy.y, nxy.n_xy, ux.n AS n_x, uy.n AS n_y
+    FROM nxy JOIN uni ux ON ux.tok = nxy.x JOIN uni uy ON uy.tok = nxy.y
+    """,
+    tags=("corpus-stats", "pmi"),
+)
+def token_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±3-window token co-occurrence with unigram counts — the exact
+    integer core of PMI/collocation mining, computed with the
+    shift-join plan (operators/corpus_stats.py cooccurrence_counts: one
+    equi-join per offset, shuffle ∝ window × tokens — never the O(L²)
+    per-document self-join the oracle can afford at sf0.01). The
+    ln-based PMI value is float-layer, epsilon-tested in
+    test_corpus_stats (libm-ulp reasoning, as with TF-IDF)."""
+    from hpc_hd_textreuse_etl_spark.operators.corpus_stats import (
+        cooccurrence_counts,
+    )
+
+    return cooccurrence_counts(
+        spark.table("documents"), "doc_id", "text", window=3, min_count=5
+    )
+
+
+@query(
+    "orders_30d_moving_window",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+             CAST(o_custkey AS BIGINT) AS custkey,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS d,
+             o_totalprice
+      FROM orders
+    )
+    SELECT orderkey, custkey, d,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders_30d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER w AS DOUBLE)
+             AS spend_30d
+    FROM o
+    WINDOW w AS (PARTITION BY custkey ORDER BY d
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window-range-frame",),
+)
+def orders_30d_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day order count and spend per customer — a RANGE
+    (value-based) window frame over integer order-day, the time-based
+    moving aggregate ROWS frames can't express (peers on the same day
+    are frame-inclusive on both engines by RANGE semantics). One
+    exchange+sort per customer; decimal-exact windowed sum."""
+    o = spark.table("orders").select(
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.floor(F.unix_micros("o_orderdate") / F.lit(86_400_000_000)).alias("d"),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy("d")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return o.select(
+        "orderkey",
+        "custkey",
+        "d",
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+@query(
+    "totalprice_histogram",
+    oracle="""
+    SELECT LEAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 24) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY bucket
+    """,
+    tags=("profiling-histogram",),
+)
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (25k-wide buckets, top
+    bucket clamped) — the one-pass numeric-profile primitive
+    (data-quality dashboards, drift detection). The bucket index is the
+    same IEEE double divide+floor in both engines (DuckDB has no
+    width_bucket; an explicit formula also pins boundary semantics).
+    Map-side combine reduces every partition to ≤ 25 bucket rows before
+    the single tiny shuffle."""
+    return (
+        spark.table("orders")
+        .groupBy(
+            F.least(
+                F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long"),
+                F.lit(24).cast("long"),
+            ).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+            dsum(F.col("o_totalprice"), 4, "total"),
+        )
+    )

@@ -51,3 +51,70 @@ def test_tf_idf_values(spark, corpus):
         assert r.tf_idf == pytest.approx(expect, rel=1e-12), (doc, token)
     # a token present in every document still gets positive smooth-idf
     assert out[(2, "banana")].tf_idf > 0
+
+
+# ---------------------------------------------------------------------------
+# cooccurrence_counts (PMI core)
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.corpus_stats import (  # noqa: E402
+    cooccurrence_counts,
+)
+
+
+def test_cooccurrence_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a")], "doc_id long, text string"
+    )
+    got = {
+        (r.x, r.y): (r.n_xy, r.n_x, r.n_y)
+        for r in cooccurrence_counts(docs, "doc_id", "text", window=2).collect()
+    }
+    # doc1 pairs (window 2): (a,b),(a,a),(b,a),(b,c),(a,c); doc2: (b,a)
+    # symmetric-normalized: ab:3, aa:1, bc:1, ac:1 ; n_a=3, n_b=2, n_c=1
+    assert got == {
+        ("a", "b"): (3, 3, 2),
+        ("a", "a"): (1, 3, 3),
+        ("b", "c"): (1, 2, 1),
+        ("a", "c"): (1, 3, 1),
+    }
+
+
+def test_cooccurrence_window_one_is_bigrams_and_min_count(spark):
+    docs = spark.createDataFrame([(1, "x y x y x")], "doc_id long, text string")
+    full = {
+        (r.x, r.y): r.n_xy
+        for r in cooccurrence_counts(docs, "doc_id", "text", window=1).collect()
+    }
+    assert full == {("x", "y"): 4}
+    filtered = cooccurrence_counts(
+        docs, "doc_id", "text", window=1, min_count=5
+    ).collect()
+    assert filtered == []
+
+
+def test_cooccurrence_pmi_float_layer(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "c d c d")], "doc_id long, text string"
+    )
+    rows = cooccurrence_counts(docs, "doc_id", "text", window=1).collect()
+    total_pairs = sum(r.n_xy for r in rows)
+    pmi = {
+        (r.x, r.y): math.log(r.n_xy * total_pairs / (r.n_x * r.n_y)) for r in rows
+    }
+    # a-b and c-d always co-occur -> strongly positive PMI
+    assert pmi[("a", "b")] > 0 and pmi[("c", "d")] > 0
+
+
+def test_cooccurrence_no_quadratic_join_on_positions(spark):
+    docs = spark.createDataFrame([(1, "a " * 50)], "doc_id long, text string")
+    plan = (
+        cooccurrence_counts(docs, "doc_id", "text", window=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
