@@ -119,6 +119,81 @@ def per_key_quota(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_cols: Sequence[str],
+    default_rate: float = 1.0,
+    salt: str = "mix-v1",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Re-weight a multi-source corpus to target mixture rates, with
+    **upsampling**: rate 2.5 repeats a key group 2 or 3 times (3 iff
+    its gate hash clears the fractional threshold → expected 2.5),
+    rate 0.3 is the plain downsampling gate, rate 0 drops the stratum.
+
+    This is the epoch-mixing step of LLM data preparation (sample
+    Wikipedia at ~3 epochs, common crawl at ~0.7, …). Deterministic per
+    (key, salt): the same group always gets the same copy count, across
+    runs, partitionings and tables. ``copy_col`` (1-based) disambiguates
+    repeats so downstream shuffles/dedup treat copies as distinct rows.
+
+    One scan, no shuffle: both the floor(rate) and the fractional
+    threshold resolve as literal CASE chains; the explode is a Generate
+    over a per-row ``sequence(1, copies)``.
+    """
+    for value, rate in rates.items():
+        if rate < 0:
+            raise ValueError(f"rate for {value!r} must be >= 0, got {rate}")
+    if default_rate < 0:
+        raise ValueError(f"default_rate must be >= 0, got {default_rate}")
+    h = sample_hash(key_cols, salt)
+    floor_part = F.lit(int(default_rate))
+    frac_thr = F.lit(threshold(default_rate - int(default_rate)))
+    for value, rate in sorted(rates.items()):
+        floor_part = F.when(
+            F.col(strata_col) == value, F.lit(int(rate))
+        ).otherwise(floor_part)
+        frac_thr = F.when(
+            F.col(strata_col) == value, F.lit(threshold(rate - int(rate)))
+        ).otherwise(frac_thr)
+    copies = floor_part + (h < frac_thr).cast("int")
+    # the copies > 0 guard matters: Spark's sequence(1, 0) counts DOWN
+    # ([1, 0]), it does not return an empty array.
+    return (
+        df.withColumn("__copies", copies)
+        .where(F.col("__copies") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__copies")
+    )
+
+
+def temperature_rates(
+    counts: dict[str, int],
+    temperature: float,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Multinomial temperature re-weighting: sampling shares
+    ``q_i ∝ n_i^(1/T)``, returned as per-source *rates* for
+    :func:`mixture_sample` (``rate_i = q_i · N_target / n_i``).
+
+    ``T = 1`` with the default target reproduces the corpus exactly
+    (all rates 1); ``T > 1`` flattens toward uniform (upsamples the
+    tail, downsamples the head); ``T < 1`` sharpens. Driver-side pure
+    function — the source-count dict is tiny by construction.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError("source counts must be positive")
+    alpha = 1.0 / temperature
+    weights = {k: float(n) ** alpha for k, n in counts.items()}
+    z = sum(weights.values())
+    total = target_total if target_total is not None else sum(counts.values())
+    return {k: (weights[k] / z) * total / counts[k] for k in counts}
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

@@ -3825,3 +3825,94 @@ def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), 4, "total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking + mixture sampling (operators/chunking.py,
+# operators/sampling.py) — the context-window cut and the epoch-mixing
+# steps of LLM training-data preparation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS lst FROM documents),
+         s AS (SELECT doc_id, lst,
+                      unnest(generate_series(0, greatest(len(lst) - 9, 0), 16))
+                        AS start
+               FROM t WHERE len(lst) > 0)
+    SELECT doc_id,
+           CAST(start // 16 AS INT) AS chunk_id,
+           CAST(least(start + 24, len(lst)) - start AS INT) AS n_tokens,
+           array_to_string(
+             list_slice(lst, start + 1, least(start + 24, len(lst))), ' ')
+             AS chunk_text
+    FROM s
+    """,
+    tags=("chunking",),
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 24-token windows with 8-token overlap (stride 16) over
+    every document. Both engines compute the same start set — including
+    the containment rule that suppresses windows made entirely of
+    already-seen tokens (upper bound n - overlap - 1) — and the exact
+    window text, so chunk boundaries are value-hash-pinned. Zero
+    shuffles on the Spark side: pure Generate inside the scan stage."""
+    from hpc_hd_textreuse_etl_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        spark.table("documents"), "doc_id", "text",
+        chunk_tokens=24, overlap_tokens=8,
+    )
+
+
+@query(
+    "mixture_sampled_docs",
+    oracle=None,  # set below (needs sampling.threshold at import time)
+    tags=("sampling-mixture",),
+)
+def mixture_sampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting with upsampling: src0 at rate 2.5 (every
+    doc 2 or 3 copies), src1 at 0.25 (gate), src2 at 3.0 (exactly 3
+    copies), every other source passed through at 1.0. The full
+    (doc_id, source, copy) multiset is value-hashed, pinning the floor
+    + fractional-gate decomposition and the 1-based copy indexing."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import mixture_sample
+
+    docs = spark.table("documents").select("doc_id", "source")
+    out = mixture_sample(
+        docs, "source",
+        {"src0": 2.5, "src1": 0.25, "src2": 3.0},
+        ["doc_id"],
+    )
+    return out.select("doc_id", "source", F.col("copy").cast("int").alias("copy"))
+
+
+def _install_mixture_oracle() -> None:
+    from hpc_hd_textreuse_etl_spark.operators.sampling import threshold
+
+    QUERIES["mixture_sampled_docs"].oracle = f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             {_duck_gate('mix-v1', 'doc_id')} AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                         WHEN 'src2' THEN 3 ELSE 1 END
+             + CASE WHEN h < CASE source
+                      WHEN 'src0' THEN {threshold(0.5)}
+                      WHEN 'src1' THEN {threshold(0.25)}
+                      WHEN 'src2' THEN {threshold(0.0)}
+                      ELSE {threshold(0.0)} END
+                    THEN 1 ELSE 0 END AS copies
+      FROM g
+    )
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(1, copies)) AS INT) AS copy
+    FROM c WHERE copies > 0
+    """
+
+
+_install_mixture_oracle()
