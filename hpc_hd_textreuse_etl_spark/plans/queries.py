@@ -3916,3 +3916,99 @@ def _install_mixture_oracle() -> None:
 
 
 _install_mixture_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Event-stream product analytics: ordered funnels + retention cohorts
+# (operators/funnel.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "purchase_funnel",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+    s1 AS (SELECT user_id, min(us) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND us > t1
+             AND us <= t1 + 86400000000 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND us > t2
+             AND us <= t2 + 86400000000 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage,
+           t1, t2, t3
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+    tags=("funnel",),
+)
+def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel, each step within 24 h of the
+    previous, greedy earliest-completion binding. The Spark side is ONE
+    shuffle (sorted-fold stage automaton per user); the oracle is the
+    equivalent 3-stage min-chain join — the value hash pins the exact
+    per-user bound timestamps, i.e. the equivalence of the two
+    formulations on real data, not just stage counts."""
+    from hpc_hd_textreuse_etl_spark.operators.funnel import funnel
+
+    return funnel(
+        spark.table("events"),
+        "user_id", "ts", "event_type",
+        steps=("view", "click", "purchase"),
+        within_seconds=86400,
+    )
+
+
+@query(
+    "weekly_retention_cohorts",
+    oracle="""
+    WITH su AS (
+      SELECT user_id,
+             min(epoch_us(ts)) // 604800000000 AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, cohort_week,
+             epoch_us(ts) // 604800000000 - cohort_week AS week_offset
+      FROM events e JOIN su USING (user_id)
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act WHERE week_offset >= 0
+    GROUP BY cohort_week, week_offset
+    """,
+    tags=("cohort-retention",),
+)
+def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by signup epoch-week,
+    counted once per (cohort, weeks-since-signup) they were active in.
+    Spark plan: min-aggregate per user, broadcast-join the (tiny) cohort
+    map back onto events, distinct, count — two small shuffles, events
+    scanned once. Pre-signup activity is excluded on both engines."""
+    ev = spark.table("events")
+    wk = F.floor(F.unix_micros("ts") / F.lit(604_800_000_000))
+    cohorts = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(wk).alias("cohort_week"))
+    )
+    act = (
+        ev.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (wk - F.col("cohort_week")).alias("week_offset"),
+        )
+        .where(F.col("week_offset") >= 0)
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
