@@ -355,3 +355,82 @@ def bfs_hops(
         dist, frontier = new_dist, grown
     e.unpersist()
     return dist
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    directed: bool = False,
+) -> DataFrame:
+    """Bounded-round single/multi-source shortest paths (Bellman-Ford
+    frontier relaxation) with integer weights.
+
+    Returns ``(node, dist)`` where ``dist`` is the minimum total weight
+    over paths from any source using **at most** ``rounds`` edges —
+    the precise semantics of k relaxation rounds, and (for k ≥ graph
+    diameter, non-negative weights) the true shortest-path distance.
+    Like `pagerank_scaled` and `bfs_hops`, integer arithmetic makes the
+    k-round result a deterministic function of the edge multiset, so a
+    fixed-round run is fully value-hash gateable by unrolling the same
+    relaxations as oracle CTEs.
+
+    Frontier optimization: only nodes whose distance improved last
+    round relax their out-edges, so per-round shuffle ∝ improved-node
+    out-degree, not the whole graph — provably equivalent to full
+    k-round relaxation (a node re-relaxes in the round after each
+    improvement; induction over path length shows every ≤ k-edge path
+    is folded in). Parallel edges collapse to their min weight first
+    (map-side combined), the static edge list is persisted once.
+
+    ``sources`` must have a ``node`` column. ``directed=False``
+    symmetrizes. Early exit when a round improves nothing.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select(
+        F.col(src).cast("long").alias("s"),
+        F.col(dst).cast("long").alias("d"),
+        F.col(weight).cast("long").alias("w"),
+    )
+    if not directed:
+        e = e.unionAll(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"), "w")
+        )
+    e = e.groupBy("s", "d").agg(F.min("w").alias("w")).persist()
+    dist = (
+        sources.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .persist()
+    )
+    frontier = dist
+    for _ in range(rounds):
+        cand = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .where(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").alias("dist"))
+            .persist()
+        )
+        if improved.rdd.isEmpty():
+            improved.unpersist()
+            break
+        new_dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .persist()
+        )
+        dist.unpersist()
+        dist, frontier = new_dist, improved
+    e.unpersist()
+    return dist

@@ -4012,3 +4012,56 @@ def weekly_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Unrolled full-relaxation Bellman-Ford CTEs — provably equal to
+    the frontier-optimized loop in operators/graph.py sssp_weighted
+    (see its docstring) and exact on integer weights."""
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT CAST(l_suppkey AS BIGINT) AS s,
+             CAST(l_partkey AS BIGINT) + 1000000 AS d,
+             min(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), e AS (
+      SELECT s, d, w FROM e0 UNION ALL SELECT d, s, w FROM e0
+    ), d0(node, dist) AS (VALUES (CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    , d{i} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.d AS node, p.dist + e.w AS dist
+        FROM d{i - 1} p JOIN e ON p.node = e.s
+      ) GROUP BY node
+    )""")
+    parts.append(f"\n    SELECT node, dist FROM d{rounds}")
+    return "".join(parts)
+
+
+@query(
+    "sssp_supply_graph",
+    oracle=_sssp_oracle(3),
+    tags=("graph-sssp", "iterative"),
+)
+def sssp_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round weighted shortest paths from supplier 1 over the
+    undirected supplier↔part graph, edge weight = min lineitem
+    quantity on the link. Completes the iterative-graph family
+    (components, PageRank, BFS) with min-plus relaxation under the
+    full value-hash gate: dist = min weight over ≤3-edge paths, an
+    exact integer both engines must agree on node-for-node."""
+    from hpc_hd_textreuse_etl_spark.operators.graph import sssp_weighted
+
+    li = spark.table("lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 1_000_000).cast("long").alias("dst"),
+        F.col("l_quantity").cast("long").alias("weight"),
+    )
+    sources = spark.createDataFrame([(1,)], "node long")
+    return sssp_weighted(edges, sources, rounds=3)

@@ -235,3 +235,92 @@ def test_bfs_early_stop_and_cycle(spark):
 
 def test_bfs_zero_hops_and_duplicate_sources(spark):
     assert _bfs(spark, [(1, 2)], [1, 1], 0) == {(1, 0)}
+
+
+# ---------------------------------------------------------------------------
+# sssp_weighted — bounded-round Bellman-Ford (min-plus relaxation).
+# The sf0.01 supply graph is additionally value-hash-gated vs unrolled
+# full-relaxation CTEs (sssp_supply_graph in test_oracle_parity).
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.graph import sssp_weighted
+
+
+def _sssp(spark, edges, sources, rounds, **kw):
+    e = spark.createDataFrame(edges, "src long, dst long, weight long")
+    s = spark.createDataFrame([(x,) for x in sources], "node long")
+    return {(r.node, r.dist) for r in sssp_weighted(e, s, rounds, **kw).collect()}
+
+
+def _brute_sssp(edges, sources, rounds, directed=True):
+    """min over paths with <= rounds edges, full relaxation."""
+    e = list(edges) + ([] if directed else [(d, s, w) for s, d, w in edges])
+    dist = {s: 0 for s in sources}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, d, w in e:
+            if s in dist and dist[s] + w < nxt.get(d, float("inf")):
+                nxt[d] = dist[s] + w
+        dist = nxt
+    return set(dist.items())
+
+
+def test_sssp_cheaper_long_path_wins(spark):
+    """Direct heavy edge vs 2-hop light path: with 1 round the heavy
+    edge is the best ≤1-edge path; with 2 the light path takes over."""
+    edges = [(1, 3, 10), (1, 2, 2), (2, 3, 3)]
+    assert _sssp(spark, edges, [1], 1, directed=True) == {(1, 0), (2, 2), (3, 10)}
+    assert _sssp(spark, edges, [1], 2, directed=True) == {(1, 0), (2, 2), (3, 5)}
+
+
+def test_sssp_parallel_edges_take_min(spark):
+    edges = [(1, 2, 9), (1, 2, 4)]
+    assert _sssp(spark, edges, [1], 1, directed=True) == {(1, 0), (2, 4)}
+
+
+def test_sssp_multi_source_and_undirected(spark):
+    edges = [(1, 2, 5), (2, 3, 5), (3, 4, 5)]
+    got = _sssp(spark, edges, [1, 4], 3)
+    assert got == {(1, 0), (4, 0), (2, 5), (3, 5)}
+
+
+def test_sssp_early_stop_on_convergence(spark):
+    """Triangle converges in 2 rounds; rounds=10 must early-exit with
+    the same answer."""
+    edges = [(1, 2, 1), (2, 3, 1), (3, 1, 1)]
+    assert _sssp(spark, edges, [1], 10, directed=True) == {(1, 0), (2, 1), (3, 2)}
+
+
+def test_sssp_frontier_equals_full_relaxation(spark):
+    """Random-ish graph: the frontier-optimized loop must equal full
+    k-round relaxation (the oracle's formulation) for every k."""
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (rng.randrange(12), rng.randrange(12), rng.randrange(1, 10))
+        for _ in range(40)
+    ]
+    for rounds in (1, 2, 4):
+        assert _sssp(spark, edges, [0], rounds, directed=True) == _brute_sssp(
+            edges, [0], rounds
+        )
+
+
+def test_sssp_partition_independence(spark):
+    edges = [(i, i + 1, (i * 7) % 5 + 1) for i in range(30)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight long")
+    s = spark.createDataFrame([(0,)], "node long")
+    a = sorted(map(tuple, sssp_weighted(e, s, 5).collect()))
+    b = sorted(map(tuple, sssp_weighted(e.repartition(11), s, 5).collect()))
+    assert a == b
+
+
+def test_sssp_zero_rounds_and_validation(spark):
+    assert _sssp(spark, [(1, 2, 1)], [1], 0) == {(1, 0)}
+    e = spark.createDataFrame([(1, 2, 1)], "src long, dst long, weight long")
+    s = spark.createDataFrame([(1,)], "node long")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        sssp_weighted(e, s, -1)
