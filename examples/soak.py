@@ -268,6 +268,66 @@ def main() -> None:
         spark, "pagerank_scaled", n_pr_edges,
         lambda: pagerank_scaled(pr_edges, iterations=3).count(),
     )
+
+    # Weighted SSSP — same 1M-edge graph + integer weights, 3 rounds;
+    # frontier relaxation keeps per-round shuffle ∝ improved nodes
+    from hpc_hd_textreuse_etl_spark.operators.graph import sssp_weighted
+
+    w_edges = pr_edges.withColumn(
+        "weight", 1 + F.pmod(F.xxhash64("src", "dst"), F.lit(100))
+    )
+    w_edges.cache().count()
+    src_df = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+    measured(
+        spark, "sssp_weighted", n_pr_edges,
+        lambda: sssp_weighted(
+            w_edges, src_df, rounds=3, directed=True
+        ).count(),
+    )
+
+    # Funnel automaton — 20M events / 2M users: ONE user-key shuffle,
+    # the sorted fold runs inside the agg stage
+    from hpc_hd_textreuse_etl_spark.operators.funnel import funnel
+
+    n_fev = int(20_000_000 * mult)
+    fev = spark.range(n_fev).select(
+        (F.col("id") % 2_000_000).alias("user_id"),
+        F.timestamp_micros(
+            F.pmod(F.xxhash64("id"), F.lit(30 * 86_400_000_000))
+        ).alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase"),
+                    F.lit("other")),
+            (F.pmod(F.xxhash64(F.col("id") + 7), F.lit(4)) + 1).cast("int"),
+        ).alias("event_type"),
+    )
+    measured(
+        spark, "funnel_automaton", n_fev,
+        lambda: funnel(
+            fev, "user_id", "ts", "event_type",
+            ("view", "click", "purchase"), within_seconds=86_400,
+        ).count(),
+    )
+
+    # Chunking — 1M docs x ~200 tokens: zero-shuffle Generate; the
+    # measurement demonstrates the stage is scan/compute-bound
+    from hpc_hd_textreuse_etl_spark.operators.chunking import chunk_documents
+
+    n_cdocs = int(1_000_000 * mult)
+    cdocs = spark.range(n_cdocs).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 200),"
+            " i -> conv(lpad(hex(pmod(xxhash64(id + i), 50000)), 4, '0'),"
+            " 16, 36)))"
+        ).alias("text"),
+    )
+    measured(
+        spark, "chunk_documents", n_cdocs,
+        lambda: chunk_documents(
+            cdocs, "doc_id", "text", chunk_tokens=128, overlap_tokens=16
+        ).count(),
+    )
     spark.stop()
 
 
