@@ -328,6 +328,24 @@ def main() -> None:
             cdocs, "doc_id", "text", chunk_tokens=128, overlap_tokens=16
         ).count(),
     )
+
+    # Prefix-filter set-similarity join — same near-dup corpus the
+    # sketch dedups soak on, but EXACT: candidates only from rarity-
+    # ordered prefixes
+    from hpc_hd_textreuse_etl_spark.functions.text import tokens as _tokens
+    from hpc_hd_textreuse_etl_spark.operators.setsim import (
+        jaccard_threshold_pairs,
+    )
+
+    n_sdocs = int(50_000 * mult)
+    sdocs = synth_docs(spark, n_sdocs)
+    sdocs.cache().count()
+    measured(
+        spark, "setsim_prefix_filter", n_sdocs,
+        lambda: jaccard_threshold_pairs(
+            sdocs, "doc_id", _tokens(F.col("text")), threshold=0.7
+        ).count(),
+    )
     spark.stop()
 
 

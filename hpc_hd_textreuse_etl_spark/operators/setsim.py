@@ -1,0 +1,107 @@
+"""Exact set-similarity join via prefix filtering (All-Pairs / PPJoin
+family: Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06 — public
+algorithms).
+
+Finds ALL pairs with Jaccard(a, b) >= t without comparing all pairs:
+
+1. order every record's elements by global rarity (frequency asc,
+   element asc — a total order shared by all records);
+2. a record with n elements keeps only its first
+   ``p = n - ceil(t*n) + 1`` elements as its *prefix*;
+3. any qualifying pair must collide on at least one prefix element
+   (pigeonhole: J >= t forces |intersection| >= ceil(t*n); if the two
+   prefixes were disjoint, all shared elements would sit in the
+   suffixes, which hold only ceil(t*n) - 1 elements each);
+4. candidates = equi-join on prefix elements; exact Jaccard verify.
+
+Unlike MinHash/LSH (probabilistic recall) this is EXACT — the
+candidate set provably contains every qualifying pair — which is why
+it complements the sketch-based dedups rather than duplicating them.
+
+All threshold arithmetic is integer (thousandths): ``p`` uses
+``ceil(t_milli*n / 1000)`` in exact integer math and the verify
+predicate is ``1000*|∩| >= t_milli*|∪|`` — no IEEE boundary anywhere,
+so both engines agree bit-for-bit even when Jaccard equals the
+threshold exactly.
+
+Scale shape: the element-frequency table is the vocabulary (≪ corpus,
+broadcastable); prefixes hold each record's RAREST elements, so
+prefix-join buckets are small by construction — the frequent elements
+that would blow up an all-token join never enter a prefix unless a
+record is so large its prefix reaches them, and then the length filter
+t·n bounds how many such records exist. Element sets shuffle once (to
+order by rarity); the verify join moves only candidate id pairs plus
+their two element arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def jaccard_threshold_pairs(
+    df: DataFrame,
+    id_col: str,
+    elements: Column,
+    threshold: float,
+) -> DataFrame:
+    """All pairs with Jaccard similarity >= ``threshold`` over the
+    per-row element sets (``elements`` is an array column expression;
+    duplicates are dropped). Output: ``(id_a, id_b, n_intersect,
+    n_union, jaccard)`` with ``id_a < id_b``.
+
+    ``threshold`` is taken at thousandth precision (0.5 → 500/1000);
+    the comparison is exact rational arithmetic, inclusive (>=).
+    """
+    t_milli = int(round(threshold * 1000))
+    if not 0 < t_milli <= 1000:
+        raise ValueError(
+            f"threshold must be in (0, 1] at thousandth precision, got {threshold}"
+        )
+    sets = (
+        df.select(F.col(id_col).alias("id"), F.array_distinct(elements).alias("els"))
+        .where(F.size("els") > 0)
+    )
+
+    flat = sets.select("id", F.explode("els").alias("el"))
+    freq = flat.groupBy("el").agg(F.count(F.lit(1)).alias("freq"))
+    # rarity-ordered element list per record; (freq, el) is a shared
+    # total order so every record sorts its elements identically.
+    ordered = (
+        flat.join(freq, "el")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("freq", "el"))).alias("fe"))
+    )
+    n = F.size("fe")
+    # ceil(t*n) in exact integer math: (t_milli*n + 999) div 1000.
+    # The double division is exact here: the numerator is an integer
+    # < 2^53 and an integer-valued quotient is always representable.
+    ceil_tn = F.floor((F.lit(t_milli) * n + F.lit(999)) / F.lit(1000)).cast("int")
+    prefix = F.slice(
+        F.transform("fe", lambda x: x["el"]), F.lit(1), n - ceil_tn + F.lit(1)
+    )
+    pref = ordered.select("id", F.explode(prefix).alias("el"))
+
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.el") == F.col("b.el")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sets.select(F.col("id").alias("id_a"), F.col("els").alias("els_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("els").alias("els_b"))
+    inter = F.size(F.array_intersect("els_a", "els_b"))
+    union = F.size("els_a") + F.size("els_b") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_intersect", inter.cast("bigint"))
+        .withColumn("n_union", union.cast("bigint"))
+        .where(F.lit(1000) * F.col("n_intersect") >= F.lit(t_milli) * F.col("n_union"))
+        .select(
+            "id_a", "id_b", "n_intersect", "n_union",
+            (F.col("n_intersect").cast("double") / F.col("n_union")).alias("jaccard"),
+        )
+    )

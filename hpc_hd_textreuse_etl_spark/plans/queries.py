@@ -4065,3 +4065,140 @@ def sssp_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = spark.createDataFrame([(1,)], "node long")
     return sssp_weighted(edges, sources, rounds=3)
+
+
+@query(
+    "event_value_ohlc_hourly",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hr,
+             epoch_us(ts) AS us, event_id, value
+      FROM events
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, hr
+                                ORDER BY us, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, hr
+                                ORDER BY us DESC, event_id DESC) AS rl
+      FROM e
+    )
+    SELECT event_type, CAST(hr AS BIGINT) AS hr,
+           CAST(min(us) AS BIGINT) AS first_us,
+           CAST(min(CASE WHEN rf = 1 THEN value END) AS DOUBLE) AS open,
+           CAST(min(CASE WHEN rl = 1 THEN value END) AS DOUBLE) AS close,
+           CAST(min(value) AS DOUBLE) AS low,
+           CAST(max(value) AS DOUBLE) AS high,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY event_type, hr
+    """,
+    tags=("resample-ohlc",),
+)
+def event_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close resampling of the event value stream into
+    hourly bars per event type — the time-series downsampling shape
+    (finance bars, metrics rollups). open/close are positional
+    aggregates; both engines pin them with an explicit total order
+    ((µs, event_id) — unique tiebreak), Spark via the min/max-of-struct
+    trick (one map-side-combinable agg, no window, no sort)."""
+    ev = spark.table("events")
+    us = F.unix_micros("ts")
+    key = F.struct(us.alias("us"), F.col("event_id").alias("eid"),
+                   F.col("value").alias("v"))
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(us / F.lit(3_600_000_000)).alias("hr"),
+        )
+        .agg(
+            F.min(key).alias("__f"),
+            F.max(key).alias("__l"),
+            F.min("value").cast("double").alias("low"),
+            F.max("value").cast("double").alias("high"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            "event_type", "hr",
+            F.col("__f.us").alias("first_us"),
+            F.col("__f.v").cast("double").alias("open"),
+            F.col("__l.v").cast("double").alias("close"),
+            "low", "high", "n",
+        )
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    tags=("markov-transitions",),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences (the \"what happens after X\" product-analytics view).
+    One exchange+sort on the user key feeds the lead window ((µs,
+    event_id) total order), then the bigram count map-side combines to
+    |types|² rows."""
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@query(
+    "jaccard_prefix_filter_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(lst) - 2),
+               i -> lst[i] || ' ' || lst[i + 1] || ' ' || lst[i + 2])) AS s
+      FROM (SELECT doc_id, {_TOK} AS lst FROM documents)
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS i,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM t a JOIN t b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(i AS BIGINT) AS n_intersect,
+           CAST(na + nb - i AS BIGINT) AS n_union,
+           CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+    FROM p WHERE 1000 * i >= 500 * (na + nb - i)
+    """,
+    tags=("setsim-prefix-filter",),
+)
+def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard >= 0.5 join over 3-token-shingle sets via prefix
+    filtering (operators/setsim.py) — the deterministic complement to
+    the MinHash/SimHash probabilistic dedups. The oracle brute-forces
+    all pairs (affordable at sf0.01); the Spark side must reproduce the
+    identical pair set THROUGH the rarity-ordered prefix blocking,
+    which gates the blocking's completeness, not just the verify
+    arithmetic. Integer-exact threshold compare on both engines."""
+    from hpc_hd_textreuse_etl_spark.functions.text import token_shingles
+    from hpc_hd_textreuse_etl_spark.operators.setsim import (
+        jaccard_threshold_pairs,
+    )
+
+    docs = spark.table("documents")
+    return jaccard_threshold_pairs(
+        docs, "doc_id", token_shingles(F.col("text"), 3), threshold=0.5
+    )
