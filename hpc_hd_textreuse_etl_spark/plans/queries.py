@@ -4202,3 +4202,39 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_threshold_pairs(
         docs, "doc_id", token_shingles(F.col("text"), 3), threshold=0.5
     )
+
+
+@query(
+    "customer_radius_pairs",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             {_duck_gate('px', 'c_custkey')} % 1000000 AS x,
+             {_duck_gate('py', 'c_custkey')} % 1000000 AS y
+      FROM customer
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 10000 * 10000
+    """,
+    tags=("spatial-radius-join",),
+)
+def customer_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-radius near-neighbor SELF-join over customers placed on an
+    integer 10^6 grid by the portable hash (so both engines derive the
+    identical point set). Spark computes it with 3×3 grid-cell blocking
+    (operators/spatial.py — an equi-join, never a cartesian product);
+    the oracle brute-forces the θ-join. Distances are exact integers;
+    the value hash gates the blocking's exactly-once completeness."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import sample_hash
+    from hpc_hd_textreuse_etl_spark.operators.spatial import radius_self_join
+
+    pts = spark.table("customer").select(
+        F.col("c_custkey").alias("id"),
+        F.pmod(sample_hash(["c_custkey"], "px"), F.lit(1_000_000)).alias("x"),
+        F.pmod(sample_hash(["c_custkey"], "py"), F.lit(1_000_000)).alias("y"),
+    )
+    return radius_self_join(pts, "id", radius=10_000)

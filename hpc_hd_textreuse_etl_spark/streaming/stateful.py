@@ -60,3 +60,85 @@ def streaming_dedup(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``operators/funnel.funnel`` — the greedy
+    earliest-completion stage automaton run incrementally per user.
+
+    State per user = the array of bound step timestamps (≤ k longs —
+    O(1), unlike buffering approaches); each micro-batch's events are
+    sorted by event time and folded through the same automaton the
+    batch operator uses. Emits the user's updated ``(stage, t1…tk)``
+    row whenever a batch advances their funnel (append mode → the
+    sink sees a progression log; latest row per user = current state).
+
+    Equivalence contract (tested): if each user's events arrive in
+    event-time order ACROSS batches (any disorder WITHIN a batch is
+    sorted away), the final emitted state per user equals the batch
+    funnel. A late event older than an already-bound step cannot
+    rebind it — the automaton is monotone, which is what makes O(k)
+    state sufficient; replay-from-checkpoint reconverges because the
+    fold is deterministic. Idle users drop off via the event-time
+    timeout tied to the watermark.
+    """
+    k = len(steps)
+    if k == 0:
+        raise ValueError("steps must be non-empty")
+    within_us = None if within_seconds is None else within_seconds * 1_000_000
+    out_schema = (
+        f"{user_col} long, stage int, "
+        + ", ".join(f"t{i} long" for i in range(1, k + 1))
+    )
+    state_schema = "path array<long>"
+
+    def advance(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (path,) = state.get if state.exists else ([],)
+        path = list(path)
+        before = len(path)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        us = (batch[ts_col].astype("int64") // 1000).to_numpy()
+        types = batch[type_col].to_numpy()
+        for i in us.argsort(kind="stable"):
+            if len(path) >= k:
+                break
+            if types[i] != steps[len(path)]:
+                continue
+            if path and not (
+                us[i] > path[-1]
+                and (within_us is None or us[i] <= path[-1] + within_us)
+            ):
+                continue
+            path.append(int(us[i]))
+        if len(path) > before or not state.exists:
+            row = {user_col: [key[0]], "stage": [len(path)]}
+            for i in range(1, k + 1):
+                row[f"t{i}"] = [path[i - 1] if i <= len(path) else None]
+            yield pd.DataFrame(row)
+        state.update((path,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            advance,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -78,3 +78,74 @@ def test_streaming_dedup_first_occurrence_only(spark, tmp_path):
     run_to_memory(streaming_dedup(stream), "deduped", output_mode="append")
     got = {(r.event_type, r.event_id) for r in spark.sql("select * from deduped").collect()}
     assert got == {("click", 1), ("click", 2), ("view", 2)}
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Split an in-order event log into 3 micro-batches (one file per
+    batch, maxFilesPerTrigger=1): the latest emitted row per user must
+    equal the batch funnel operator's output."""
+    from hpc_hd_textreuse_etl_spark.operators.funnel import funnel
+    from hpc_hd_textreuse_etl_spark.streaming.stateful import streaming_funnel
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user, typ):
+        return (eid, base + datetime.timedelta(seconds=sec), user, typ, 1.0)
+
+    # user 1 completes across batch boundaries; user 2 stalls at stage 1
+    # (its 'click' violates the within bound); user 3 never starts.
+    batches = [
+        [ev(1, 0, 1, "view"), ev(2, 5, 2, "view"), ev(3, 6, 3, "error")],
+        [ev(4, 60, 1, "click"), ev(5, 900, 2, "click")],
+        [ev(6, 120, 1, "purchase"), ev(7, 1000, 3, "click")],
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    path = tmp_path / "funnel_events"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(path / f"b{i}"))
+
+    from hpc_hd_textreuse_etl_spark.streaming.events import EVENT_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(path / "*"))
+    )
+    out = streaming_funnel(
+        stream, ("view", "click", "purchase"), within_seconds=300
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    log = spark.sql("select * from funnel_stream").collect()
+    assert len(log) >= 3  # at least one progression row per user
+    latest = {}
+    for r in log:  # progression log: stage only grows per user
+        if r.user_id not in latest or r.stage > latest[r.user_id].stage:
+            latest[r.user_id] = r
+
+    all_events = [e for b in batches for e in b]
+    batch_out = {
+        r.user_id: r
+        for r in funnel(
+            spark.createDataFrame(all_events, schema),
+            "user_id", "ts", "event_type",
+            ("view", "click", "purchase"), within_seconds=300,
+        ).collect()
+    }
+    assert set(latest) == set(batch_out)
+    for uid, got in latest.items():
+        want = batch_out[uid]
+        assert (got.stage, got.t1, got.t2, got.t3) == (
+            want.stage, want.t1, want.t2, want.t3
+        ), uid
+    # pinned expectations, not just cross-agreement
+    assert latest[1].stage == 3 and latest[2].stage == 1 and latest[3].stage == 0
