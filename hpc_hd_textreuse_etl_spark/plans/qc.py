@@ -86,3 +86,93 @@ def year_histogram(df: DataFrame, date_col: str, top: int = 10) -> DataFrame:
     earliest = years.orderBy("year").limit(top)
     latest = years.orderBy(F.desc("year")).limit(top)
     return earliest.unionByName(latest).distinct().orderBy("year")
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations — the contract layer a pipeline
+# runs before publishing a table (null/uniqueness/range/domain/FK/row
+# count). Each helper returns a ONE-ROW DataFrame (expectation, metric,
+# passed); run_expectations unions them into the audit report. All
+# violation metrics are exact integer counts, so the whole report is
+# value-hash gateable.
+# ---------------------------------------------------------------------------
+
+
+def _report(name: str, metric, passed) -> list:
+    return [
+        F.lit(name).alias("expectation"),
+        metric.cast("bigint").alias("metric"),
+        passed.alias("passed"),
+    ]
+
+
+def expect_not_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
+    m = F.coalesce(F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)), F.lit(0))
+    return df.agg(*_report(name or f"not_null:{col}", m, m == 0))
+
+
+def expect_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    """Excess duplicate rows over the key (0 = unique). Rows with any
+    NULL key component are excluded (count_distinct semantics)."""
+    nn = df.na.drop(subset=cols)
+    m = F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])
+    return nn.agg(*_report(name or f"unique:{','.join(cols)}", m, m == 0))
+
+
+def expect_in_range(
+    df: DataFrame, col: str, lo, hi, name: str | None = None
+) -> DataFrame:
+    m = F.sum(
+        F.when((F.col(col) < lo) | (F.col(col) > hi), 1).otherwise(0)
+    )
+    m = F.coalesce(m, F.lit(0))
+    return df.agg(*_report(name or f"in_range:{col}", m, m == 0))
+
+
+def expect_in_set(
+    df: DataFrame, col: str, values: list, name: str | None = None
+) -> DataFrame:
+    m = F.sum(
+        F.when(F.col(col).isNotNull() & ~F.col(col).isin(values), 1).otherwise(0)
+    )
+    m = F.coalesce(m, F.lit(0))
+    return df.agg(*_report(name or f"in_set:{col}", m, m == 0))
+
+
+def expect_foreign_key(
+    child: DataFrame,
+    col: str,
+    parent: DataFrame,
+    parent_col: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Non-null child keys with no parent row (anti-join count — the
+    parent key set broadcasts when it's a dimension)."""
+    orphans = (
+        child.select(F.col(col).alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .join(
+            parent.select(F.col(parent_col).alias("__k")).distinct(),
+            "__k",
+            "left_anti",
+        )
+    )
+    m = F.count(F.lit(1))
+    return orphans.agg(*_report(name or f"foreign_key:{col}", m, m == 0))
+
+
+def expect_row_count_between(
+    df: DataFrame, lo: int, hi: int, name: str = "row_count"
+) -> DataFrame:
+    m = F.count(F.lit(1))
+    return df.agg(*_report(name, m, (m >= lo) & (m <= hi)))
+
+
+def run_expectations(checks: list[DataFrame]) -> DataFrame:
+    """Union the per-expectation reports into one audit table."""
+    if not checks:
+        raise ValueError("no expectations given")
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -4238,3 +4238,142 @@ def customer_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(sample_hash(["c_custkey"], "py"), F.lit(1_000_000)).alias("y"),
     )
     return radius_self_join(pts, "id", radius=10_000)
+
+
+@query(
+    "orders_table_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 17 <> 3
+    ), new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 29 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             CASE WHEN o_custkey % 10 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 13 <> 5
+    ), j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             list_filter([
+               CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                    THEN 'o_orderpriority' END,
+               CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 'o_orderstatus' END,
+               CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'o_totalprice' END
+             ], x -> x IS NOT NULL) AS d
+      FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN len(d) > 0 THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           CASE WHEN in_old AND in_new AND len(d) > 0
+                THEN array_to_string(d, ',') ELSE '' END AS changed_cols
+    FROM j
+    """,
+    tags=("table-diff",),
+)
+def orders_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.py): 'old' drops every
+    17th order, 'new' drops every 13th, bumps totalprice for custkey %
+    10 == 0 and rewrites status for orderkey % 29 == 0 — so all four
+    statuses and several changed-column sets appear. The row-level
+    classification (status + exact changed column list per key) is
+    value-hashed; null-safe comparison semantics are pinned by IS
+    DISTINCT FROM on the oracle side."""
+    from hpc_hd_textreuse_etl_spark.operators.diff import table_diff
+
+    orders = spark.table("orders")
+    old = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    ).where(F.col("o_orderkey") % 17 != 3)
+    new = orders.where(F.col("o_orderkey") % 13 != 5).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 29 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.col("o_custkey") % 10 == 0, F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    return table_diff(old, new, ["o_orderkey"])
+
+
+@query(
+    "orders_expectations_audit",
+    oracle="""
+    SELECT 'not_null:o_custkey' AS expectation,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS metric,
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           count(*) - count(DISTINCT o_orderkey) = 0
+    FROM orders WHERE o_orderkey IS NOT NULL
+    UNION ALL
+    SELECT 'in_range:o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 200000
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 200000
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'in_set:o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('F', 'O', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN o_orderstatus IS NOT NULL
+                     AND o_orderstatus NOT IN ('F', 'O', 'P')
+               THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'foreign_key:o_custkey',
+           CAST(count(*) AS BIGINT), count(*) = 0
+    FROM (
+      SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_custkey IN
+        (SELECT c_custkey FROM customer)
+    )
+    UNION ALL
+    SELECT 'row_count', CAST(count(*) AS BIGINT),
+           count(*) BETWEEN 1000 AND 1000000000
+    FROM orders
+    """,
+    tags=("qc-expectations",),
+)
+def orders_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations suite over orders (plans/qc.py): null
+    contract, key uniqueness, value range (deliberately tight so real
+    violations appear and passed=false rows are exercised), status
+    domain, referential integrity to customer, and row-count bounds —
+    the publish-gate audit as ONE value-hashed report table."""
+    from hpc_hd_textreuse_etl_spark.plans.qc import (
+        expect_foreign_key,
+        expect_in_range,
+        expect_in_set,
+        expect_not_null,
+        expect_row_count_between,
+        expect_unique,
+        run_expectations,
+    )
+
+    orders = spark.table("orders")
+    customer = spark.table("customer")
+    return run_expectations([
+        expect_not_null(orders, "o_custkey"),
+        expect_unique(orders, ["o_orderkey"]),
+        expect_in_range(orders, "o_totalprice", 0, 200000),
+        expect_in_set(orders, "o_orderstatus", ["F", "O", "P"]),
+        expect_foreign_key(orders, "o_custkey", customer, "c_custkey"),
+        expect_row_count_between(orders, 1000, 1_000_000_000),
+    ])
