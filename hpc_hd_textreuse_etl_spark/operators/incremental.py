@@ -87,3 +87,45 @@ def incremental_aggregate(
     return merge_aggregate_states(
         snapshot, aggregate_delta(delta, key_cols, specs), key_cols, specs
     )
+
+
+def join_delta(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Delta of the inner equi-join A ⋈ B under insert-only appends:
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (disjoint by construction — each output row pairs one tuple from
+    each input, and a pair is new iff at least one side is new; the
+    three terms partition "which side is new"). Updates/deletes are out
+    of scope by design: route them through CDC compaction
+    (operators/cdc.py) so the join sees insert-only key versions.
+
+    Scale shape: every term has a DELTA on at least one side — the
+    snapshot-×-snapshot join (the expensive one) never reruns. Daily
+    deltas are usually broadcastable; snapshot sides stream past them.
+    """
+    return (
+        a_delta.join(b_old, list(on))
+        .unionByName(a_old.join(b_delta, list(on)))
+        .unionByName(a_delta.join(b_delta, list(on)))
+    )
+
+
+def incremental_join(
+    j_old: DataFrame,
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """New materialized join = old snapshot ∪ join delta. The identity
+    J_new = (A∪ΔA) ⋈ (B∪ΔB) is what the oracle-gated contract query
+    recomputes from scratch."""
+    return j_old.unionByName(join_delta(a_old, a_delta, b_old, b_delta, on))

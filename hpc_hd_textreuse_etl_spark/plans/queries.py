@@ -4377,3 +4377,115 @@ def orders_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         expect_foreign_key(orders, "o_custkey", customer, "c_custkey"),
         expect_row_count_between(orders, 1000, 1_000_000_000),
     ])
+
+
+@query(
+    "incremental_join_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_nationkey, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    tags=("incremental-view-join",),
+)
+def incremental_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the orders⋈customer materialized
+    join: both inputs split into snapshot + delta (orders on
+    orderkey%5, customer on custkey%7 — so ΔA⋈B, A⋈ΔB AND ΔA⋈ΔB all
+    contribute rows), the old join materialized from the snapshots
+    only, then incremental_join folds the deltas in. The oracle
+    recomputes the FULL join from scratch — equality proves the delta
+    algebra Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB on real data, row for row
+    (operators/incremental.py join_delta)."""
+    from hpc_hd_textreuse_etl_spark.operators.incremental import (
+        incremental_join,
+    )
+
+    orders = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = spark.table("customer").select("c_custkey", "c_nationkey")
+    a_old = orders.where(F.col("o_orderkey") % 5 != 0)
+    a_delta = orders.where(F.col("o_orderkey") % 5 == 0)
+    b_old = cust.where(F.col("c_custkey") % 7 != 0)
+    b_delta = cust.where(F.col("c_custkey") % 7 == 0)
+    j_old = a_old.withColumnRenamed("o_custkey", "c_custkey").join(
+        b_old, "c_custkey"
+    )
+    out = incremental_join(
+        j_old,
+        a_old.withColumnRenamed("o_custkey", "c_custkey"),
+        a_delta.withColumnRenamed("o_custkey", "c_custkey"),
+        b_old,
+        b_delta,
+        ["c_custkey"],
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "c_nationkey",
+        "o_totalprice",
+    )
+
+
+@query(
+    "chunked_sequence_packing",
+    oracle=None,  # set below (_duck_gate at import time)
+    tags=("chunking", "packing", "pipeline-composition"),
+)
+def chunked_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-prep chain: chunk documents into 24-token
+    windows (stride 16) → pack the CHUNKS into 128-token shard-parallel
+    budgets (cumsum strategy, portable shard). The oracle recomputes
+    both stages — window boundaries feed pack sizes feed the packing
+    window arithmetic — so the composed assignment (every chunk's
+    shard + pack) is value-hashed as one chain, the same style as
+    curated_corpus. chunk_key = doc_id*100 + chunk_id (chunk counts
+    are two-digit-bounded at this stride by construction)."""
+    from hpc_hd_textreuse_etl_spark.functions.hashing import portable_hash64
+    from hpc_hd_textreuse_etl_spark.operators.chunking import chunk_documents
+    from hpc_hd_textreuse_etl_spark.operators.packing import pack_sequences
+
+    chunks = chunk_documents(
+        spark.table("documents"), "doc_id", "text",
+        chunk_tokens=24, overlap_tokens=8,
+    )
+    sized = chunks.select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("chunk_key"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("cshard|"),
+                         (F.col("doc_id") * 100 + F.col("chunk_id")).cast("string"))
+            ),
+            F.lit(8),
+        ).alias("pshard"),
+    )
+    return pack_sequences(
+        sized, "chunk_key", "n_tokens", budget=128, num_shards=8,
+        strategy="cumsum", shard_col="pshard",
+    )
+
+
+def _install_chunk_pack_oracle() -> None:
+    QUERIES["chunked_sequence_packing"].oracle = f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS lst FROM documents),
+    s AS (SELECT doc_id, lst,
+                 unnest(generate_series(0, greatest(len(lst) - 9, 0), 16))
+                   AS start
+          FROM t WHERE len(lst) > 0),
+    ch AS (SELECT doc_id * 100 + start // 16 AS chunk_key,
+                  least(start + 24, len(lst)) - start AS sz
+           FROM s),
+    sized AS (SELECT chunk_key, CAST(sz AS BIGINT) AS size,
+                     {_duck_gate('cshard', 'chunk_key')} % 8 AS shard
+              FROM ch)
+    SELECT chunk_key, size, shard,
+           CAST(floor(COALESCE(SUM(size) OVER (
+             PARTITION BY shard ORDER BY size DESC, chunk_key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / 128.0) AS BIGINT) AS pack_id
+    FROM sized
+    """
+
+
+_install_chunk_pack_oracle()

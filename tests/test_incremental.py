@@ -107,3 +107,74 @@ def test_gapfill_grid_join_broadcasts(spark):
     )
     # the dims-only grid attaches via broadcast, not a shuffled join
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# join_delta / incremental_join — insert-only join IVM. The full
+# orders⋈customer maintenance is additionally value-hash-gated vs a
+# from-scratch recompute (incremental_join_orders).
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.incremental import (
+    incremental_join,
+    join_delta,
+)
+
+
+def _ab(spark, a_rows, b_rows):
+    a = spark.createDataFrame(a_rows, "k long, av string")
+    b = spark.createDataFrame(b_rows, "k long, bv string")
+    return a, b
+
+
+def _jrows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_join_delta_any_split_equals_scratch(spark):
+    """For every way of splitting both inputs, old∪delta maintenance
+    must equal the from-scratch join."""
+    a_rows = [(i % 4, f"a{i}") for i in range(8)]
+    b_rows = [(i % 5, f"b{i}") for i in range(10)]
+    a, b = _ab(spark, a_rows, b_rows)
+    scratch = _jrows(a.join(b, "k"))
+    for a_cut in (0, 3, 8):
+        for b_cut in (0, 4, 10):
+            a_old = spark.createDataFrame(a_rows[:a_cut] or [], "k long, av string")
+            a_new = spark.createDataFrame(a_rows[a_cut:] or [], "k long, av string")
+            b_old = spark.createDataFrame(b_rows[:b_cut] or [], "k long, bv string")
+            b_new = spark.createDataFrame(b_rows[b_cut:] or [], "k long, bv string")
+            j_old = a_old.join(b_old, "k")
+            got = _jrows(
+                incremental_join(j_old, a_old, a_new, b_old, b_new, ["k"])
+            )
+            assert got == scratch, (a_cut, b_cut)
+
+
+def test_join_delta_terms_are_disjoint(spark):
+    """The three delta terms partition the new rows — no row is emitted
+    twice (multiset equality above already implies it; this pins the
+    term-level reason)."""
+    a, b = _ab(spark, [(1, "ao"), (1, "ad")], [(1, "bo"), (1, "bd")])
+    a_old, a_new = a.where("av = 'ao'"), a.where("av = 'ad'")
+    b_old, b_new = b.where("bv = 'bo'"), b.where("bv = 'bd'")
+    d = join_delta(a_old, a_new, b_old, b_new, ["k"]).collect()
+    assert sorted((r.av, r.bv) for r in d) == [
+        ("ad", "bd"), ("ad", "bo"), ("ao", "bd"),
+    ]  # (ao, bo) belongs to j_old, not the delta
+
+
+def test_incremental_join_two_rounds_associative(spark):
+    """Folding two delta batches sequentially equals folding their
+    union once."""
+    a_rows = [(i % 3, f"a{i}") for i in range(9)]
+    b_rows = [(i % 3, f"b{i}") for i in range(6)]
+    A = lambda rows: spark.createDataFrame(rows or [], "k long, av string")
+    B = lambda rows: spark.createDataFrame(rows or [], "k long, bv string")
+    a0, a1, a2 = a_rows[:3], a_rows[3:6], a_rows[6:]
+    b0, b1, b2 = b_rows[:2], b_rows[2:4], b_rows[4:]
+    j0 = A(a0).join(B(b0), "k")
+    j1 = incremental_join(j0, A(a0), A(a1), B(b0), B(b1), ["k"])
+    j2 = incremental_join(j1, A(a0 + a1), A(a2), B(b0 + b1), B(b2), ["k"])
+    once = incremental_join(j0, A(a0), A(a1 + a2), B(b0), B(b1 + b2), ["k"])
+    assert _jrows(j2) == _jrows(once)
