@@ -125,3 +125,35 @@ def cooccurrence_counts(
     if min_count > 1:
         out = out.filter(F.col("n_xy") >= min_count)
     return out.select("x", "y", "n_xy", "n_x", "n_y")
+
+
+def oov_stats(
+    df: DataFrame, id_col: str, text_col: str, min_df: int = 2
+) -> DataFrame:
+    """Out-of-vocabulary scoring: per document, how many token
+    occurrences fall outside the corpus vocabulary (tokens appearing in
+    >= min_df documents). The vocabulary-coverage quality signal used
+    to flag gibberish/boilerplate before training.
+
+    ``(id, n_tokens, n_oov, oov_rate)`` — counts are exact integers;
+    the rate is one per-row IEEE division. The vocab (token set with
+    df >= min_df) broadcasts into the occurrence join (vocabulary ≪
+    corpus — same argument as tf_idf); occurrences reduce map-side to
+    per-document counts."""
+    vocab = token_doc_frequency(df, id_col, text_col, min_df).select("token")
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    marked = tok.join(
+        F.broadcast(vocab.withColumn("__in_v", F.lit(1))), "token", "left"
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens")
+        )
+    )

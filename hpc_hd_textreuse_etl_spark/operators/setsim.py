@@ -63,6 +63,10 @@ def jaccard_threshold_pairs(
         df.select(F.col(id_col).alias("id"), F.array_distinct(elements).alias("els"))
         .where(F.size("els") > 0)
     )
+    # The element arrays feed four consumers (frequency count, the
+    # rarity ordering, and both verify sides); without a persist Spark
+    # recomputes the (expensive) element expression for each.
+    sets = sets.persist()
 
     flat = sets.select("id", F.explode("els").alias("el"))
     freq = flat.groupBy("el").agg(F.count(F.lit(1)).alias("freq"))
@@ -81,11 +85,40 @@ def jaccard_threshold_pairs(
     prefix = F.slice(
         F.transform("fe", lambda x: x["el"]), F.lit(1), n - ceil_tn + F.lit(1)
     )
-    pref = ordered.select("id", F.explode(prefix).alias("el"))
+    # posexplode: the position inside the prefix IS the position inside
+    # the full rarity-ordered list, which the positional filter needs.
+    # persisted: the self-join's two sides would otherwise each rebuild
+    # the whole explode → frequency-join → sort pipeline.
+    pref = ordered.select(
+        "id", n.alias("n"), F.posexplode(prefix).alias("pos", "el")
+    ).persist()
 
     a, b = pref.alias("a"), pref.alias("b")
+    an, bn = F.col("a.n"), F.col("b.n")
+    # Length filter: J >= t forces |∩| >= t·max(na, nb) and |∩| <= min,
+    # so t·max <= min — in thousandths, both ways.
+    length_ok = (F.lit(1000) * an >= F.lit(t_milli) * bn) & (
+        F.lit(1000) * bn >= F.lit(t_milli) * an
+    )
+    # Positional filter (PPJoin): a qualifying pair's FIRST common
+    # element sits inside both prefixes (shared elements occupy α*
+    # positions, so the earliest is at index <= n - α* + 1 <= prefix
+    # length), and at that match every shared element lies at-or-after
+    # (i, j) — so 1 + min(na - i, nb - j) bounds the overlap, which
+    # must reach α = ceil(t(na+nb)/(1+t)):
+    # (1000 + t_milli)·capacity >= t_milli·(na + nb), integer-exact.
+    cap = F.lit(1) + F.least(
+        an - (F.col("a.pos") + 1), bn - (F.col("b.pos") + 1)
+    )
+    pos_ok = F.lit(1000 + t_milli) * cap >= F.lit(t_milli) * (an + bn)
     cand = (
-        a.join(b, (F.col("a.el") == F.col("b.el")) & (F.col("a.id") < F.col("b.id")))
+        a.join(
+            b,
+            (F.col("a.el") == F.col("b.el"))
+            & (F.col("a.id") < F.col("b.id"))
+            & length_ok
+            & pos_ok,
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

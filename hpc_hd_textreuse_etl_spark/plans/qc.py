@@ -176,3 +176,36 @@ def run_expectations(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def analyze_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """ANALYZE-style one-pass column profile: per column row count,
+    null count, exact distinct count, and min/max (as strings, for a
+    uniform schema). One aggregate job — Spark plans the multi-distinct
+    via Expand, a single shuffle; at 100 TB swap the exact distincts
+    for the mergeable HLL registers (operators/sketches.py) and keep
+    the same report shape. count_distinct ignores NULLs (profiled
+    separately by n_nulls)."""
+    cols = list(cols or df.columns)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint").alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(*[
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__rows").alias("n_rows"),
+            F.coalesce(F.col(f"__nn_{c}"), F.lit(0)).alias("n_nulls"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_value"),
+            F.col(f"__mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ])
+    return one.select(F.inline(per_col))

@@ -3948,6 +3948,7 @@ _install_mixture_oracle()
     LEFT JOIN s3 USING (user_id)
     """,
     tags=("funnel",),
+    bench=True,
 )
 def purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel, each step within 24 h of the
@@ -4221,6 +4222,7 @@ def jaccard_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           <= 10000 * 10000
     """,
     tags=("spatial-radius-join",),
+    bench=True,
 )
 def customer_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-radius near-neighbor SELF-join over customers placed on an
@@ -4278,6 +4280,7 @@ def customer_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j
     """,
     tags=("table-diff",),
+    bench=True,
 )
 def orders_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation (operators/diff.py): 'old' drops every
@@ -4431,6 +4434,7 @@ def incremental_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chunked_sequence_packing",
     oracle=None,  # set below (_duck_gate at import time)
     tags=("chunking", "packing", "pipeline-composition"),
+    bench=True,
 )
 def chunked_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-prep chain: chunk documents into 24-token
@@ -4489,3 +4493,110 @@ def _install_chunk_pack_oracle() -> None:
 
 
 _install_chunk_pack_oracle()
+
+
+@query(
+    "orders_column_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT)
+    FROM orders
+    """,
+    tags=("qc-analyze",),
+)
+def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profile (plans/qc.py analyze_table) over four
+    orders columns in ONE aggregate job (multi-distinct via Expand,
+    one shuffle). The gated projection is the integer core (rows /
+    nulls / exact ndv per column); min/max strings are pytest-pinned
+    (string-rendering rules differ per engine, counts don't)."""
+    from hpc_hd_textreuse_etl_spark.plans.qc import analyze_table
+
+    prof = analyze_table(
+        spark.table("orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    return prof.select("column", "n_rows", "n_nulls", "n_distinct")
+
+
+@query(
+    "doc_oov_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS token FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, count(DISTINCT doc_id) AS df_
+        FROM tok GROUP BY token
+      ) WHERE df_ >= 3
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS oov_rate
+    FROM tok LEFT JOIN vocab USING (token)
+    GROUP BY doc_id
+    """,
+    tags=("corpus-stats", "text-quality"),
+)
+def doc_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the df>=3 corpus
+    vocabulary (operators/corpus_stats.py oov_stats) — the vocabulary-
+    coverage quality gate. Counts are exact integers; the rate is one
+    per-row IEEE division; vocab broadcasts into the occurrence join."""
+    from hpc_hd_textreuse_etl_spark.operators.corpus_stats import oov_stats
+
+    return oov_stats(spark.table("documents"), "doc_id", "text", min_df=3)
+
+
+@query(
+    "hourly_top_events",
+    oracle="""
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY hr, event_type
+    )
+    SELECT CAST(hr AS BIGINT) AS hr, event_type, n, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY hr
+                                   ORDER BY n DESC, event_type) AS rk
+      FROM c
+    ) WHERE rk <= 3
+    """,
+    tags=("windowed-topk",),
+)
+def hourly_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour top-3 event types by count (trending/heavy-hitters per
+    window): map-side-combined counts, then a rank window whose
+    WindowGroupLimit prunes to <=3 rows per hour per map partition
+    before the exchange. Total order (count desc, type) pins ties."""
+    ev = spark.table("events")
+    c = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).alias("hr"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("hr").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )

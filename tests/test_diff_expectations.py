@@ -118,3 +118,34 @@ def test_foreign_key_orphans(spark):
     assert (rep.metric, rep.passed) == (1, False)  # 200 orphaned; NULL ignored
     with pytest.raises(ValueError):
         run_expectations([])
+
+
+def test_analyze_table_full_profile(spark):
+    from hpc_hd_textreuse_etl_spark.plans.qc import analyze_table
+
+    df = _t(spark, [(1, "b", 10), (2, None, 30), (3, "a", 30)])
+    prof = {r.column: r for r in analyze_table(df).collect()}
+    assert set(prof) == {"k", "a", "b"}
+    assert (prof["a"].n_rows, prof["a"].n_nulls, prof["a"].n_distinct) == (3, 1, 2)
+    assert (prof["a"].min_value, prof["a"].max_value) == ("a", "b")
+    assert (prof["b"].n_distinct, prof["b"].min_value, prof["b"].max_value) == (
+        2, "10", "30",
+    )
+    # single job: explicit column subset prunes the agg
+    sub = analyze_table(df, ["k"]).collect()
+    assert len(sub) == 1 and sub[0].n_distinct == 3
+
+
+def test_oov_stats_hand_case(spark):
+    from hpc_hd_textreuse_etl_spark.operators.corpus_stats import oov_stats
+
+    docs = spark.createDataFrame(
+        [(1, "common common rare1"), (2, "common rare2"), (3, "common")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in oov_stats(docs, "doc_id", "text", min_df=2).collect()}
+    # vocab = {common} (df 3); rare1/rare2 have df 1
+    assert (got[1].n_tokens, got[1].n_oov) == (3, 1)
+    assert (got[2].n_tokens, got[2].n_oov) == (2, 1)
+    assert (got[3].n_tokens, got[3].n_oov) == (1, 0)
+    assert got[2].oov_rate == pytest.approx(0.5)
