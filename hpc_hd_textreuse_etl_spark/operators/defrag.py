@@ -131,14 +131,30 @@ def raw_mappings_join(
     codegen, and parallelizes within documents — a 10M-piece document is
     no longer a single sequential task.
     """
+    # Bin the start offsets at BUFFER_WINDOW width and join on
+    # (doc, bin) instead of doc alone: a valid candidate has
+    # s_a - 180 <= s_b <= s_a, hence floor(s_b/180) ∈ {bin_a - 1,
+    # bin_a} — replicating each b row into its bin and the next makes
+    # the pair meet exactly once (b's two bin values are distinct)
+    # while the join fan-out drops from per-document QUADRATIC to
+    # per-window occupancy. A 10M-piece document costs ~pieces ×
+    # window-density, not pieces², and the hash key (doc, bin) also
+    # spreads one huge document over many tasks.
     a = pieces.select(
         F.col(doc_col).alias("doc"),
+        F.floor(F.col(start_col) / F.lit(BUFFER_WINDOW)).alias("bin"),
         F.col(start_col).alias("s_a"),
         F.col(end_col).alias("e_a"),
         F.col(piece_col).alias("p_a"),
     )
     b = pieces.select(
         F.col(doc_col).alias("doc"),
+        F.explode(
+            F.array(
+                F.floor(F.col(start_col) / F.lit(BUFFER_WINDOW)),
+                F.floor(F.col(start_col) / F.lit(BUFFER_WINDOW)) + 1,
+            )
+        ).alias("bin"),
         F.col(start_col).alias("s_b"),
         F.col(end_col).alias("e_b"),
         F.col(piece_col).alias("p_b"),
@@ -151,7 +167,7 @@ def raw_mappings_join(
         F.lit(MAX_LIMIT),
     )
     cand = (
-        a.join(b, "doc")
+        a.join(b, ["doc", "bin"])
         .filter(
             (F.col("s_b") >= F.col("s_a") - BUFFER_WINDOW)
             & (
