@@ -434,3 +434,86 @@ def sssp_weighted(
         dist, frontier = new_dist, improved
     e.unpersist()
     return dist
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    levels: int,
+    child_col: str = "child",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """Ancestor transitive closure of a forest by POINTER DOUBLING:
+    round k holds every (node, ancestor) link of length ≤ 2^k, and one
+    self-join composes them into ≤ 2^(k+1) — O(log depth) rounds where
+    the naive parent-walk needs O(depth). The classic hierarchy
+    flattening (org charts, category trees, thread ancestry) at
+    shuffle-bound scale: each round is one equi-join + distinct on the
+    closure built so far, which for forests has Σ depth(v) rows total.
+
+    Returns ``(node, anc, dist)`` with dist ≥ 1 exact (path lengths are
+    unique in a forest, so the closure is a deterministic integer
+    relation — oracle-gateable against a recursive CTE). ``levels``
+    bounds coverage at 2^levels edges; early-exits when a round adds
+    nothing.
+    """
+    if levels < 0:
+        raise ValueError("levels must be >= 0")
+    links = (
+        edges.select(
+            F.col(child_col).cast("long").alias("node"),
+            F.col(parent_col).cast("long").alias("anc"),
+        )
+        .where(F.col("anc").isNotNull())
+        .distinct()
+        .withColumn("dist", F.lit(1).cast("long"))
+        .persist()
+    )
+    closure = links
+    for _ in range(levels):
+        x, y = closure.alias("x"), closure.alias("y")
+        hop = x.join(y, F.col("x.anc") == F.col("y.node")).select(
+            F.col("x.node").alias("node"),
+            F.col("y.anc").alias("anc"),
+            (F.col("x.dist") + F.col("y.dist")).alias("dist"),
+        )
+        grown = closure.unionByName(hop).distinct().persist()
+        before, after = closure.count(), grown.count()
+        closure.unpersist() if closure is not links else None
+        if after == before:
+            return grown
+        closure = grown
+    return closure
+
+
+def subtree_rollup(
+    nodes: DataFrame,
+    id_col: str,
+    parent_col: str,
+    value_col: str,
+    levels: int,
+) -> DataFrame:
+    """Aggregate every node's subtree (descendants + self): flatten the
+    hierarchy with :func:`ancestor_closure`, attach each descendant's
+    value once per ancestor, aggregate. ``(ancestor, n_subtree,
+    subtree_sum)`` — the decimal-exact hierarchical rollup."""
+    closure = ancestor_closure(nodes, levels, id_col, parent_col)
+    pairs = closure.select(F.col("anc").alias("ancestor"), "node").unionByName(
+        nodes.select(
+            F.col(id_col).cast("long").alias("ancestor"),
+            F.col(id_col).cast("long").alias("node"),
+        )
+    )
+    vals = nodes.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(value_col).alias("__v"),
+    )
+    return (
+        pairs.join(vals, "node")
+        .groupBy("ancestor")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_subtree"),
+            F.sum(F.col("__v").cast("decimal(30,4)"))
+            .cast("double")
+            .alias("subtree_sum"),
+        )
+    )

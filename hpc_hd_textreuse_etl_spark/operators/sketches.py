@@ -498,3 +498,72 @@ def bloom_contains(
         joined.groupBy(*cols)
         .agg((F.min(hit) == 1).alias(out_col))
     )
+
+
+def bloom_prune(
+    df: DataFrame,
+    value_col: str,
+    bloom: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: int = 97,
+) -> DataFrame:
+    """Zero-shuffle Bloom pre-filter: drop rows whose ``value_col``
+    cannot be in the filter. Unlike :func:`bloom_contains` (a
+    relational probe that re-groups), this collects the bitmap —
+    bounded at m_bits/8 bytes, 8 KB at the default — into a literal
+    array and evaluates the all-k-bits test as a codegen'd row
+    predicate: row multiplicity is preserved and nothing shuffles.
+    No false negatives (guaranteed supersets of the true matches);
+    false-positive rows are eliminated by whatever exact operation
+    follows."""
+    if m_bits > (1 << 20):
+        raise ValueError(
+            f"bitmap too large to inline as a literal ({m_bits} bits); "
+            "use bloom_contains for the relational probe path"
+        )
+    from hpc_hd_textreuse_etl_spark.functions.hashing import (
+        MERSENNE_P,
+        minhash_coeffs,
+        portable_hash64,
+    )
+
+    words = {r["word"]: r["bits"] for r in bloom.collect()}
+    arr = F.array(*[F.lit(words.get(w, 0)) for w in range(m_bits >> 5)])
+    base = portable_hash64(F.col(value_col).cast("string")) % F.lit(MERSENNE_P)
+    cond = F.lit(True)
+    for a, b in minhash_coeffs(k, seed=seed):
+        pos = (F.lit(a) * base + F.lit(b)) % F.lit(MERSENNE_P) % F.lit(m_bits)
+        word = F.element_at(arr, (F.shiftright(pos, 5) + F.lit(1)).cast("int"))
+        # F.shiftright only takes a literal shift; call the SQL
+        # function directly for the column-valued bit index.
+        hit = F.call_function(
+            "shiftright", word, (pos.bitwiseAND(F.lit(31))).cast("int")
+        ).bitwiseAND(F.lit(1))
+        cond = cond & (hit == 1)
+    return df.where(cond)
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    seed: int = 97,
+) -> DataFrame:
+    """Semi-join reduction for big-fact ⋈ selective-dim: build the
+    Bloom bitmap over the dim keys (one map-side-combined bit_or pass),
+    prune the fact side with the zero-shuffle literal-bitmap predicate,
+    then run the exact join on the survivors. Equivalent to the plain
+    join (no false negatives; false positives die in the join), but at
+    100 TB the fact rows that cannot match never enter the join
+    exchange — the explicit form of the engine's runtime-filter
+    pushdown, usable across materialization boundaries (build once,
+    prune many downstream scans)."""
+    bloom = bloom_bits(
+        dim.select(F.col(dim_key).alias(dim_key)), dim_key, m_bits, k, seed
+    )
+    pruned = bloom_prune(fact, fact_key, bloom, m_bits, k, seed)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

@@ -4600,3 +4600,83 @@ def hourly_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
     )
+
+
+@query(
+    "bloom_pruned_supplier_join",
+    oracle="""
+    SELECT l_orderkey, l_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           l_quantity
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey = 1
+    """,
+    tags=("bloom-pruned-join",),
+)
+def bloom_pruned_supplier_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction (operators/sketches.py bloom_pruned_join):
+    the nation-1 supplier keys build a Bloom bitmap, the lineitem fact
+    side is pruned by the zero-shuffle literal-bitmap predicate, and
+    the exact join runs on the survivors. The oracle is the PLAIN join
+    — value equality proves no false negatives and that false
+    positives die in the join, with row multiplicity preserved."""
+    from hpc_hd_textreuse_etl_spark.operators.sketches import (
+        bloom_pruned_join,
+    )
+
+    li = spark.table("lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    dim = (
+        spark.table("supplier")
+        .where(F.col("s_nationkey") == 1)
+        .select("s_suppkey", F.col("s_nationkey").cast("long").alias("s_nationkey"))
+    )
+    out = bloom_pruned_join(li, dim, "l_suppkey", "s_suppkey")
+    return out.select("l_orderkey", "l_suppkey", "s_nationkey", "l_quantity")
+
+
+@query(
+    "customer_subtree_rollup",
+    oracle="""
+    WITH RECURSIVE anc AS (
+      SELECT c_custkey AS node, c_custkey // 2 AS anc
+      FROM customer WHERE c_custkey >= 2
+      UNION ALL
+      SELECT a.node, c.c_custkey // 2
+      FROM anc a JOIN customer c ON a.anc = c.c_custkey
+      WHERE c.c_custkey >= 2
+    ), pairs AS (
+      SELECT anc AS ancestor, node FROM anc
+      UNION ALL
+      SELECT c_custkey, c_custkey FROM customer
+    )
+    SELECT p.ancestor, CAST(count(*) AS BIGINT) AS n_subtree,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(30,4))) AS DOUBLE)
+             AS subtree_sum
+    FROM pairs p JOIN customer c ON p.node = c.c_custkey
+    GROUP BY p.ancestor
+    """,
+    tags=("graph-hierarchy", "iterative"),
+)
+def customer_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup over the implicit binary tree
+    parent(c) = c div 2 on customer keys (depth ~11 at sf0.01):
+    pointer-doubling ancestor closure (4 rounds for 2^4 = 16 levels —
+    O(log depth), vs 11 parent-walk joins), then a decimal-exact
+    per-ancestor aggregate. The oracle walks the same hierarchy with a
+    recursive CTE — closure pairs, subtree sizes and balances must
+    match node-for-node (operators/graph.py ancestor_closure /
+    subtree_rollup)."""
+    from hpc_hd_textreuse_etl_spark.operators.graph import subtree_rollup
+
+    cust = spark.table("customer").select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            F.col("c_custkey") >= 2, F.floor(F.col("c_custkey") / 2)
+        ).alias("parent"),
+        "c_acctbal",
+    )
+    out = subtree_rollup(cust, "id", "parent", "c_acctbal", levels=4)
+    return out.select(
+        F.col("ancestor"), "n_subtree", "subtree_sum"
+    )

@@ -324,3 +324,72 @@ def test_sssp_zero_rounds_and_validation(spark):
 
     with _pt.raises(ValueError):
         sssp_weighted(e, s, -1)
+
+
+# ---------------------------------------------------------------------------
+# ancestor_closure / subtree_rollup — pointer-doubling hierarchy ops.
+# The customer binary-tree rollup is value-hash-gated vs a recursive
+# CTE (customer_subtree_rollup).
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.graph import (
+    ancestor_closure,
+    subtree_rollup,
+)
+
+
+def _forest(spark, links):
+    return spark.createDataFrame(links, "child long, parent long")
+
+
+def test_closure_chain_all_ancestors_and_distances(spark):
+    # 1 <- 2 <- 3 <- 4 <- 5 (chain of depth 4); levels=2 covers 2^2=4
+    links = [(i, i - 1) for i in range(2, 6)]
+    got = {
+        (r.node, r.anc, r.dist)
+        for r in ancestor_closure(_forest(spark, links), 2).collect()
+    }
+    want = {
+        (n, a, n - a) for n in range(2, 6) for a in range(1, n)
+    }
+    assert got == want
+
+
+def test_closure_levels_bound_depth(spark):
+    """levels=1 covers paths of length <= 2 only."""
+    links = [(i, i - 1) for i in range(2, 6)]
+    got = {
+        (r.node, r.anc)
+        for r in ancestor_closure(_forest(spark, links), 1).collect()
+    }
+    assert got == {(n, a) for n in range(2, 6) for a in range(1, n) if n - a <= 2}
+
+
+def test_closure_forest_isolation_and_early_exit(spark):
+    """Two separate trees never cross; levels far above depth early-exits."""
+    links = [(2, 1), (3, 1), (20, 10), (30, 20)]
+    got = {
+        (r.node, r.anc)
+        for r in ancestor_closure(_forest(spark, links), 6).collect()
+    }
+    assert got == {(2, 1), (3, 1), (20, 10), (30, 20), (30, 10)}
+
+
+def test_subtree_rollup_hand_tree(spark):
+    #        1
+    #      2   3
+    #    4       (values = id*10)
+    nodes = spark.createDataFrame(
+        [(1, None, 10), (2, 1, 20), (3, 1, 30), (4, 2, 40)],
+        "id long, parent long, v long",
+    )
+    got = {
+        r.ancestor: (r.n_subtree, r.subtree_sum)
+        for r in subtree_rollup(nodes, "id", "parent", "v", levels=3).collect()
+    }
+    assert got == {
+        1: (4, 100.0),
+        2: (2, 60.0),
+        3: (1, 30.0),
+        4: (1, 40.0),
+    }

@@ -300,3 +300,63 @@ def test_bloom_probe_plan_broadcasts_bitmap(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# bloom_prune / bloom_pruned_join — zero-shuffle semi-join reduction.
+# Full-join equivalence on real tables is value-hash-gated via
+# bloom_pruned_supplier_join (test_oracle_parity).
+# ---------------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.sketches import (
+    bloom_bits,
+    bloom_prune,
+    bloom_pruned_join,
+)
+
+
+def test_bloom_prune_no_false_negatives_and_multiplicity(spark):
+    keys = spark.createDataFrame([(k,) for k in (5, 9, 14)], "k long")
+    bloom = bloom_bits(keys, "k", m_bits=1 << 12, k=4)
+    # duplicate fact rows must survive with multiplicity intact
+    fact = spark.createDataFrame(
+        [(5, "a"), (5, "b"), (9, "c"), (100, "x"), (200, "y")],
+        "k long, payload string",
+    )
+    kept = bloom_prune(fact, "k", bloom, m_bits=1 << 12, k=4).collect()
+    kept_keys = [r.k for r in kept]
+    for want in (5, 5, 9):  # all true members, duplicates preserved
+        assert want in kept_keys
+        kept_keys.remove(want)
+    # whatever remains are (rare) false positives from {100, 200}
+    assert all(k in (100, 200) for k in kept_keys)
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    import random
+
+    rng = random.Random(3)
+    fact = spark.createDataFrame(
+        [(rng.randrange(50), i) for i in range(400)], "k long, v long"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 50, 7)], "dk long, tag string"
+    )
+    plain = sorted(
+        (r.k, r.v, r.tag)
+        for r in fact.join(dim, fact["k"] == dim["dk"]).collect()
+    )
+    pruned = sorted(
+        (r.k, r.v, r.tag)
+        for r in bloom_pruned_join(fact, dim, "k", "dk").collect()
+    )
+    assert pruned == plain
+
+
+def test_bloom_prune_rejects_oversized_bitmap(spark):
+    keys = spark.createDataFrame([(1,)], "k long")
+    bloom = bloom_bits(keys, "k", m_bits=1 << 12, k=4)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bloom_prune(keys, "k", bloom, m_bits=1 << 21, k=4)
