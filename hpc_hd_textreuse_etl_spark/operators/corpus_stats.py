@@ -157,3 +157,94 @@ def oov_stats(
             "oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring (perplexity-style quality gate)
+# ---------------------------------------------------------------------------
+
+
+def doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, w1, w2)`` — one row per adjacent token pair, in document
+    order. The pairing happens INSIDE the row (a Catalyst ``transform``
+    over a sliced token array + 1-based ``element_at`` for the
+    successor), so producing bigrams is part of the scan stage: zero
+    shuffle, no positional self-join, no window."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pairs = F.transform(
+        F.slice(toks, F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda t, i: F.struct(
+            t.alias("w1"), F.element_at(toks, i + F.lit(2)).alias("w2")
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def bigram_counts(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 1
+) -> DataFrame:
+    """Corpus bigram table ``(w1, w2, n_xy)`` — one map-side-combined
+    shuffle keyed on the pair. ``min_count`` prunes the hapax tail,
+    which at web scale is what makes the table broadcastable."""
+    out = doc_bigrams(df, id_col, text_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    return out.filter(F.col("n_xy") >= min_count) if min_count > 1 else out
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    counts: DataFrame | None = None,
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document bigram language-model familiarity — the
+    perplexity-style quality gate of training-data curation (docs whose
+    adjacent-pair statistics diverge from the corpus are gibberish,
+    boilerplate, or the wrong language).
+
+    Emits an exact integer core plus a float convenience layer:
+
+    - ``n_bigrams``       — adjacent pairs in the document;
+    - ``sum_bigram_n``    — Σ corpus count of each pair (unseen = 0);
+    - ``unseen_bigrams``  — pairs never seen in the (possibly pruned)
+      corpus table;
+    - ``avg_logprob``     — mean ln((n_xy + k) / (n_x + k·V)), add-k
+      smoothed conditional bigram model (float layer: ln is libm, so
+      it is epsilon-tested, not oracle-gated — same reasoning as
+      TF-IDF's idf).
+
+    Scale shape: doc bigrams reduce map-side onto the (w1, w2) join
+    key; the counts table (min_count-pruned) is the small side. The
+    unigram table and the 1-row vocab size broadcast."""
+    if counts is None:
+        counts = bigram_counts(df, id_col, text_col)
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("n_x"))
+    vsize = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+
+    bg = doc_bigrams(df, id_col, text_col)
+    joined = (
+        bg.join(counts, ["w1", "w2"], "left")
+        .join(uni.withColumnRenamed("token", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vsize))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("n_xy"), F.lit(0)).cast("double") + F.lit(add_k))
+        / (
+            F.coalesce(F.col("n_x"), F.lit(0)).cast("double")
+            + F.lit(add_k) * F.col("v").cast("double")
+        )
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum(F.coalesce(F.col("n_xy"), F.lit(0))).cast("bigint").alias("sum_bigram_n"),
+        F.sum(F.when(F.col("n_xy").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("unseen_bigrams"),
+        F.avg(logp).alias("avg_logprob"),
+    )

@@ -228,3 +228,45 @@ def leakage_safe_split(
         ).otherwise("train"),
     )
     return banded.drop("__gk")
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str | Column,
+    k: int,
+    salt: str = "wsample-v1",
+    priority_col: str = "sample_priority",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: keep the k
+    rows with the smallest ``H(salt||key) / weight`` (priority
+    sampling / bottom-k PPSWOR — heavier rows draw proportionally
+    smaller priorities, so inclusion probability tracks weight).
+
+    Why this construction survives production:
+
+    - a pure function of (key, salt, weight): the sample is identical
+      across runs, partitionings, and engines — the division of the
+      60-bit integer hash by the weight is ONE correctly-rounded IEEE
+      double op, bit-equal everywhere (same portability class as the
+      integer gate; there is no accumulation to reorder);
+    - bottom-k plans as ``TakeOrderedAndProject``: per-task k-row
+      heaps, no global sort, no shuffle of the data — only k rows per
+      task move;
+    - mergeable: the bottom-k of a union is the bottom-k of the
+      per-part bottom-ks, so pre-sampled shards compose (same algebra
+      as the KMV sketch, operators/sketches.py).
+
+    Weights must be strictly positive; ties (same priority) break on
+    the key so the kept set is total-ordered."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    keys = [F.col(c) for c in key_cols]
+    pri = sample_hash(key_cols, salt).cast("double") / w.cast("double")
+    guarded = F.when(w > 0, pri).otherwise(
+        F.raise_error(F.lit("weighted_sample_topk: weight must be > 0"))
+    )
+    return (
+        df.withColumn(priority_col, guarded)
+        .orderBy(F.col(priority_col).asc(), *[c.asc() for c in keys])
+        .limit(k)
+    )

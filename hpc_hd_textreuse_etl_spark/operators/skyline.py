@@ -1,0 +1,155 @@
+"""Pareto frontier (skyline) — the multi-objective filter of OLAP
+("best price/size tradeoffs") and of data curation (keep documents not
+dominated on quality × freshness × length).
+
+A row q is dominated when some row p is at-least-as-good on EVERY
+objective and strictly better on at least one ("good" per-dimension
+direction: ``min`` or ``max``). The skyline is the set of undominated
+rows — a deterministic function of the input multiset (duplicates of a
+skyline point don't dominate each other, so all copies survive;
+total-order determinism needs no tiebreaker).
+
+Scale shape (the classic two-phase distributed skyline):
+
+1. **Local prune** — each Arrow batch drops rows dominated *within the
+   batch* (``mapInPandas``, vectorized numpy: repeatedly take the
+   lexicographically-smallest remaining point by objective sum — which
+   no later point can dominate — and mask out everything it dominates;
+   O(s·n) per batch for skyline size s). Sound: dominance anywhere ⟹
+   the dominator also prunes locally or survives to phase 2. This is
+   the only Python stage, and it touches each row once inside the scan
+   stage — zero shuffle.
+2. **Global verify** — surviving candidates (skylines are small: O(logᵈn)
+   expected for independent dimensions) are self-anti-joined under the
+   dominance predicate with the candidate set broadcast — a
+   BroadcastNestedLoopJoin over m candidates, O(m²) compute but no
+   shuffle and no driver collect.
+
+The 2-D special case :func:`pareto_frontier_2d` is pure Catalyst: sort
+by (d1, d2), a point survives iff its d2 strictly improves on the
+running best of every strictly-smaller d1 group — one window over one
+exchange, no Python, no quadratic verify.
+
+For the 100 TB argument: phase 1's output is bounded by
+batches × local-skyline-size; if a pathological input (anti-correlated
+dimensions) makes the candidate set too big to broadcast, re-run phase
+1 on the candidates (it contracts monotonically) or pre-partition by a
+grid cell of the first objective — both compose from these pieces.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _validate(dims: Sequence[str], directions: Sequence[str]) -> list[bool]:
+    if len(dims) != len(directions) or not dims:
+        raise ValueError("dims and directions must be same non-zero length")
+    flips = []
+    for d in directions:
+        if d not in ("min", "max"):
+            raise ValueError(f"direction must be 'min' or 'max', got {d!r}")
+        flips.append(d == "max")
+    return flips
+
+
+def pareto_frontier(
+    df: DataFrame, dims: Sequence[str], directions: Sequence[str]
+) -> DataFrame:
+    """General-d skyline: batch-local numpy prune, then a broadcast
+    anti-join verify among the surviving candidates."""
+    import pandas as pd  # noqa: F401 (signature requirement)
+
+    flips = _validate(dims, directions)
+    dim_list = list(dims)
+    schema = df.schema
+
+    def local_prune(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            # canonical orientation: every objective is "minimize"
+            mat = pdf[dim_list].to_numpy(dtype="float64", copy=True)
+            for j, flip in enumerate(flips):
+                if flip:
+                    mat[:, j] = -mat[:, j]
+            alive = np.ones(len(pdf), dtype=bool)
+            keep = np.zeros(len(pdf), dtype=bool)
+            score = mat.sum(axis=1)
+            while alive.any():
+                idx = np.flatnonzero(alive)
+                pick = idx[np.argmin(score[idx])]
+                keep[pick] = True
+                alive[pick] = False
+                rest = np.flatnonzero(alive)
+                if rest.size == 0:
+                    break
+                le = (mat[rest] >= mat[pick]).all(axis=1)
+                lt = (mat[rest] > mat[pick]).any(axis=1)
+                dominated = le & lt
+                alive[rest[dominated]] = False
+                # exact duplicates of the pick are skyline members too
+                dup = le & ~lt
+                keep[rest[dup]] = True
+                alive[rest[dup]] = False
+            yield pdf[keep]
+
+    candidates = df.mapInPandas(local_prune, schema=schema)
+
+    left = candidates.alias("q")
+    right = F.broadcast(
+        candidates.select(*[F.col(c).alias(f"p_{c}") for c in dim_list]).alias("p")
+    )
+    le_terms = []
+    lt_terms = []
+    for c, flip in zip(dim_list, flips):
+        pc, qc = F.col(f"p_{c}"), F.col(f"q.{c}")
+        le_terms.append(pc >= qc if flip else pc <= qc)
+        lt_terms.append(pc > qc if flip else pc < qc)
+    dominates = le_terms[0]
+    for t in le_terms[1:]:
+        dominates = dominates & t
+    any_strict = lt_terms[0]
+    for t in lt_terms[1:]:
+        any_strict = any_strict | t
+    return left.join(right, dominates & any_strict, "left_anti")
+
+
+def pareto_frontier_2d(
+    df: DataFrame, d1: str, d2: str, directions: tuple[str, str] = ("min", "min")
+) -> DataFrame:
+    """Pure-Catalyst 2-D skyline. After orienting both objectives to
+    'minimize', a point is dominated iff some point with d1 strictly
+    smaller has d2 <= ours, or d1 equal and d2 strictly smaller — i.e.
+    survive iff d2 equals its d1-group's min AND that min strictly
+    improves the prefix min over all strictly-smaller d1 groups.
+
+    Scale shape: ONE map-side-combined aggregate to per-group minima
+    (|distinct d1| rows ≪ n), the prefix-min window runs on that small
+    table only (never on the data), and survivors broadcast back into
+    an equi-join — no global sort of the input, no single-partition
+    window over it."""
+    from pyspark.sql import Window
+
+    flips = _validate((d1, d2), directions)
+    s1 = (-F.col(d1)) if flips[0] else F.col(d1)
+    s2 = (-F.col(d2)) if flips[1] else F.col(d2)
+    work = df.withColumn("__s1", s1).withColumn("__s2", s2)
+    grp_min = work.groupBy("__s1").agg(F.min("__s2").alias("__gmin"))
+    prev = Window.orderBy("__s1").rowsBetween(Window.unboundedPreceding, -1)
+    frontier_keys = (
+        grp_min.withColumn("__pmin", F.min("__gmin").over(prev))
+        .where(F.col("__pmin").isNull() | (F.col("__gmin") < F.col("__pmin")))
+        .select(F.col("__s1").alias("__f1"), F.col("__gmin").alias("__fmin"))
+    )
+    out = work.join(
+        F.broadcast(frontier_keys),
+        (F.col("__s1") == F.col("__f1")) & (F.col("__s2") == F.col("__fmin")),
+        "left_semi",
+    )
+    return out.drop("__s1", "__s2")

@@ -4680,3 +4680,165 @@ def customer_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("ancestor"), "n_subtree", "subtree_sum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling, Pareto frontier, bigram LM (round-3 twentieth wave)
+# ---------------------------------------------------------------------------
+
+
+def _install_weighted_sample_oracle() -> None:
+    from hpc_hd_textreuse_etl_spark.operators.sampling import SEP  # noqa: F401
+
+    QUERIES["weighted_sample_orders"].oracle = f"""
+    SELECT o_orderkey, pri AS sample_priority FROM (
+      SELECT o_orderkey,
+             CAST({_DUCK_H.format(x="'wsample-v1|' || CAST(o_orderkey AS VARCHAR)")}
+                  AS DOUBLE) / CAST(o_totalprice AS DOUBLE) AS pri
+      FROM orders
+    ) ORDER BY pri, o_orderkey LIMIT 50
+    """
+
+
+@query(
+    "weighted_sample_orders",
+    oracle=None,  # installed below (shares the portable-gate spelling)
+    tags=("sampling-weighted",),
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted bottom-k sample (priority sampling /
+    PPSWOR): keep the 50 orders minimizing H('wsample-v1'|key)/weight,
+    weight = o_totalprice. The emitted priority doubles are value-hashed
+    — the integer hash, the decimal→double cast and the one IEEE
+    division are each correctly rounded in both engines, so the gate
+    pins the whole construction bit-for-bit
+    (operators/sampling.py weighted_sample_topk; plans
+    TakeOrderedAndProject — per-task heaps, no global sort)."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    orders = spark.table("orders")
+    return weighted_sample_topk(
+        orders, ["o_orderkey"], F.col("o_totalprice"), k=50
+    ).select("o_orderkey", "sample_priority")
+
+
+@query(
+    "pareto_frontier_parts",
+    oracle="""
+    WITH d AS (
+      SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+             CAST(p_size AS INT) AS p_size,
+             CAST(length(p_name) AS INT) AS name_len
+      FROM part
+    )
+    SELECT p_partkey, price, p_size, name_len FROM d q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d p
+      WHERE p.price <= q.price AND p.p_size >= q.p_size
+        AND p.name_len <= q.name_len
+        AND (p.price < q.price OR p.p_size > q.p_size
+             OR p.name_len < q.name_len)
+    )
+    """,
+    tags=("skyline", "pandas-udf"),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-objective Pareto frontier over part (minimize price, maximize
+    size, minimize name length) — batch-local numpy prune inside the
+    scan stage, then a broadcast anti-join verify among candidates; the
+    oracle is the brute-force NOT EXISTS dominance predicate, so the
+    full skyline membership is value-checked
+    (operators/skyline.py pareto_frontier)."""
+    from hpc_hd_textreuse_etl_spark.operators.skyline import pareto_frontier
+
+    d = spark.table("part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("int").alias("p_size"),
+        F.length("p_name").cast("int").alias("name_len"),
+    )
+    return pareto_frontier(
+        d, ["price", "p_size", "name_len"], ["min", "max", "min"]
+    )
+
+
+@query(
+    "pareto_frontier_2d_parts",
+    oracle="""
+    WITH d AS (
+      SELECT p_partkey, CAST(p_size AS INT) AS p_size,
+             CAST(p_retailprice AS DOUBLE) AS price
+      FROM part
+    )
+    SELECT p_partkey, p_size, price FROM d q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d p
+      WHERE p.p_size <= q.p_size AND p.price >= q.price
+        AND (p.p_size < q.p_size OR p.price > q.price)
+    )
+    """,
+    tags=("skyline",),
+)
+def pareto_frontier_2d_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (minimize size, maximize price) via the pure-Catalyst
+    sort + running-best window — no Python, one exchange; must agree
+    with the brute-force dominance oracle
+    (operators/skyline.py pareto_frontier_2d)."""
+    from hpc_hd_textreuse_etl_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+
+    d = spark.table("part").select(
+        "p_partkey",
+        F.col("p_size").cast("int").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("price"),
+    )
+    return pareto_frontier_2d(d, "p_size", "price", ("min", "max"))
+
+
+@query(
+    "doc_bigram_lm",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, lst[i] AS w1, lst[i + 1] AS w2
+      FROM (SELECT doc_id, {_TOK} AS lst FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(lst) - 1)) AS i)
+      WHERE len(lst) >= 2
+    ), cnt AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+      FROM pos GROUP BY w1, w2 HAVING count(*) >= 2
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(SUM(c.n_xy), 0) AS BIGINT) AS sum_bigram_n,
+           CAST(SUM(CASE WHEN c.n_xy IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS unseen_bigrams
+    FROM pos p LEFT JOIN cnt c ON p.w1 = c.w1 AND p.w2 = c.w2
+    GROUP BY p.doc_id
+    """,
+    tags=("corpus-stats", "language-model"),
+)
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM familiarity, exact integer core: adjacent
+    pairs per doc, Σ corpus counts (min_count=2 pruned) and unseen-pair
+    counts. Bigrams are built INSIDE each row (Catalyst transform +
+    element_at — no positional self-join, no window) and reduce
+    map-side onto the pair join key. The add-k smoothed avg_logprob
+    float layer is epsilon-tested in test_corpus_stats, not
+    oracle-gated (libm ln — same reasoning as TF-IDF)
+    (operators/corpus_stats.py bigram_lm_score)."""
+    from hpc_hd_textreuse_etl_spark.operators.corpus_stats import (
+        bigram_counts,
+        bigram_lm_score,
+    )
+
+    docs = spark.table("documents")
+    counts = bigram_counts(docs, "doc_id", "text", min_count=2)
+    return bigram_lm_score(docs, "doc_id", "text", counts=counts).select(
+        "doc_id", "n_bigrams", "sum_bigram_n", "unseen_bigrams"
+    )
+
+
+_install_weighted_sample_oracle()

@@ -118,3 +118,85 @@ def test_cooccurrence_no_quadratic_join_on_positions(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- bigram LM scoring -----------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.corpus_stats import (  # noqa: E402
+    bigram_counts,
+    bigram_lm_score,
+    doc_bigrams,
+)
+
+
+def test_doc_bigrams_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x"), (3, ""), (4, "p q")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["w1"], r["w2"])
+        for r in doc_bigrams(docs, "doc_id", "text").collect()
+    )
+    assert got == [(1, "a", "b"), (1, "b", "c"), (4, "p", "q")]
+
+
+def test_bigram_counts_and_min_count(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    all_counts = {
+        (r["w1"], r["w2"]): r["n_xy"]
+        for r in bigram_counts(docs, "doc_id", "text").collect()
+    }
+    assert all_counts == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    pruned = {
+        (r["w1"], r["w2"]): r["n_xy"]
+        for r in bigram_counts(docs, "doc_id", "text", min_count=2).collect()
+    }
+    assert pruned == {("a", "b"): 3}
+
+
+def test_bigram_lm_integer_core_and_float_layer(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b z q")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs, "doc_id", "text").collect()}
+    # corpus bigrams: (a,b)x2 (b,c)x1 (b,z)x1 (z,q)x1 ; unigrams a2 b2 c1 z1 q1; V=5
+    r1 = out[1]
+    assert (r1["n_bigrams"], r1["sum_bigram_n"], r1["unseen_bigrams"]) == (2, 3, 0)
+    r2 = out[2]
+    assert (r2["n_bigrams"], r2["sum_bigram_n"], r2["unseen_bigrams"]) == (3, 4, 0)
+    # float layer: add-1 smoothed ln((n_xy+1)/(n_x+V))
+    expect1 = (math.log((2 + 1) / (2 + 5)) + math.log((1 + 1) / (2 + 5))) / 2
+    assert abs(r1["avg_logprob"] - expect1) < 1e-12
+    expect2 = (
+        math.log(3 / 7) + math.log(2 / 7) + math.log(2 / 6)
+    ) / 3
+    assert abs(r2["avg_logprob"] - expect2) < 1e-12
+
+
+def test_bigram_lm_unseen_and_pruned_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c d")], "doc_id long, text string"
+    )
+    counts = bigram_counts(docs, "doc_id", "text", min_count=2)  # only (a,b)
+    out = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(docs, "doc_id", "text", counts=counts).collect()
+    }
+    # doc 2: (a,b) seen (n=3), (b,c) and (c,d) pruned out -> unseen
+    r2 = out[2]
+    assert (r2["n_bigrams"], r2["sum_bigram_n"], r2["unseen_bigrams"]) == (3, 3, 2)
+
+
+def test_bigram_lm_plan_no_window_no_cartesian(spark):
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        bigram_lm_score(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # bigrams built in-row, not via windows

@@ -18,6 +18,7 @@ from hpc_hd_textreuse_etl_spark.operators.sampling import (
     stratified_hash_sample,
     threshold,
     train_test_split,
+    weighted_sample_topk,
 )
 from tests.conftest import SF_SMOKE
 
@@ -266,3 +267,91 @@ def test_leakage_split_without_pairs_matches_plain_split(spark):
         ).collect()
     }
     assert grouped == plain
+
+
+# --- weighted_sample_topk (priority sampling / bottom-k PPSWOR) -----------
+
+
+def _weighted_df(spark, n=200):
+    return spark.createDataFrame(
+        [(i, float(1 + (i % 7))) for i in range(n)], "id bigint, w double"
+    )
+
+
+def test_weighted_sample_deterministic_and_partition_independent(spark):
+    df = _weighted_df(spark)
+    base = sorted(
+        r["id"]
+        for r in weighted_sample_topk(df, ["id"], "w", 25).collect()
+    )
+    assert len(base) == 25
+    for n in (1, 13):
+        got = sorted(
+            r["id"]
+            for r in weighted_sample_topk(
+                df.repartition(n), ["id"], "w", 25
+            ).collect()
+        )
+        assert got == base
+
+
+def test_weighted_sample_is_bottom_k_of_priority(spark):
+    df = _weighted_df(spark, 100)
+    scored = df.select(
+        "id",
+        (sample_hash(["id"], "wsample-v1").cast("double") / F.col("w")).alias(
+            "pri"
+        ),
+    ).collect()
+    expect = sorted((r["pri"], r["id"]) for r in scored)[:10]
+    got = weighted_sample_topk(df, ["id"], "w", 10).collect()
+    assert sorted((r["sample_priority"], r["id"]) for r in got) == expect
+
+
+def test_weighted_sample_merge_algebra(spark):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — shards
+    pre-sampled independently compose without re-reading the data."""
+    from pyspark.sql import DataFrame
+
+    df = _weighted_df(spark, 300)
+    a = df.where(F.col("id") < 150)
+    b = df.where(F.col("id") >= 150)
+    k = 20
+    merged = weighted_sample_topk(
+        weighted_sample_topk(a, ["id"], "w", k).unionByName(
+            weighted_sample_topk(b, ["id"], "w", k)
+        ),
+        ["id"],
+        "w",
+        k,
+    )
+    direct = weighted_sample_topk(df, ["id"], "w", k)
+    assert sorted(r["id"] for r in merged.collect()) == sorted(
+        r["id"] for r in direct.collect()
+    )
+
+
+def test_weighted_sample_weight_bias(spark):
+    """Heavier keys must be sampled at a visibly higher rate."""
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    kept = weighted_sample_topk(df, ["id"], "w", 200).collect()
+    heavy = sum(1 for r in kept if r["id"] % 2 == 0)
+    assert heavy > 170  # ~100x weight → overwhelmingly heavy rows
+
+
+def test_weighted_sample_rejects_nonpositive_weight(spark):
+    df = spark.createDataFrame([(1, 0.0)], "id bigint, w double")
+    with pytest.raises(Exception):
+        weighted_sample_topk(df, ["id"], "w", 1).collect()
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    df = _weighted_df(spark)
+    plan = (
+        weighted_sample_topk(df, ["id"], "w", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
