@@ -248,3 +248,78 @@ def bigram_lm_score(
         .alias("unseen_bigrams"),
         F.avg(logp).alias("avg_logprob"),
     )
+
+
+def label_association(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """Chi-square token–label association — the classic feature-selection
+    / domain-signature statistic ("which tokens characterize this
+    language / source / topic?").
+
+    For every (token, label): the 2×2 document-level contingency table
+
+        n11 = docs with token, with label     n10 = with token, other label
+        n01 = without token, with label       n00 = neither
+
+    as EXACT integers (derived from three aggregates: per-(token,label)
+    doc counts, per-token doc counts, per-label doc counts + the grand
+    total — no second scan of the text), plus the float ``chi2`` score
+    strictly downstream of the integers.
+
+    Scale shape: one explode of DISTINCT per-doc tokens → map-side
+    combined counts keyed (token, label); the per-token marginal joins
+    on the token key; the per-label marginal and the 1-row total
+    broadcast. ``min_count`` prunes the (token, label) tail before the
+    joins."""
+    present = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    )
+    n11 = present.groupBy("token", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n11")
+    )
+    if min_count > 1:
+        n11 = n11.filter(F.col("n11") >= min_count)
+    n_token = present.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_token")
+    )
+    n_label = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_label")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+
+    out = (
+        n11.join(n_token, "token")
+        .join(F.broadcast(n_label), "label")
+        .crossJoin(F.broadcast(total))
+    )
+    n10 = F.col("n_token") - F.col("n11")
+    n01 = F.col("n_label") - F.col("n11")
+    n00 = F.col("n_docs") - F.col("n_token") - F.col("n_label") + F.col("n11")
+    # float layer in double end-to-end: at web scale the cross products
+    # overflow bigint (ANSI would raise); the gated columns stay integer
+    d = lambda c: c.cast("double")  # noqa: E731
+    num = d(F.col("n_docs")) * F.pow(
+        d(F.col("n11")) * d(n00) - d(n10) * d(n01), F.lit(2.0)
+    )
+    den = (
+        (d(F.col("n11")) + d(n10))
+        * (d(n01) + d(n00))
+        * (d(F.col("n11")) + d(n01))
+        * (d(n10) + d(n00))
+    )
+    return out.select(
+        "token",
+        "label",
+        "n11",
+        "n_token",
+        "n_label",
+        "n_docs",
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("chi2"),
+    )

@@ -4842,3 +4842,136 @@ def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_weighted_sample_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-3 twenty-first wave: ER composition, inverted index, chi-square
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "entity_resolution_parts",
+    oracle="""
+    WITH RECURSIVE names AS (
+      SELECT p_name, MIN(p_partkey) AS pid FROM part GROUP BY p_name
+    ), pairs AS (
+      SELECT a.pid AS id_a, b.pid AS id_b
+      FROM names a JOIN names b
+        ON b.pid > a.pid
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+       AND levenshtein(a.p_name, b.p_name) <= 2
+    ), e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach AS (
+      SELECT src AS node, src AS x FROM e
+      UNION
+      SELECT r.node, e.dst AS x FROM reach r JOIN e ON e.src = r.x
+    )
+    SELECT n.pid AS pid,
+           COALESCE(MIN(r.x), n.pid) AS canonical_id,
+           COALESCE(MIN(r.x), n.pid) = n.pid AS is_canonical
+    FROM names n LEFT JOIN reach r ON r.node = n.pid
+    GROUP BY n.pid
+    """,
+    tags=("entity-resolution", "composition"),
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ENTITY RESOLUTION as one gated chain: distinct part
+    names → sound length-band fuzzy blocking (edit distance ≤ 2, exact
+    recall) → transitive closure over the match graph (large-star /
+    small-star CC) → min-id canonical entity per group, every name
+    covered. The oracle recomputes all three stages (brute-force
+    levenshtein all-pairs, recursive-CTE closure, keeper pick), so
+    blocking recall, grouping AND survivorship are under one value-hash
+    gate — the same whole-pipeline gating style as curated_corpus
+    (operators/fuzzy.py fuzzy_self_join +
+    operators/dedup.py resolve_duplicates)."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import resolve_duplicates
+    from hpc_hd_textreuse_etl_spark.operators.fuzzy import fuzzy_self_join
+
+    names = (
+        spark.table("part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("pid"))
+    )
+    pairs = fuzzy_self_join(names, "pid", "p_name", max_dist=2)
+    return resolve_duplicates(names.select("pid"), "pid", pairs)
+
+
+@query(
+    "token_postings",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, i, lst[i] AS token
+      FROM (SELECT doc_id, {_TOK} AS lst FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(lst))) AS i)
+    )
+    SELECT token, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+           list(i ORDER BY i) AS positions
+    FROM pos GROUP BY token, doc_id
+    """,
+    tags=("inverted-index", "corpus-stats"),
+)
+def token_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index — the posting-list layer of retrieval
+    and of phrase-level contamination checks: for every (token, doc),
+    the occurrence count and the sorted 1-based position array.
+    Positions are generated IN-ROW (posexplode inside the scan stage),
+    then ONE map-side-combined shuffle keyed (token, doc) builds the
+    lists; sort_array makes the array deterministic under any partition
+    order, and the full array values are under the hash gate."""
+    from hpc_hd_textreuse_etl_spark.functions.text import tokens
+
+    docs = spark.table("documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    return tok.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        F.sort_array(F.collect_list((F.col("pos") + 1).cast("bigint"))).alias(
+            "positions"
+        ),
+    )
+
+
+@query(
+    "token_label_association",
+    oracle=f"""
+    WITH present AS (
+      SELECT DISTINCT doc_id, lang AS label, t.token
+      FROM (SELECT doc_id, lang, {_TOK} AS lst FROM documents),
+           LATERAL (SELECT unnest(lst) AS token) t
+    ), n11 AS (
+      SELECT token, label, CAST(count(*) AS BIGINT) AS n11
+      FROM present GROUP BY token, label HAVING count(*) >= 5
+    ), ntok AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_token
+      FROM present GROUP BY token
+    ), nlab AS (
+      SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_label
+      FROM documents GROUP BY lang
+    )
+    SELECT n11.token, n11.label, n11.n11, ntok.n_token, nlab.n_label,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+    FROM n11 JOIN ntok ON ntok.token = n11.token
+             JOIN nlab ON nlab.label = n11.label
+    """,
+    tags=("corpus-stats", "feature-selection"),
+)
+def token_label_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token–language association, exact integer core: the
+    full 2×2 document-level contingency table per (token, lang) —
+    derivable from the four gated counts — with the (token, lang) tail
+    pruned at n11 >= 5. The float chi2 score is strictly downstream of
+    these integers and epsilon-tested in test_corpus_stats
+    (operators/corpus_stats.py label_association)."""
+    from hpc_hd_textreuse_etl_spark.operators.corpus_stats import (
+        label_association,
+    )
+
+    docs = spark.table("documents")
+    return label_association(docs, "doc_id", "text", "lang", min_count=5).select(
+        "token", "label", "n11", "n_token", "n_label", "n_docs"
+    )

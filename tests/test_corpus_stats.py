@@ -200,3 +200,61 @@ def test_bigram_lm_plan_no_window_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # bigrams built in-row, not via windows
+
+
+# --- chi-square token-label association ------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.corpus_stats import (  # noqa: E402
+    label_association,
+)
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    rows = [
+        (1, "hola mundo", "es"),
+        (2, "hola amigos", "es"),
+        (3, "hello world", "en"),
+        (4, "hello friends", "en"),
+        (5, "hello hola", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_label_association_contingency(spark, labeled):
+    out = {
+        (r["token"], r["label"]): r
+        for r in label_association(labeled, "doc_id", "text", "lang").collect()
+    }
+    r = out[("hola", "es")]
+    assert (r["n11"], r["n_token"], r["n_label"], r["n_docs"]) == (2, 3, 2, 5)
+    r = out[("hello", "en")]
+    assert (r["n11"], r["n_token"], r["n_label"], r["n_docs"]) == (3, 3, 3, 5)
+
+
+def test_label_association_chi2_value(spark, labeled):
+    out = {
+        (r["token"], r["label"]): r["chi2"]
+        for r in label_association(labeled, "doc_id", "text", "lang").collect()
+    }
+    # hello/en: n11=3 n10=0 n01=0 n00=2 -> chi2 = 5*(3*2-0)^2/(3*2*3*2) = 5
+    assert abs(out[("hello", "en")] - 5.0) < 1e-12
+    # perfectly uninformative cell has chi2 ~ 0 when independent
+    # hola/en: n11=1 n10=2 n01=2 n00=0 -> 5*(0-4)^2/(3*2*3*2)=80/36
+    assert abs(out[("hola", "en")] - 80.0 / 36.0) < 1e-12
+
+
+def test_label_association_min_count_prunes(spark, labeled):
+    out = label_association(labeled, "doc_id", "text", "lang", min_count=3).collect()
+    assert {(r["token"], r["label"]) for r in out} == {("hello", "en")}
+
+
+def test_label_association_duplicate_tokens_count_docs_once(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x x", "a"), (2, "x", "b")], "doc_id long, text string, lang string"
+    )
+    out = {
+        (r["token"], r["label"]): r["n11"]
+        for r in label_association(docs, "doc_id", "text", "lang").collect()
+    }
+    assert out[("x", "a")] == 1 and out[("x", "b")] == 1
