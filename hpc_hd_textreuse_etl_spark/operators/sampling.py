@@ -270,3 +270,56 @@ def weighted_sample_topk(
         .orderBy(F.col(priority_col).asc(), *[c.asc() for c in keys])
         .limit(k)
     )
+
+
+def negative_samples(
+    positives: DataFrame,
+    key_cols: Sequence[str],
+    corpus: DataFrame,
+    corpus_id_col: str,
+    k: int,
+    salt: str = "neg-v1",
+    use_window_ids: bool = True,
+) -> DataFrame:
+    """k deterministic pseudo-random negatives per positive row — the
+    negative-sampling stage of contrastive / ranking training data,
+    with the usual production requirements: reproducible across runs
+    and partitionings (a pure function of key, salt, i and the corpus
+    id order), no RNG state, no driver-side draw.
+
+    Construction: corpus ids get dense indexes 1..N (functions/ids —
+    window path for dim-sized corpora, sorted zipWithIndex at scale via
+    ``use_window_ids=False``); each positive explodes into i = 1..k and
+    picks index ``1 + H(salt‖key‖i) mod N``. N enters the plan as a
+    broadcast 1-row aggregate, never a driver action. The pick join is
+    a plain fact-dim equi-join (broadcastable corpus index at dim size,
+    shuffle join beyond).
+
+    The pick can collide with the positive's own document — callers
+    needing strict negatives filter afterwards (and keep k+1 draws to
+    maintain the count); the emitted (key, sample_idx, negative id)
+    triple stays deterministic either way."""
+    from hpc_hd_textreuse_etl_spark.functions.ids import dense_ids
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    idx = dense_ids(
+        corpus.select(corpus_id_col),
+        [corpus_id_col],
+        "__nidx",
+        use_window=use_window_ids,
+    )
+    n1 = idx.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    expanded = positives.select(*key_cols).withColumn(
+        "__i", F.explode(F.sequence(F.lit(1), F.lit(k)))
+    )
+    h = sample_hash([*key_cols, F.col("__i")], salt)
+    picked = expanded.crossJoin(F.broadcast(n1)).withColumn(
+        "__pick", (h % F.col("__n")) + F.lit(1)
+    )
+    out = picked.join(idx, picked["__pick"] == idx["__nidx"])
+    return out.select(
+        *key_cols,
+        F.col("__i").cast("int").alias("sample_idx"),
+        F.col(corpus_id_col).alias("negative_id"),
+    )

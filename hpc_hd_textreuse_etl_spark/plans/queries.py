@@ -4975,3 +4975,111 @@ def token_label_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_association(docs, "doc_id", "text", "lang", min_count=5).select(
         "token", "label", "n11", "n_token", "n_label", "n_docs"
     )
+
+
+def _install_negative_sample_oracle() -> None:
+    gate = _DUCK_H.format(
+        x="'neg-v1|' || CAST(e.vec_id AS VARCHAR) || '|' || CAST(i.i AS VARCHAR)"
+    )
+    QUERIES["contrastive_negative_samples"].oracle = f"""
+    WITH c AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS nidx
+      FROM documents
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    SELECT e.vec_id, CAST(i.i AS INT) AS sample_idx, c.doc_id AS negative_id
+    FROM embeddings e,
+         LATERAL (SELECT unnest(generate_series(1, 3)) AS i) i,
+         n
+    JOIN c ON c.nidx = 1 + ({gate} % n.n)
+    """
+
+
+@query(
+    "contrastive_negative_samples",
+    oracle=None,  # installed below (shares the portable-gate spelling)
+    tags=("sampling-negative", "training-data"),
+)
+def contrastive_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: every
+    embedding row draws 3 pseudo-random document ids via
+    ``1 + H('neg-v1'|vec_id|i) mod N`` against the dense corpus index.
+    The full (positive, draw index, negative id) triple set is
+    value-hashed — index assignment, the modular pick and the fact-dim
+    join are all under the gate
+    (operators/sampling.py negative_samples)."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import negative_samples
+
+    return negative_samples(
+        spark.table("embeddings"),
+        ["vec_id"],
+        spark.table("documents"),
+        "doc_id",
+        k=3,
+    )
+
+
+@query(
+    "last_touch_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+    ), w AS (
+      SELECT user_id, event_id, event_type, us,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_event_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+      FROM e
+    )
+    SELECT user_id, event_id AS purchase_event_id, us AS purchase_us,
+           touch_event_id, touch_type
+    FROM w WHERE event_type = 'purchase'
+    """,
+    tags=("event-analytics", "attribution"),
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding non-purchase event. ONE exchange+sort per user
+    (the same window serves both attributed columns — ignore-nulls
+    last_value over the strict-predecessor frame, (µs, event_id) total
+    order), then the purchase filter; no self-join against the event
+    history. NULL attribution (purchase with no prior touch) is part of
+    the gated surface."""
+    ev = spark.table("events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch_id = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_id")), True
+    ).over(w)
+    touch_type = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), True
+    ).over(w)
+    return (
+        ev.withColumn("touch_event_id", touch_id)
+        .withColumn("touch_type", touch_type)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("us").alias("purchase_us"),
+            "touch_event_id",
+            "touch_type",
+        )
+    )
+
+
+_install_negative_sample_oracle()

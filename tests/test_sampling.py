@@ -355,3 +355,63 @@ def test_weighted_sample_plans_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# --- negative_samples -------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.sampling import negative_samples  # noqa: E402
+
+
+def _pos_corpus(spark):
+    pos = spark.createDataFrame([(i,) for i in range(40)], "qid bigint")
+    corpus = spark.createDataFrame([(100 + i,) for i in range(17)], "doc bigint")
+    return pos, corpus
+
+
+def test_negative_samples_shape_and_range(spark):
+    pos, corpus = _pos_corpus(spark)
+    out = negative_samples(pos, ["qid"], corpus, "doc", k=3).collect()
+    assert len(out) == 40 * 3
+    ids = {r["negative_id"] for r in out}
+    assert ids <= {100 + i for i in range(17)}
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["qid"], set()).add(r["sample_idx"])
+    assert all(v == {1, 2, 3} for v in per_q.values())
+
+
+def test_negative_samples_partition_independent(spark):
+    pos, corpus = _pos_corpus(spark)
+    base = sorted(
+        tuple(r) for r in negative_samples(pos, ["qid"], corpus, "doc", 2).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in negative_samples(
+            pos.repartition(7), ["qid"], corpus.repartition(3), "doc", 2
+        ).collect()
+    )
+    assert got == base
+
+
+def test_negative_samples_zip_index_path_matches_window_path(spark):
+    pos, corpus = _pos_corpus(spark)
+    a = sorted(
+        tuple(r)
+        for r in negative_samples(
+            pos, ["qid"], corpus, "doc", 2, use_window_ids=True
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in negative_samples(
+            pos, ["qid"], corpus, "doc", 2, use_window_ids=False
+        ).collect()
+    )
+    assert a == b
+
+
+def test_negative_samples_k_validation(spark):
+    pos, corpus = _pos_corpus(spark)
+    with pytest.raises(ValueError):
+        negative_samples(pos, ["qid"], corpus, "doc", 0)
