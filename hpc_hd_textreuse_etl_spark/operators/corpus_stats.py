@@ -323,3 +323,85 @@ def label_association(
         "n_docs",
         F.when(den > 0, num / den).otherwise(F.lit(0.0)).alias("chi2"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval for one term query — the ranking layer
+    over the tf/df statistics above, as a pure Catalyst plan.
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` (the max(0,·)
+    variant is monotone-equal here since df ≤ N).
+
+    Determinism across engines: per-term contributions are computed as
+    SEPARATE pivoted columns and added in the *written* term order —
+    never via a groupBy-sum whose accumulation order is partition-
+    dependent — so the only cross-engine wobble is the libm ``ln`` ulp.
+    Scores are therefore gated on (doc, rank) with a doc_id tiebreak
+    (the matmul-ANN precedent) and epsilon-tested on value.
+
+    Scale shape: the term filter lands BEFORE the tf aggregation, so
+    only postings of the |q| query terms are ever shuffled; N/avgdl and
+    the per-term df are 1-row/|q|-row broadcast aggregates; the final
+    top-k plans TakeOrderedAndProject (per-task heaps, no global sort).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct")
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("double").alias("total_dl"),
+    )
+
+    qtok = tok.where(F.col("token").isin(list(query_terms)))
+    tf = qtok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+
+    # one row per candidate doc, one tf column per term, in query order
+    wide = (
+        tf.groupBy(id_col)
+        .pivot("token", list(query_terms))
+        .agg(F.first("tf"))
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(
+            F.broadcast(
+                dfreq.groupBy().pivot("token", list(query_terms)).agg(F.first("df"))
+            ).toDF(*[f"__df_{i}" for i in range(len(query_terms))])
+        )
+    )
+    avgdl = F.col("total_dl") / F.col("n_docs").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
+    score = F.lit(0.0)
+    for i, term in enumerate(query_terms):
+        tf_t = F.coalesce(F.col(f"`{term}`").cast("double"), F.lit(0.0))
+        df_t = F.coalesce(F.col(f"__df_{i}").cast("double"), F.lit(0.0))
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        score = score + idf * (tf_t * F.lit(k1 + 1.0)) / (tf_t + norm)
+    scored = wide.select(F.col(id_col), score.alias("score"))
+    # top-k FIRST (TakeOrderedAndProject — per-task heaps over the full
+    # candidate set), then the rank window runs on ≤ k rows only.
+    topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        id_col, "rank", "score"
+    )

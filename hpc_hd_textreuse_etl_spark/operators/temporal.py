@@ -253,3 +253,102 @@ def gapfill_buckets(
             for n in value_cols
         ],
     )
+
+
+def half_life_weight(
+    ts_col: Column,
+    as_of: Column,
+    half_life_micros: int,
+    max_half_lives: int = 40,
+) -> Column:
+    """Cross-engine-exact time-decay weight ``2^-d`` with
+    ``d = floor(age / half_life)`` clamped to ``[0, max_half_lives]``.
+
+    Decayed counters ("recent activity counts more") are usually written
+    as ``exp(-λ·age)`` — a libm call whose last ulp differs between
+    engines and platforms, which poisons any value-equality check and
+    makes retried partitions non-reproducible bit-for-bit. Stepping the
+    decay per *whole half-life elapsed* keeps the weight an exact power
+    of two: ``pow(2, -d)`` is exactly representable in an IEEE double
+    for d ≤ 1022, so the weight — and the per-row product with it — is
+    bit-identical everywhere. The clamp bounds the exponent (and
+    truncates ancient rows to a floor weight rather than denormals).
+
+    Rows with ``ts > as_of`` (future relative to the snapshot) get
+    d = 0, i.e. full weight; filter them out beforehand if the snapshot
+    must exclude them."""
+    age = F.unix_micros(as_of) - F.unix_micros(ts_col)
+    # floor, not cast: double→bigint casts truncate in Spark but round
+    # in some ANSI engines; floor is unambiguous everywhere.
+    d = F.greatest(
+        F.lit(0),
+        F.least(F.lit(max_half_lives), F.floor(age / F.lit(half_life_micros))),
+    )
+    return F.pow(F.lit(2.0), -d.cast("double"))
+
+
+def decayed_sum(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    ts_col: str,
+    as_of: str,
+    half_life: str = "365 days",
+    max_half_lives: int = 20,
+    value_scale: int = 2,
+    out_col: str = "decayed_value",
+) -> DataFrame:
+    """Per-key decayed counter at snapshot ``as_of``: the production
+    primitive behind "recency-weighted customer value" / trending-score
+    tables, as ONE map-side-combined aggregation — no window, no self
+    join, no per-key state beyond the accumulator.
+
+    Exactness: a double contribution ``value · 2^-d`` rounded into a
+    decimal accumulator hits the shortest-repr-vs-binary-expansion
+    midpoint hazard (module docstring — Spark HALF_UPs "x.xxxxxx5",
+    DuckDB rounds the binary value below it). So the decay is computed
+    ENTIRELY in scaled integers: ``units = value·10^value_scale`` (exact
+    for money-style inputs) times ``2^(K − d)`` with K = max_half_lives
+    — a bigint product summed as bigint, associative and engine-exact.
+    The human-readable double is ONE division of the final sum by
+    ``10^value_scale · 2^K`` — bigint→double (exact below 2^53) then a
+    round-to-nearest IEEE division, identical everywhere, so even the
+    double is hash-gateable.
+
+    Overflow headroom: |sum| < 2^63 needs Σ units < 2^(63−K); with the
+    default K=20 that is ~9e12 value-units per key — raise
+    ``value_scale`` down / K down for pathological keys. Rows older
+    than K half-lives keep the floor weight 2^-K instead of vanishing.
+    ``half_life`` is ``"<n> days|hours|minutes|seconds"`` (parsed
+    driver-side into microseconds — a constant, not a query)."""
+    count, unit = half_life.split()
+    per = {"days": 86_400, "hours": 3_600, "minutes": 60, "seconds": 1}
+    hl_micros = int(count) * per[unit.rstrip("s") + "s"] * 1_000_000
+    age = F.unix_micros(F.lit(as_of).cast("timestamp")) - F.unix_micros(
+        F.col(ts_col)
+    )
+    d = F.greatest(
+        F.lit(0),
+        F.least(F.lit(max_half_lives), F.floor(age / F.lit(hl_micros))),
+    )
+    units = (
+        F.col(value_col).cast(f"decimal(30,{value_scale})")
+        * F.lit(10**value_scale)
+    ).cast("bigint")
+    # shiftleft keeps the weight in integer space end to end (pow would
+    # round-trip through a double); expr() because the Python shiftleft
+    # binding only takes a literal bit count
+    staged = df.withColumn("__dc_units", units).withColumn(
+        "__dc_d", d.cast("int")
+    )
+    scaled = F.expr(
+        f"__dc_units * shiftleft(cast(1 as bigint), {max_half_lives} - __dc_d)"
+    )
+    denom = float(10**value_scale * (1 << max_half_lives))
+    out = staged.groupBy(*key_cols).agg(
+        F.sum(scaled).cast("bigint").alias(f"{out_col}_scaled"),
+        F.count(F.lit(1)).cast("bigint").alias(f"{out_col}_n"),
+    )
+    return out.withColumn(
+        out_col, F.col(f"{out_col}_scaled").cast("double") / F.lit(denom)
+    )

@@ -5083,3 +5083,149 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_negative_sample_oracle()
+
+
+@query(
+    "decayed_customer_value",
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 100 AS BIGINT)
+               * (CAST(1 AS BIGINT) << CAST(20 - greatest(0, least(20,
+                   CAST(floor(
+                     CAST(epoch_us(TIMESTAMP '2001-08-01 00:00:00')
+                          - epoch_us(o_orderdate) AS DOUBLE)
+                     / 31536000000000.0) AS BIGINT))) AS INT)) AS scaled
+      FROM orders
+    )
+    SELECT o_custkey,
+           CAST(SUM(scaled) AS BIGINT) AS decayed_value_scaled,
+           CAST(count(*) AS BIGINT) AS decayed_value_n,
+           CAST(SUM(scaled) AS DOUBLE) / 104857600.0 AS decayed_value
+    FROM d GROUP BY o_custkey
+    """,
+    tags=("decayed-counters", "temporal"),
+)
+def decayed_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted customer value: per-customer sum of order totals
+    decayed by 2^-(whole 365-day half-lives before the 2001-08-01
+    snapshot). The decay runs entirely in scaled-integer space
+    (cents · 2^(20−d), operators/temporal.py decayed_sum) so BOTH the
+    bigint accumulator and the derived double are under the value-hash
+    gate — an exp(-λt) formulation could never be, and even the
+    power-of-two weight hits decimal-rounding midpoints if summed as
+    decimal(30,6) (tried; 57/150 rows flipped at the 6th decimal)."""
+    from hpc_hd_textreuse_etl_spark.operators.temporal import decayed_sum
+
+    return decayed_sum(
+        spark.table("orders"),
+        ["o_custkey"],
+        "o_totalprice",
+        "o_orderdate",
+        as_of="2001-08-01 00:00:00",
+        half_life="365 days",
+        max_half_lives=20,
+    )
+
+
+@query(
+    "brand_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey AS basket, p.p_brand AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), nb AS (
+      SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_baskets FROM items
+    ), pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ), singles AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY item
+    )
+    SELECT p.item_a, p.item_b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
+           nb.n_baskets,
+           CAST(p.n_ab AS DOUBLE) / CAST(sa.n AS DOUBLE) AS confidence,
+           (CAST(p.n_ab AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE))
+             / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.item = p.item_a
+    JOIN singles sb ON sb.item = p.item_b, nb
+    """,
+    tags=("basket-rules", "beyond-parity"),
+)
+def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair rules over order baskets with part BRAND as
+    the item (25-value universe → meaningful supports): exact bigint
+    supports plus confidence/lift as fixed-order IEEE divisions, ALL
+    under the value-hash gate (operators/basket.py). The within-basket
+    pair join fans out C(|basket|,2) ≤ C(7,2) per order."""
+    from hpc_hd_textreuse_etl_spark.operators.basket import association_rules
+
+    baskets = (
+        spark.table("lineitem")
+        .join(F.broadcast(spark.table("part")), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+    )
+    return association_rules(baskets, "l_orderkey", "p_brand", min_pair_support=5)
+
+
+@query(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS token FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) AS total_dl FROM dl
+    ), tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE token IN ('spark', 'merge', 'window') GROUP BY doc_id, token
+    ), dfq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ), wide AS (
+      SELECT t.doc_id, dl.dl,
+             CAST(coalesce(max(CASE WHEN t.token = 'spark'  THEN t.tf END), 0) AS DOUBLE) AS tf1,
+             CAST(coalesce(max(CASE WHEN t.token = 'merge'  THEN t.tf END), 0) AS DOUBLE) AS tf2,
+             CAST(coalesce(max(CASE WHEN t.token = 'window' THEN t.tf END), 0) AS DOUBLE) AS tf3
+      FROM tf t JOIN dl ON dl.doc_id = t.doc_id
+      GROUP BY t.doc_id, dl.dl
+    ), dfw AS (
+      SELECT CAST(coalesce(max(CASE WHEN token = 'spark'  THEN df END), 0) AS DOUBLE) AS df1,
+             CAST(coalesce(max(CASE WHEN token = 'merge'  THEN df END), 0) AS DOUBLE) AS df2,
+             CAST(coalesce(max(CASE WHEN token = 'window' THEN df END), 0) AS DOUBLE) AS df3
+      FROM dfq
+    ), scored AS (
+      SELECT w.doc_id,
+             ((0.0
+               + ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - d.df1) + 0.5) / (d.df1 + 0.5))
+                 * (w.tf1 * 2.2) / (w.tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(w.dl AS DOUBLE) / (s.total_dl / CAST(s.n_docs AS DOUBLE)))))
+              + ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - d.df2) + 0.5) / (d.df2 + 0.5))
+                 * (w.tf2 * 2.2) / (w.tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(w.dl AS DOUBLE) / (s.total_dl / CAST(s.n_docs AS DOUBLE)))))
+              + ln(1.0 + ((CAST(s.n_docs AS DOUBLE) - d.df3) + 0.5) / (d.df3 + 0.5))
+                 * (w.tf3 * 2.2) / (w.tf3 + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(w.dl AS DOUBLE) / (s.total_dl / CAST(s.n_docs AS DOUBLE))))
+             AS score
+      FROM wide w, stats s, dfw d
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    tags=("bm25", "search", "beyond-parity"),
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the query {spark, merge, window} over the
+    documents corpus (operators/corpus_stats.py bm25_topk). Gated on
+    (doc_id, rank) only — per-term contributions are added in written
+    order in BOTH engines, so the residual wobble is the libm ln ulp,
+    exactly the matmul-ANN precedent; score values are epsilon-tested
+    in tests/test_corpus_stats.py."""
+    from hpc_hd_textreuse_etl_spark.operators.corpus_stats import bm25_topk
+
+    docs = spark.table("documents")
+    out = bm25_topk(docs, "doc_id", "text", ["spark", "merge", "window"], k=10)
+    return out.select("doc_id", "rank")

@@ -258,3 +258,72 @@ def test_label_association_duplicate_tokens_count_docs_once(spark):
         for r in label_association(docs, "doc_id", "text", "lang").collect()
     }
     assert out[("x", "a")] == 1 and out[("x", "b")] == 1
+
+
+# --- bm25_topk --------------------------------------------------------------
+
+import math  # noqa: E402
+
+import pytest  # noqa: E402
+
+from hpc_hd_textreuse_etl_spark.operators.corpus_stats import bm25_topk  # noqa: E402
+
+BM25_DOCS = [
+    (1, "spark window merge spark spark"),
+    (2, "window window sort"),
+    (3, "merge sort key"),
+    (4, "the quick fox"),          # no query terms: must not appear
+    (5, "spark"),
+]
+
+
+def brute_bm25(terms, k1=1.2, b=0.75):
+    toks = {d: t.split() for d, t in BM25_DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    scores = {}
+    for d, v in toks.items():
+        s = 0.0
+        for t in terms:
+            tf = v.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s != 0.0:
+            scores[d] = s
+    return sorted(scores, key=lambda d: (-scores[d], d)), scores
+
+
+def test_bm25_matches_reference_formula(spark):
+    df = spark.createDataFrame(BM25_DOCS, "doc_id int, text string")
+    out = bm25_topk(df, "doc_id", "text", ["spark", "merge", "window"], k=10).collect()
+    order, scores = brute_bm25(["spark", "merge", "window"])
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == order
+    for r in out:
+        assert r["score"] == pytest.approx(scores[r["doc_id"]], rel=1e-12)
+    assert 4 not in {r["doc_id"] for r in out}
+
+
+def test_bm25_k_truncates_and_ranks_dense(spark):
+    df = spark.createDataFrame(BM25_DOCS, "doc_id int, text string")
+    out = bm25_topk(df, "doc_id", "text", ["spark", "window"], k=2).collect()
+    assert sorted(r["rank"] for r in out) == [1, 2]
+
+
+def test_bm25_validates_terms(spark):
+    df = spark.createDataFrame(BM25_DOCS, "doc_id int, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, "doc_id", "text", [])
+    with pytest.raises(ValueError):
+        bm25_topk(df, "doc_id", "text", ["a", "a"])
+
+
+def test_bm25_plans_take_ordered(spark):
+    df = spark.createDataFrame(BM25_DOCS, "doc_id int, text string")
+    plan = (
+        bm25_topk(df, "doc_id", "text", ["spark"], k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

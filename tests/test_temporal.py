@@ -193,3 +193,61 @@ def test_interval_join_no_keys_and_boundary_touch(spark):
     pairs = {(r.rid_l, r.rid_r) for r in got.collect()}
     # half-open: [0,10) and [10,20) touch but do NOT overlap
     assert pairs == {(1, 1), (2, 2)}
+
+
+# --- decayed_sum ------------------------------------------------------------
+
+from datetime import datetime  # noqa: E402
+
+from hpc_hd_textreuse_etl_spark.operators.temporal import decayed_sum  # noqa: E402
+
+
+def _decay_rows(spark):
+    rows = [
+        # key, ts, value
+        (1, datetime(2020, 1, 1), 100.0),   # 0 half-lives before as_of? see ages
+        (1, datetime(2019, 1, 1), 100.0),
+        (1, datetime(2016, 1, 1), 100.0),
+        (2, datetime(2020, 6, 1), 50.25),
+        (2, datetime(1990, 1, 1), 1000.0),  # far past the clamp
+    ]
+    return spark.createDataFrame(rows, "k int, ts timestamp, v double")
+
+
+def test_decayed_sum_exact_weights(spark):
+    # as_of 2020-06-01, half-life 365 days:
+    #   (1, 2020-01-01): 152 days  -> d=0, w=1
+    #   (1, 2019-01-01): 517 days  -> d=1, w=1/2
+    #   (1, 2016-01-01): 1613 days -> d=4, w=1/16
+    #   (2, 2020-06-01): 0 days    -> d=0, w=1
+    #   (2, 1990-01-01): clamped   -> d=20, w=2^-20
+    out = decayed_sum(
+        _decay_rows(spark), ["k"], "v", "ts",
+        as_of="2020-06-01 00:00:00", half_life="365 days",
+    )
+    got = {r["k"]: r for r in out.collect()}
+    assert got[1]["decayed_value"] == 100.0 + 50.0 + 6.25
+    assert got[1]["decayed_value_n"] == 3
+    assert got[2]["decayed_value"] == 50.25 + 1000.0 / (1 << 20)
+    # scaled accumulator is cents * 2^20 exactly
+    assert got[2]["decayed_value_scaled"] == 5025 * (1 << 20) + 100000
+    assert got[2]["decayed_value_n"] == 2
+
+
+def test_decayed_sum_future_rows_full_weight(spark):
+    out = decayed_sum(
+        _decay_rows(spark), ["k"], "v", "ts",
+        as_of="2000-01-01 00:00:00", half_life="365 days",
+    )
+    got = {r["k"]: r["decayed_value"] for r in out.collect()}
+    # every ts except 1990 is in the future -> d clamps to 0 -> full weight
+    assert got[1] == 300.0
+    # 2000-01-01 - 1990-01-01 = 3652 days -> d = floor(3652/365) = 10
+    assert got[2] == 50.25 + 1000.0 / (1 << 10)
+
+
+def test_decayed_sum_partition_independent(spark):
+    df = _decay_rows(spark)
+    a = sorted(map(tuple, decayed_sum(df, ["k"], "v", "ts", "2020-06-01 00:00:00").collect()))
+    b = sorted(map(tuple, decayed_sum(df.repartition(5), ["k"], "v", "ts", "2020-06-01 00:00:00").collect()))
+    assert a == b
