@@ -517,3 +517,63 @@ def subtree_rollup(
             .alias("subtree_sum"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int,
+    rounds: int,
+    use_reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """k-core peel: iteratively drop nodes of degree < k (with their
+    edges) for EXACTLY ``rounds`` rounds; return the surviving nodes
+    with their degree in the surviving edge set. The true k-core is the
+    fixpoint — peeling is confluent, so the removal order never changes
+    the answer, and a fixed round budget makes the intermediate state
+    engine-reproducible (the oracle unrolls the same rounds as chained
+    CTEs, the PageRank/IVF precedent). Callers wanting the exact core
+    pass a generous budget and assert convergence (one more round is a
+    no-op) — tests do.
+
+    Scale shape per round: one map-side-combined degree aggregation on
+    the exploded endpoints, then two semi-joins of the edge set against
+    the survivor list. Survivors shrink monotonically; the peel
+    converges in O(peel depth) rounds, usually ≪ |V| (real graphs peel
+    in tens of rounds). Each round references the previous edge set
+    three times (two degree scans + the semi-join probe), so WITHOUT a
+    lineage cut the logical plan grows 3^rounds and Catalyst analysis
+    explodes — every round localCheckpoints the (shrinking) edge set,
+    the same empirically-necessary cut as the CC/CW loops. On a
+    multi-node cluster prefer ``sparkContext.setCheckpointDir`` + the
+    ``use_reliable_checkpoint`` flag: localCheckpoint blocks lose
+    partitions if an executor dies mid-loop.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
+        )
+        .where(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("x").alias("node"))
+            .unionAll(e.select(F.col("y").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        )
+        keep = deg.where(F.col("degree") >= k).select("node")
+        e = e.join(
+            keep.withColumnRenamed("node", "x"), "x", "left_semi"
+        ).join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
+        e = e.checkpoint() if use_reliable_checkpoint else e.localCheckpoint()
+    deg = (
+        e.select(F.col("x").alias("node"))
+        .unionAll(e.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg.where(F.col("degree") >= k)

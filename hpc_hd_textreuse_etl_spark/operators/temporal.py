@@ -352,3 +352,47 @@ def decayed_sum(
     return out.withColumn(
         out_col, F.col(f"{out_col}_scaled").cast("double") / F.lit(denom)
     )
+
+
+def sliding_distinct_count(
+    df: DataFrame,
+    ts_col: str,
+    entity_col: str,
+    window_days: int = 7,
+    out_col: str = "active_entities",
+) -> DataFrame:
+    """Trailing-window distinct count per day — the WAU/MAU "7-day
+    active users" metric, EXACTLY (no sketch), at scale.
+
+    Spark has no ``COUNT(DISTINCT) OVER (RANGE ...)``, and the obvious
+    per-day range join (``report_day BETWEEN day AND day+w-1``) plans a
+    nested loop. The scale shape: dedup to (entity, day) FIRST (the
+    map-side-combinable step that collapses raw event volume), then
+    explode each survivor into the ≤ ``window_days`` report days it
+    covers — bounded fan-out of the already-small distinct set — and
+    finish with one count-distinct shuffle keyed on the report day.
+    Report days are clipped to the observed [min, max] day span via a
+    broadcast 1-row aggregate, never a driver action.
+
+    Swap the final exact count for the KMV/HLL sketches in
+    operators/sketches.py when the per-day entity set itself is too hot
+    (a billion distinct users in one shuffle key) — same plan shape,
+    mergeable partials.
+    """
+    ud = df.select(
+        F.col(entity_col).alias("__ent"),
+        F.date_trunc("day", F.col(ts_col)).cast("date").alias("__day"),
+    ).distinct()
+    span = ud.agg(F.min("__day").alias("__lo"), F.max("__day").alias("__hi"))
+    expl = ud.select(
+        "__ent",
+        F.explode(
+            F.sequence(F.col("__day"), F.date_add(F.col("__day"), window_days - 1))
+        ).alias("report_day"),
+    )
+    return (
+        expl.crossJoin(F.broadcast(span))
+        .where(F.col("report_day").between(F.col("__lo"), F.col("__hi")))
+        .groupBy("report_day")
+        .agg(F.count_distinct("__ent").cast("bigint").alias(out_col))
+    )

@@ -4021,7 +4021,7 @@ def _sssp_oracle(rounds: int) -> str:
     (see its docstring) and exact on integer weights."""
     parts = [
         """
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
       SELECT CAST(l_suppkey AS BIGINT) AS s,
              CAST(l_partkey AS BIGINT) + 1000000 AS d,
              min(CAST(l_quantity AS BIGINT)) AS w
@@ -5087,6 +5087,7 @@ _install_negative_sample_oracle()
 
 @query(
     "decayed_customer_value",
+    bench=True,
     oracle="""
     WITH d AS (
       SELECT o_custkey,
@@ -5229,3 +5230,209 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     out = bm25_topk(docs, "doc_id", "text", ["spark", "merge", "window"], k=10)
     return out.select("doc_id", "rank")
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peel (the PageRank/IVF chained-CTE pattern): one
+    degree + survivor + edge-restrict CTE triple per round.
+    MATERIALIZED is load-bearing: each round references the previous
+    round three times, so inlined CTEs expand 3^rounds scans of the
+    base parquet (DuckDB ran out of file handles at rounds=6)."""
+    parts = [
+        """
+    WITH e0 AS MATERIALIZED (
+      SELECT DISTINCT LEAST(CAST(a.l_partkey AS BIGINT), CAST(b.l_partkey AS BIGINT)) AS x,
+             GREATEST(CAST(a.l_partkey AS BIGINT), CAST(b.l_partkey AS BIGINT)) AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(f""", d{r} AS MATERIALIZED (
+      SELECT node, count(*) AS degree FROM (
+        SELECT x AS node FROM e{r} UNION ALL SELECT y FROM e{r}
+      ) GROUP BY node
+    ), k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE degree >= {k}),
+    e{r + 1} AS MATERIALIZED (
+      SELECT e.x, e.y FROM e{r} e
+      JOIN k{r} ka ON ka.node = e.x JOIN k{r} kb ON kb.node = e.y
+    )""")
+    parts.append(f"""
+    SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+      SELECT x AS node FROM e{rounds} UNION ALL SELECT y FROM e{rounds}
+    ) GROUP BY node HAVING count(*) >= {k}
+    """)
+    return "".join(parts)
+
+
+@query(
+    "kcore_part_graph",
+    oracle=_kcore_oracle(k=65, rounds=6),
+    tags=("graph-kcore", "iterative"),
+)
+def kcore_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """65-core of the part co-occurrence graph (parts adjacent iff they
+    appear in the same order), peeled for a fixed 6-round budget —
+    converged at both gated SFs (3 rounds at sf0.001, 1 at sf0.01;
+    tests assert a 7th round is a no-op), and non-empty at both (188 /
+    1992 surviving nodes). Peel confluence makes the fixpoint unique;
+    the fixed budget makes every intermediate engine-reproducible, so
+    the oracle unrolls the same rounds as chained CTEs
+    (operators/graph.py kcore)."""
+    from hpc_hd_textreuse_etl_spark.operators.graph import kcore
+
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").cast("bigint").alias("src"),
+            F.col("b.l_partkey").cast("bigint").alias("dst"),
+        )
+    )
+    return kcore(pairs, "src", "dst", k=65, rounds=6)
+
+
+@query(
+    "order_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+    tags=("grouping-sets", "A-family"),
+)
+def order_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than cube/rollup, which the cube
+    query already gates): (status, priority) cells + status subtotals +
+    the grand total in ONE Expand + one shuffle — the multi-granularity
+    reporting shape that would otherwise cost three scans and a union.
+    grouping_id disambiguates real NULL dimension values from subtotal
+    rows (both engines spell it as the same 2-bit mask)."""
+    orders = spark.table("orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 4, "total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+        )
+    )
+
+
+@query(
+    "weekly_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ), span AS (
+      SELECT min(day) AS lo, max(day) AS hi FROM ud
+    ), expl AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS report_day
+      FROM ud
+    )
+    SELECT strftime(report_day, '%Y-%m-%d') AS report_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_entities
+    FROM expl, span WHERE report_day BETWEEN lo AND hi
+    GROUP BY 1
+    """,
+    tags=("sliding-distinct", "event-analytics"),
+    bench=True,
+)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active users per day
+    (operators/temporal.py sliding_distinct_count): dedup → bounded
+    explode → one count-distinct shuffle; no range join, no
+    COUNT(DISTINCT) OVER. Dates rendered yyyy-MM-dd per the module
+    exactness rules."""
+    from hpc_hd_textreuse_etl_spark.operators.temporal import (
+        sliding_distinct_count,
+    )
+
+    out = sliding_distinct_count(spark.table("events"), "ts", "user_id", 7)
+    return out.select(
+        F.date_format("report_day", "yyyy-MM-dd").alias("report_day"),
+        "active_entities",
+    )
+
+
+@query(
+    "order_value_zscores",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ), m AS (
+      SELECT o_orderkey, o_custkey, cents,
+             SUM(cents)       OVER (PARTITION BY o_custkey) AS s,
+             SUM(cents*cents) OVER (PARTITION BY o_custkey) AS sq,
+             COUNT(*)         OVER (PARTITION BY o_custkey) AS n
+      FROM c
+    )
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN (CAST(sq AS DOUBLE)
+                      - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE) > 0.0
+                THEN (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / sqrt((CAST(sq AS DOUBLE)
+                             - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE))
+           END AS zscore
+    FROM m
+    """,
+    tags=("zscore", "W-family", "anomaly"),
+)
+def order_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order z-score against the customer's own price distribution
+    (population moments) — the per-entity anomaly-scoring primitive —
+    with the FLOAT z-value itself under the value-hash gate. Why that
+    is possible: moments accumulate as exact integer cents (sum and
+    sum-of-squares are bigints, associative, partition-order-proof),
+    every downstream op is fixed-order IEEE arithmetic on identical
+    bits, and IEEE-754 requires sqrt to be correctly rounded — so both
+    engines produce the same double bit for bit. One shuffle (the
+    customer window); no join. Zero variance → NULL."""
+    c = spark.table("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey")
+    m = (
+        c.withColumn("s", F.sum("cents").over(w))
+        .withColumn("sq", F.sum(F.col("cents") * F.col("cents")).over(w))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
+    s_d = F.col("s").cast("double")
+    sq_d = F.col("sq").cast("double")
+    n_d = F.col("n").cast("double")
+    var = (sq_d - (s_d * s_d) / n_d) / n_d
+    z = (F.col("cents").cast("double") - s_d / n_d) / F.sqrt(var)
+    return m.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(var > 0.0, z).alias("zscore"),
+    )

@@ -393,3 +393,56 @@ def test_subtree_rollup_hand_tree(spark):
         3: (1, 30.0),
         4: (1, 40.0),
     }
+
+
+# --- kcore ------------------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.graph import kcore  # noqa: E402
+
+
+def _kcore_edges(spark):
+    # K4 on {1,2,3,4} (a 3-core) + a tail 4-5-6 + pendant 7 off node 1.
+    rows = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5), (5, 6), (1, 7),
+    ]
+    return spark.createDataFrame(rows, "src bigint, dst bigint")
+
+
+def brute_kcore(edges, k):
+    e = {tuple(sorted(p)) for p in edges}
+    while True:
+        deg = {}
+        for x, y in e:
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        e2 = {(x, y) for x, y in e if x in keep and y in keep}
+        if e2 == e:
+            return {n: d for n, d in deg.items() if d >= k}
+        e = e2
+
+
+def test_kcore_matches_brute_force(spark):
+    df = _kcore_edges(spark)
+    rows = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (1, 7)]
+    for k in (1, 2, 3, 4):
+        got = {r["node"]: r["degree"] for r in kcore(df, "src", "dst", k, rounds=6).collect()}
+        assert got == brute_kcore(rows, k), f"k={k}"
+    # the 3-core is exactly the K4
+    assert set(brute_kcore(rows, 3)) == {1, 2, 3, 4}
+    assert brute_kcore(rows, 4) == {}
+
+
+def test_kcore_extra_round_is_noop(spark):
+    df = _kcore_edges(spark)
+    a = sorted(map(tuple, kcore(df, "src", "dst", 2, rounds=4).collect()))
+    b = sorted(map(tuple, kcore(df, "src", "dst", 2, rounds=5).collect()))
+    assert a == b and a  # converged and non-empty
+
+
+def test_kcore_ignores_duplicates_loops_and_direction(spark):
+    rows = [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3), (1, 3)]
+    df = spark.createDataFrame(rows, "src bigint, dst bigint")
+    got = {r["node"]: r["degree"] for r in kcore(df, "src", "dst", 2, rounds=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}

@@ -251,3 +251,55 @@ def test_decayed_sum_partition_independent(spark):
     a = sorted(map(tuple, decayed_sum(df, ["k"], "v", "ts", "2020-06-01 00:00:00").collect()))
     b = sorted(map(tuple, decayed_sum(df.repartition(5), ["k"], "v", "ts", "2020-06-01 00:00:00").collect()))
     assert a == b
+
+
+# --- sliding_distinct_count -------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.temporal import (  # noqa: E402
+    sliding_distinct_count,
+)
+
+
+def test_sliding_distinct_count_hand_case(spark):
+    rows = [
+        # user, ts — u1 active d1 and d3; u2 active d1 twice (dedup); u3 d9
+        (1, datetime(2024, 1, 1, 5)),
+        (1, datetime(2024, 1, 3, 6)),
+        (2, datetime(2024, 1, 1, 7)),
+        (2, datetime(2024, 1, 1, 8)),
+        (3, datetime(2024, 1, 9, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {
+        str(r["report_day"]): r["active_entities"]
+        for r in sliding_distinct_count(df, "ts", "user_id", 7).collect()
+    }
+    # span clips to [2024-01-01, 2024-01-09]
+    assert out["2024-01-01"] == 2          # u1, u2
+    assert out["2024-01-03"] == 2          # u1 (d1+d3), u2 (d1)
+    assert out["2024-01-07"] == 2          # d1 activity still in window (d1+6)
+    assert out["2024-01-08"] == 1          # only u1's d3 remains
+    assert out["2024-01-09"] == 2          # u1 (d3) + u3 (d9)
+    assert "2024-01-10" not in out         # beyond max observed day
+
+
+def test_sliding_distinct_window_one_is_dau(spark):
+    rows = [(1, datetime(2024, 1, 1)), (2, datetime(2024, 1, 1)), (1, datetime(2024, 1, 2))]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = {
+        str(r["report_day"]): r["active_entities"]
+        for r in sliding_distinct_count(df, "ts", "user_id", 1).collect()
+    }
+    assert out == {"2024-01-01": 2, "2024-01-02": 1}
+
+
+def test_sliding_distinct_no_nested_loop(spark):
+    rows = [(1, datetime(2024, 1, 1))]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    plan = (
+        sliding_distinct_count(df, "ts", "user_id", 7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # only the broadcast of the 1-row span aggregate may nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
