@@ -405,3 +405,35 @@ def bm25_topk(
     return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
         id_col, "rank", "score"
     )
+
+
+def feature_hash_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+    salt: str = "fh-v1",
+) -> DataFrame:
+    """Hashing-trick vectorizer (long form): ``(id, bucket, n)`` with
+    ``bucket = H(salt‖token) mod n_buckets`` over raw token occurrences
+    — the fixed-dimension, vocabulary-free featurization used when the
+    vocab is unbounded or must not be materialized (streaming text,
+    adversarial tokens). Uses the portable 60-bit md5 family, so bucket
+    placement is engine- and run-stable and the whole sparse matrix
+    sits under a value-hash gate.
+
+    Scale shape: explode → ONE map-side-combined shuffle on
+    (id, bucket); no vocabulary table, no broadcast, no second pass —
+    the defining advantage of feature hashing over tf_idf's df join."""
+    from hpc_hd_textreuse_etl_spark.functions.hashing import portable_hash64
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    bucket = (
+        portable_hash64(F.concat_ws("|", F.lit(salt), F.col("token")))
+        % F.lit(n_buckets)
+    ).cast("int")
+    return (
+        tok.withColumn("bucket", bucket)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )

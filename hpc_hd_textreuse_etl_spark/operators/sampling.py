@@ -323,3 +323,24 @@ def negative_samples(
         F.col("__i").cast("int").alias("sample_idx"),
         F.col(corpus_id_col).alias("negative_id"),
     )
+
+
+def kfold_assignment(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    k: int = 5,
+    salt: str = "fold-v1",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Cross-validation fold ids: ``fold = H(salt‖key) mod k`` — the
+    same hash-gate guarantees as train_test_split (key-stable,
+    partition/engine/run independent, consistent across tables sharing
+    the key), partitioning the keyspace into k disjoint+exhaustive folds
+    with no RNG state and no shuffle (a pure codegen'd projection).
+    Rows sharing the key always land in the same fold, so grouped CV
+    (all of a document's chunks in one fold) falls out for free."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return df.withColumn(
+        fold_col, (sample_hash(key_cols, salt) % F.lit(k)).cast("int")
+    )

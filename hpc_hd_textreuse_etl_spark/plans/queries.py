@@ -5436,3 +5436,52 @@ def order_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.when(var > 0.0, z).alias("zscore"),
     )
+
+
+@query(
+    "orders_kfold_assignment",
+    oracle=None,  # installed below; shares the portable-gate spelling
+    tags=("sampling-kfold", "training-data"),
+)
+def orders_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold CV assignment: fold = H('fold-v1'|o_orderkey) mod 5 — the
+    full (row, fold) mapping is value-hashed, so disjointness AND
+    exhaustiveness of the folds are gated, not asserted
+    (operators/sampling.py kfold_assignment)."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import kfold_assignment
+
+    return kfold_assignment(spark.table("orders"), ["o_orderkey"], k=5).select(
+        "o_orderkey", "o_custkey", "fold"
+    )
+
+
+QUERIES["orders_kfold_assignment"].oracle = f"""
+    SELECT o_orderkey, o_custkey,
+           CAST({_duck_gate("fold-v1", "o_orderkey")} % 5 AS INT) AS fold
+    FROM orders
+"""
+
+
+@query(
+    "doc_feature_hash_counts",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS token FROM documents
+    )
+    SELECT doc_id,
+           CAST({_duck_gate("fh-v1", "token")} % 64 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM tok GROUP BY 1, 2
+    """,
+    tags=("feature-hashing", "training-data"),
+)
+def doc_feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization of every document into 64 buckets —
+    vocabulary-free, one map-side-combined shuffle; the whole sparse
+    count matrix is under the value-hash gate
+    (operators/corpus_stats.py feature_hash_counts)."""
+    from hpc_hd_textreuse_etl_spark.operators.corpus_stats import (
+        feature_hash_counts,
+    )
+
+    return feature_hash_counts(spark.table("documents"), "doc_id", "text", 64)

@@ -327,3 +327,38 @@ def test_bm25_plans_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+# --- feature_hash_counts ----------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.corpus_stats import (  # noqa: E402
+    feature_hash_counts,
+)
+
+
+def test_feature_hash_counts_conservation_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b"), (3, "")], "doc_id int, text string"
+    )
+    out = feature_hash_counts(df, "doc_id", "text", n_buckets=8)
+    rows = out.collect()
+    # total count per doc == token count (no token lost to hashing)
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n"]
+        assert 0 <= r["bucket"] < 8
+    assert per_doc == {1: 4, 2: 2}
+    # same token -> same bucket in every doc
+    again = {(r["doc_id"], r["bucket"]): r["n"] for r in
+             feature_hash_counts(df.repartition(5), "doc_id", "text", 8).collect()}
+    assert again == {(r["doc_id"], r["bucket"]): r["n"] for r in rows}
+
+
+def test_feature_hash_no_vocabulary_stage(spark):
+    df = spark.createDataFrame([(1, "x y z")], "doc_id int, text string")
+    plan = (
+        feature_hash_counts(df, "doc_id", "text", 16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # no join anywhere: the defining contrast with tf_idf's df join
+    assert "Join" not in plan

@@ -415,3 +415,34 @@ def test_negative_samples_k_validation(spark):
     pos, corpus = _pos_corpus(spark)
     with pytest.raises(ValueError):
         negative_samples(pos, ["qid"], corpus, "doc", 0)
+
+
+# --- kfold_assignment -------------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.sampling import kfold_assignment  # noqa: E402
+
+
+def test_kfold_folds_in_range_and_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "k bigint")
+    a = {r["k"]: r["fold"] for r in kfold_assignment(df, ["k"], 5).collect()}
+    b = {r["k"]: r["fold"] for r in kfold_assignment(df.repartition(7), ["k"], 5).collect()}
+    assert a == b and set(a) == set(range(200))
+    assert set(a.values()) <= set(range(5))
+    # all folds populated at n=200 (probabilistic but deterministic here)
+    assert len(set(a.values())) == 5
+
+
+def test_kfold_group_consistency_across_tables(spark):
+    parent = spark.createDataFrame([(i,) for i in range(50)], "k bigint")
+    child = spark.createDataFrame(
+        [(i, j) for i in range(50) for j in range(3)], "k bigint, item int"
+    )
+    pf = {r["k"]: r["fold"] for r in kfold_assignment(parent, ["k"], 4).collect()}
+    cf = {(r["k"], r["item"]): r["fold"] for r in kfold_assignment(child, ["k"], 4).collect()}
+    assert all(cf[(k, j)] == pf[k] for k in pf for j in range(3))
+
+
+def test_kfold_k_validation(spark):
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError):
+        kfold_assignment(df, ["k"], 1)
