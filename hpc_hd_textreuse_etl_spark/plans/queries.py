@@ -5485,3 +5485,82 @@ def doc_feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return feature_hash_counts(spark.table("documents"), "doc_id", "text", 64)
+
+
+def _bpe_oracle_rounds(n_merges: int) -> str:
+    """Shared CTE chain replaying BPE training in DuckDB: pair counts →
+    total-order argmax → greedy list_reduce rewrite, per round. The
+    fold's accumulator-tail condition (acc = w1 OR ends_with(acc, ' '||
+    w1)) reproduces greedy left-to-right merging exactly — after a
+    fusion the tail is the MERGED symbol, so overlaps can't double-fire
+    ("a a a" → "a@@a a"). MATERIALIZED for the same 3^rounds-inlining
+    reason as the k-core oracle."""
+    parts = [f"""
+    WITH c0 AS MATERIALIZED (
+      SELECT doc_id AS id, array_to_string({_TOK}, ' ') AS t FROM documents
+      WHERE len({_TOK}) > 0
+    )"""]
+    for r in range(n_merges):
+        parts.append(f""", p{r} AS MATERIALIZED (
+      SELECT z[1] AS w1, z[2] AS w2, CAST(count(*) AS BIGINT) AS pair_count
+      FROM (SELECT unnest(list_zip(l, l[2:])) AS z
+            FROM (SELECT string_split(t, ' ') AS l FROM c{r}))
+      WHERE z[2] IS NOT NULL GROUP BY 1, 2
+    ), b{r} AS MATERIALIZED (
+      SELECT w1, w2, pair_count FROM p{r}
+      ORDER BY pair_count DESC, w1, w2 LIMIT 1
+    ), c{r + 1} AS MATERIALIZED (
+      SELECT id, list_reduce(string_split(t, ' '), (acc, x) ->
+        CASE WHEN (acc = b.w1 OR ends_with(acc, ' ' || b.w1)) AND x = b.w2
+             THEN acc || '@@' || x ELSE acc || ' ' || x END) AS t
+      FROM c{r}, b{r} b
+    )""")
+    return "".join(parts)
+
+
+_BPE_MERGES = 4
+
+
+@query(
+    "bpe_merge_table",
+    oracle=_bpe_oracle_rounds(_BPE_MERGES)
+    + "".join(
+        f"""
+    {"SELECT" if r == 0 else "UNION ALL SELECT"} CAST({r} AS INT) AS merge_rank,
+           w1, w2, pair_count FROM b{r}"""
+        for r in range(_BPE_MERGES)
+    ),
+    tags=("bpe-training", "tokenizer", "beyond-parity"),
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, merge table: 4 corpus-wide merge rounds
+    (pair-count shuffle → total-order argmax → greedy in-row rewrite),
+    the learned (rank, pair, count) rows value-hashed against DuckDB
+    replaying the identical rounds (operators/bpe.py bpe_train)."""
+    from hpc_hd_textreuse_etl_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(
+        spark.table("documents"), "doc_id", "text", _BPE_MERGES
+    )
+    return merges
+
+
+@query(
+    "bpe_segmented_corpus",
+    oracle=_bpe_oracle_rounds(_BPE_MERGES)
+    + f"""
+    SELECT id AS doc_id, t AS text FROM c{_BPE_MERGES}
+    """,
+    tags=("bpe-training", "tokenizer", "beyond-parity"),
+)
+def bpe_segmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the BPE gate: the full re-segmented corpus
+    after the 4 learned merges — every document's merged symbol stream
+    value-hashed, so the greedy rewrite itself (not just the merge
+    choices) is verified cross-engine."""
+    from hpc_hd_textreuse_etl_spark.operators.bpe import bpe_train
+
+    _, corpus = bpe_train(
+        spark.table("documents"), "doc_id", "text", _BPE_MERGES
+    )
+    return corpus
