@@ -346,6 +346,69 @@ def main() -> None:
             sdocs, "doc_id", _tokens(F.col("text")), threshold=0.7
         ).count(),
     )
+
+    # BPE training — 200k docs x 40 symbols, 4 merge rounds: per round
+    # ONE pair-count shuffle + map-only rewrite; symbols ~50k vocab
+    from hpc_hd_textreuse_etl_spark.operators.bpe import bpe_train
+
+    n_bdocs = int(200_000 * mult)
+    bdocs = synth_docs(spark, n_bdocs)
+    bdocs.cache().count()
+
+    def run_bpe():
+        merges, corpus = bpe_train(bdocs, "doc_id", "text", n_merges=4)
+        return corpus.count() + merges.count()
+
+    measured(spark, "bpe_train", n_bdocs, run_bpe)
+
+    # k-core peel — the PageRank graph, 6 budget rounds of degree agg +
+    # two semi-joins over a monotonically shrinking edge set
+    from hpc_hd_textreuse_etl_spark.operators.graph import kcore
+
+    measured(
+        spark, "kcore_peel", n_pr_edges,
+        lambda: kcore(pr_edges, "src", "dst", k=5, rounds=6).count(),
+    )
+
+    # Sliding-window distinct (WAU) — 20M events / 2M users / 30 days:
+    # the dedup-first step collapses 20M rows to ~|users x days| before
+    # the bounded x7 explode
+    from hpc_hd_textreuse_etl_spark.operators.temporal import (
+        decayed_sum,
+        sliding_distinct_count,
+    )
+
+    measured(
+        spark, "sliding_wau", n_fev,
+        lambda: sliding_distinct_count(fev, "ts", "user_id", 7).count(),
+    )
+
+    # Decayed counters — same 20M events: one map-side-combined agg in
+    # scaled-integer space
+    measured(
+        spark, "decayed_counters", n_fev,
+        lambda: decayed_sum(
+            fev.withColumn("v", (F.pmod(F.xxhash64("user_id"), F.lit(10_000))
+                                 / 100.0)),
+            ["user_id"], "v", "ts",
+            as_of="1970-02-01 00:00:00", half_life="7 days",
+        ).count(),
+    )
+
+    # Association rules — 10M basket items over 1M baskets x ~200 items
+    # universe: pair fan-out bounded by per-basket size (~10)
+    from hpc_hd_textreuse_etl_spark.operators.basket import association_rules
+
+    n_bitems = int(10_000_000 * mult)
+    bitems = spark.range(n_bitems).select(
+        (F.col("id") % 1_000_000).alias("basket"),
+        F.pmod(F.xxhash64("id"), F.lit(200)).alias("item"),
+    )
+    measured(
+        spark, "basket_rules", n_bitems,
+        lambda: association_rules(bitems, "basket", "item",
+                                  min_pair_support=100).count(),
+    )
     spark.stop()
 
 
