@@ -43,6 +43,14 @@ with no state beyond the (tiny) merge table.
 (symbols are whitespace-split tokens, so any space-free marker works;
 the default "@@" assumes input tokens don't contain "@@" — callers
 with adversarial text should pre-escape).
+
+Known bound: the greedy rewrite folds into an immutable string
+accumulator, so ONE document's rewrite is O(L²) in its symbol count
+(each fold step copies the accumulator). That is irrelevant at the
+typical ≤ a-few-thousand-symbol document lengths tokenizer training
+samples use, but a 10M-symbol megadocument would stall its task —
+chunk such inputs first (operators/chunking.py); pair statistics are
+insensitive to chunk boundaries beyond one lost pair per cut.
 """
 
 from __future__ import annotations

@@ -5564,3 +5564,78 @@ def bpe_segmented_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("documents"), "doc_id", "text", _BPE_MERGES
     )
     return corpus
+
+
+@query(
+    "orders_pit_status_join",
+    oracle="""
+    WITH ch AS (
+      SELECT CAST(o_custkey AS BIGINT) AS custkey,
+             o_orderstatus AS status,
+             epoch_us(o_orderdate) AS t,
+             CAST(o_orderkey AS BIGINT) AS oid
+      FROM orders
+    ), marked AS (
+      SELECT *, lag(status) OVER (PARTITION BY custkey ORDER BY t, oid) AS prev
+      FROM ch
+    ), opens AS (
+      SELECT custkey, status, t, oid
+      FROM marked WHERE prev IS NULL OR status <> prev
+    ), scd2 AS (
+      SELECT custkey, status,
+             t AS valid_from,
+             lead(t) OVER (PARTITION BY custkey ORDER BY t, oid) AS valid_to
+      FROM opens
+    )
+    SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey, s.custkey,
+           s.status AS pit_status, s.valid_from
+    FROM orders o JOIN scd2 s
+      ON s.custkey = CAST(o.o_custkey AS BIGINT)
+     AND s.valid_from <= epoch_us(o.o_orderdate)
+     AND (s.valid_to IS NULL OR s.valid_to > epoch_us(o.o_orderdate))
+    """,
+    tags=("pit-join", "scd2", "temporal"),
+)
+def orders_pit_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of the fact stream against its SCD2 dimension:
+    every order picks the status version valid at its date — the classic
+    warehouse operator completing the SCD2 family. Runs as ONE as-of
+    join (union + carry-forward window, operators/temporal.py), not the
+    oracle's range θ-join: zero-width versions (valid_to == valid_from,
+    which half-open semantics exclude) are filtered first, making
+    valid_from unique per key, so the as-of match IS the containing
+    version. Exactly one row per order by construction (versions tile
+    each customer's timeline from their first order on)."""
+    from hpc_hd_textreuse_etl_spark.operators.cdc import scd2_history
+    from hpc_hd_textreuse_etl_spark.operators.temporal import asof_join
+
+    ch = spark.table("orders").select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.unix_micros(F.col("o_orderdate")).alias("t"),
+        F.col("o_orderkey").cast("long").alias("oid"),
+    )
+    scd2 = scd2_history(
+        ch, key_cols=["custkey"], ts_col="t", attr_cols=["status"],
+        order_cols=["t", "oid"],
+    ).where(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+    facts = spark.table("orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.unix_micros(F.col("o_orderdate")).alias("t"),
+    )
+    out = asof_join(
+        facts,
+        scd2.select("custkey", "status", "valid_from", "valid_to"),
+        left_on="t",
+        right_on="valid_from",
+        by=["custkey"],
+        right_cols=["status", "valid_from"],
+        suffix="_v",
+    )
+    return out.select(
+        "o_orderkey",
+        "custkey",
+        F.col("status_v").alias("pit_status"),
+        F.col("valid_from_v").alias("valid_from"),
+    )
