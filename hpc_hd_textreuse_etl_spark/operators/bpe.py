@@ -136,8 +136,14 @@ def bpe_train(
                 "pair_count",
             )
         )
+        # LEFT join on a constant, not crossJoin: when the corpus has no
+        # pairs left, ``best`` is EMPTY and a cross join would silently
+        # wipe the corpus — the left join keeps every document with a
+        # NULL pair, and the merge fold's NULL conditions fall through
+        # to the no-op append branch (stream unchanged; training is a
+        # fixpoint past the last real merge).
         corpus = (
-            corpus.crossJoin(F.broadcast(best))
+            corpus.join(F.broadcast(best), F.lit(True), "left")
             .withColumn("__t", _merge_stream(sep))
             .select("__id", "__t")
         )

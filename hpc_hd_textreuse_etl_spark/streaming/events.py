@@ -94,3 +94,54 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append") 
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    watermark: str = "8 days",
+) -> DataFrame:
+    """Incremental sliding-window distinct users — the streaming twin of
+    the batch ``operators/temporal.sliding_distinct_count`` (WAU/DAU),
+    with the SAME semantics: distinct users per trailing-N-day report
+    day (a user active on 3 days of one window still counts once).
+
+    Structured Streaming rejects DISTINCT aggregates, and a sliding
+    ``window()`` + count over deduped user-DAYS counts multi-day users
+    once per active day (caught by the batch-equivalence test), so the
+    spelling mirrors the batch plan exactly:
+
+    1. project each event onto the ``window_days`` report days it
+       covers (in-row ``sequence`` explode — the batch operator's
+       bounded fan-out);
+    2. declare the REPORT day as the event-time column and
+       ``dropDuplicates`` on (user, report_day) — one state row per
+       user-day-window membership, expired by the watermark;
+    3. a tumbling 1-day window count over the deduped stream — exact
+       distinct users per report day, append-mode compatible
+       (dedup → time-window aggregation is a supported stateful chain).
+
+    ``watermark`` applies to the report day, which runs up to
+    ``window_days - 1`` days AHEAD of the event's own day — size it
+    ≥ lateness + window_days to avoid dropping tail memberships."""
+    report_days = F.explode(
+        F.sequence(
+            F.date_trunc("day", F.col("ts")),
+            F.date_trunc("day", F.col("ts"))
+            + F.expr(f"INTERVAL {window_days - 1} DAYS"),
+            F.expr("INTERVAL 1 DAY"),
+        )
+    )
+    deduped = (
+        events.select("user_id", report_days.alias("report_day"))
+        .withWatermark("report_day", watermark)
+        .dropDuplicates(["user_id", "report_day"])
+    )
+    return (
+        deduped.groupBy(F.window("report_day", "1 day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_entities"))
+        .select(
+            F.col("window.start").alias("report_day"),
+            "active_entities",
+        )
+    )

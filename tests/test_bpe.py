@@ -93,3 +93,14 @@ def test_bpe_segment_replays_training(spark):
 def test_bpe_validates_n_merges(spark):
     with pytest.raises(ValueError):
         bpe_train(_df(spark), "doc_id", "text", 0)
+
+
+def test_bpe_exhausted_pairs_is_fixpoint(spark):
+    # single-token docs: zero pairs anywhere. Training must be a no-op
+    # (empty merge table, corpus unchanged), not a corpus wipe.
+    df = spark.createDataFrame([(1, "solo"), (2, "alone")], "doc_id int, text string")
+    merges, corpus = bpe_train(df, "doc_id", "text", 2)
+    assert merges.count() == 0
+    assert {r["doc_id"]: r["text"] for r in corpus.collect()} == {
+        1: "solo", 2: "alone",
+    }

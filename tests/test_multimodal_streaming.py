@@ -179,3 +179,51 @@ def test_streaming_sessions_match_batch_semantics(spark, event_dir):
     assert len(by_user[1]) == 2
     # user 2: 30,90s → 1 session
     assert len(by_user[2]) == 1
+
+
+def test_streaming_active_users_matches_batch(spark, tmp_path):
+    """Batch-equivalence for the streaming WAU: every sliding window's
+    count equals the batch sliding_distinct_count at report_day =
+    window_end - 1 day (the trailing-window alignment), fed through two
+    micro-batches to exercise the stateful dedup across batches."""
+    from hpc_hd_textreuse_etl_spark.operators.temporal import (
+        sliding_distinct_count,
+    )
+    from hpc_hd_textreuse_etl_spark.streaming.events import (
+        streaming_active_users,
+    )
+
+    path = str(tmp_path / "wau-events")
+    base = datetime.datetime(2024, 3, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    rows = []
+    eid = 0
+    for uid, days in [(1, [0, 0, 2, 9]), (2, [0, 1]), (3, [5, 5, 6])]:
+        for d in days:
+            rows.append((eid, base + datetime.timedelta(days=d, hours=uid), uid, "click", 1.0))
+            eid += 1
+    # two micro-batches (file-per-batch via maxFilesPerTrigger)
+    spark.createDataFrame(rows[:4], schema).coalesce(1).write.mode("overwrite").parquet(path)
+    spark.createDataFrame(rows[4:], schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    q = (
+        streaming_active_users(stream, window_days=7, watermark="30 days")
+        .writeStream.format("memory").queryName("wau").outputMode("complete").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["report_day"].date(): r["active_entities"]
+        for r in spark.sql("select * from wau").collect()
+    }
+
+    batch_df = spark.createDataFrame(rows, schema)
+    want = {
+        r["report_day"]: r["active_entities"]
+        for r in sliding_distinct_count(batch_df, "ts", "user_id", 7).collect()
+    }
+    # streaming emits windows beyond the observed span (no clip); on the
+    # span both agree exactly
+    for day, n in want.items():
+        assert got[day] == n, (day, got.get(day), n)
