@@ -567,3 +567,57 @@ def bloom_pruned_join(
     )
     pruned = bloom_prune(fact, fact_key, bloom, m_bits, k, seed)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
+def kmv_pairwise_overlap(
+    sketches: DataFrame,
+    key_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between sketch owners — corpus
+    overlap audits ("how much of corpus B's vocabulary is already in
+    A?") from bottom-k sketches ALONE, never the raw sets.
+
+    Input: :func:`kmv_bottom_k` output (one ``kmv_hashes`` row per
+    key). For each unordered key pair the union sketch is the bottom-k
+    of the deduped array concat (in-row — the sketches are k-bounded,
+    so the pair join carries k×8-byte arrays, not corpora), |A∪B| is
+    the standard estimator on it, and |A∩B| follows by inclusion-
+    exclusion (clamped at 0; the subtraction can go negative at sketch
+    noise scale). Jaccard = inter/union. Everything downstream of the
+    exact integer hash arrays is fixed-order IEEE — the whole overlap
+    table sits under a value-hash gate like the base KMV estimator.
+
+    Scale: |keys|² pairs of k-length arrays — pairwise overlap is for
+    corpus/partition-level audits (tens to thousands of keys), not
+    per-document pairs (that is MinHash-LSH's job, operators/dedup.py).
+    """
+
+    def est(n_col: Column, kth_col: Column) -> Column:
+        return F.when(n_col < k, n_col.cast("double")).otherwise(
+            F.lit(float(k - 1)) / (kth_col / F.lit(HASH_SPACE))
+        )
+
+    a = sketches.select(
+        F.col(key_col).alias("key_a"), F.col("kmv_hashes").alias("__ha")
+    )
+    b = sketches.select(
+        F.col(key_col).alias("key_b"), F.col("kmv_hashes").alias("__hb")
+    )
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    union_arr = F.slice(
+        F.array_sort(F.array_distinct(F.concat("__ha", "__hb"))), 1, k
+    )
+    out = pairs.withColumn("__u", union_arr).select(
+        "key_a",
+        "key_b",
+        est(F.size("__ha"), F.element_at("__ha", k)).alias("est_a"),
+        est(F.size("__hb"), F.element_at("__hb", k)).alias("est_b"),
+        est(F.size("__u"), F.element_at("__u", k)).alias("est_union"),
+    )
+    inter = F.greatest(
+        F.lit(0.0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+    )
+    return out.withColumn("est_intersection", inter).withColumn(
+        "jaccard", F.col("est_intersection") / F.col("est_union")
+    )

@@ -5639,3 +5639,191 @@ def orders_pit_status_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status_v").alias("pit_status"),
         F.col("valid_from_v").alias("valid_from"),
     )
+
+
+@query(
+    "customer_price_time_corr",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+             CAST(floor(CAST(epoch_us(o_orderdate) AS DOUBLE) / 86400000000.0)
+                  AS BIGINT) AS y
+      FROM orders
+    ), m AS (
+      SELECT o_custkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy
+      FROM c GROUP BY o_custkey
+    )
+    SELECT o_custkey, n,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0.0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0.0
+                THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+           END AS price_time_corr
+    FROM m
+    """,
+    tags=("correlation", "anomaly", "A-family"),
+)
+def customer_price_time_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer Pearson correlation between order price and order
+    date ("is this customer's spend trending?") with the FLOAT
+    correlation itself value-hash-gated — same recipe as the z-score
+    query: all five moments accumulate as exact bigints (cents ×
+    epoch-days), the closed form is fixed-order IEEE arithmetic on
+    identical bits, and IEEE sqrt is correctly rounded. One map-side-
+    combined aggregation; degenerate variance → NULL (never NaN)."""
+    c = spark.table("orders").select(
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.unix_micros("o_orderdate") / F.lit(86_400_000_000))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = c.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    vx = n_d * sxx - sx * sx
+    vy = n_d * syy - sy * sy
+    corr = (n_d * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    return m.select(
+        "o_custkey",
+        "n",
+        F.when((vx > 0.0) & (vy > 0.0), corr).alias("price_time_corr"),
+    )
+
+
+@query(
+    "top_event_trigrams",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+    ), seq AS (
+      SELECT user_id, list(event_type ORDER BY us, event_id) AS l
+      FROM e GROUP BY user_id
+    ), tg AS (
+      SELECT z[1] AS t1, z[2] AS t2, z[3] AS t3
+      FROM (SELECT unnest(list_zip(l, l[2:], l[3:])) AS z FROM seq)
+      WHERE z[3] IS NOT NULL
+    )
+    SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM tg GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3 LIMIT 20
+    """,
+    tags=("sequence-mining", "event-analytics"),
+)
+def top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 behavioral trigrams (consecutive event-type triples per
+    user journey) — the sequential-pattern-mining staple behind
+    "what do users do next". ONE shuffle: per-user event arrays are
+    collect_list'd then value-sorted in-row (sort_array of (time, id,
+    type) structs — partition-order-proof), trigrams form in-row via
+    the bigram slice/element_at pattern, counts are map-side combined,
+    and the top-k is a TakeOrderedAndProject heap with a total-order
+    tiebreak."""
+    e = spark.table("events").select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("t"),
+        ).alias("ev"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("ev")).alias("evs")
+    )
+    arr = F.transform(F.col("evs"), lambda x: x["t"])
+    n = F.size(arr)
+    tg = F.transform(
+        F.slice(arr, F.lit(1), F.greatest(n - 2, F.lit(0))),
+        lambda t, i: F.struct(
+            t.alias("t1"),
+            F.element_at(arr, i + F.lit(2)).alias("t2"),
+            F.element_at(arr, i + F.lit(3)).alias("t3"),
+        ),
+    )
+    return (
+        seq.select(F.explode(tg).alias("g"))
+        .groupBy(
+            F.col("g.t1").alias("t1"),
+            F.col("g.t2").alias("t2"),
+            F.col("g.t3").alias("t3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+@query(
+    "lang_token_overlap_kmv",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT lang,
+             ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+      FROM (SELECT lang, unnest({_TOK}) AS token FROM documents)
+    ), r AS (
+      SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+      FROM h
+    ), sk AS (
+      SELECT lang, list(h ORDER BY h) AS l FROM r WHERE rn <= 128 GROUP BY lang
+    ), p AS (
+      SELECT a.lang AS key_a, b.lang AS key_b, a.l AS la, b.l AS lb,
+             list_sort(list_distinct(a.l || b.l))[1:128] AS lu
+      FROM sk a JOIN sk b ON a.lang < b.lang
+    ), e AS (
+      SELECT key_a, key_b,
+        CASE WHEN len(la) < 128 THEN CAST(len(la) AS DOUBLE)
+             ELSE 127.0 / (la[128] / 1152921504606846976.0) END AS est_a,
+        CASE WHEN len(lb) < 128 THEN CAST(len(lb) AS DOUBLE)
+             ELSE 127.0 / (lb[128] / 1152921504606846976.0) END AS est_b,
+        CASE WHEN len(lu) < 128 THEN CAST(len(lu) AS DOUBLE)
+             ELSE 127.0 / (lu[128] / 1152921504606846976.0) END AS est_union
+      FROM p
+    )
+    SELECT key_a, key_b, est_a, est_b, est_union,
+           greatest(0.0, (est_a + est_b) - est_union) AS est_intersection,
+           greatest(0.0, (est_a + est_b) - est_union) / est_union AS jaccard
+    FROM e
+    """,
+    tags=("sketch", "corpus-overlap", "beyond-parity"),
+)
+def lang_token_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus vocabulary overlap from sketches alone: per-language
+    bottom-128 KMV token sketches, all unordered pairs estimated via
+    union-sketch + inclusion-exclusion (operators/sketches.py
+    kmv_pairwise_overlap). The portable hash family keeps the float
+    estimates bit-reproducible, so overlap/Jaccard land under the
+    value-hash gate."""
+    from hpc_hd_textreuse_etl_spark.operators.sketches import (
+        kmv_bottom_k,
+        kmv_pairwise_overlap,
+    )
+
+    from hpc_hd_textreuse_etl_spark.functions.text import tokens
+
+    tok = spark.table("documents").select(
+        "lang", F.explode(tokens("text")).alias("token")
+    )
+    sk = kmv_bottom_k(tok, ["lang"], "token", k=128)
+    return kmv_pairwise_overlap(sk, "lang", k=128)

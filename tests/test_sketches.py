@@ -360,3 +360,49 @@ def test_bloom_prune_rejects_oversized_bitmap(spark):
 
     with _pt.raises(ValueError):
         bloom_prune(keys, "k", bloom, m_bits=1 << 21, k=4)
+
+
+# --- kmv_pairwise_overlap ---------------------------------------------------
+
+from hpc_hd_textreuse_etl_spark.operators.sketches import (  # noqa: E402
+    kmv_bottom_k,
+    kmv_pairwise_overlap,
+)
+
+
+def test_kmv_overlap_exact_when_under_k(spark):
+    # sets smaller than k: the sketch IS the set, estimates are exact
+    rows = (
+        [("A", f"t{i}") for i in range(40)]
+        + [("B", f"t{i}") for i in range(20, 80)]   # |B|=60, overlap 20
+        + [("C", f"u{i}") for i in range(10)]       # disjoint from A and B
+    )
+    df = spark.createDataFrame(rows, "grp string, v string")
+    sk = kmv_bottom_k(df, ["grp"], "v", k=256)
+    out = {
+        (r["key_a"], r["key_b"]): r
+        for r in kmv_pairwise_overlap(sk, "grp", k=256).collect()
+    }
+    ab = out[("A", "B")]
+    assert (ab["est_a"], ab["est_b"], ab["est_union"]) == (40.0, 60.0, 80.0)
+    assert ab["est_intersection"] == 20.0
+    assert ab["jaccard"] == 20.0 / 80.0
+    ac = out[("A", "C")]
+    assert ac["est_intersection"] == 0.0 and ac["jaccard"] == 0.0
+    assert len(out) == 3  # unordered pairs only
+
+
+def test_kmv_overlap_estimates_large_sets(spark):
+    # identical large sets: jaccard estimate must be ~1; disjoint: ~0
+    rows = [(g, f"v{i}") for g in ("X", "Y") for i in range(5000)]
+    rows += [("Z", f"w{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    sk = kmv_bottom_k(df, ["grp"], "v", k=128)
+    out = {
+        (r["key_a"], r["key_b"]): r
+        for r in kmv_pairwise_overlap(sk, "grp", k=128).collect()
+    }
+    assert out[("X", "Y")]["jaccard"] == 1.0  # identical hash sets
+    assert out[("X", "Z")]["jaccard"] < 0.2
+    est = out[("X", "Y")]["est_a"]
+    assert abs(est - 5000) / 5000 < 0.3  # ~1/sqrt(k-2) stderr
