@@ -100,3 +100,43 @@ def test_partition_independence(spark):
     a = sorted(map(tuple, association_rules(df, "basket", "item").collect()))
     b = sorted(map(tuple, association_rules(df.repartition(7), "basket", "item").collect()))
     assert a == b
+
+
+# --- randomized equivalence -------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+baskets_st = st.lists(
+    st.tuples(st.integers(0, 15), st.sampled_from("abcdefg")),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(baskets_st)
+@settings(max_examples=15, deadline=None)
+def test_rules_random_equivalence(spark, rows):
+    df = (
+        spark.createDataFrame(rows, "basket int, item string")
+        if rows
+        else spark.createDataFrame([], "basket int, item string")
+    )
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["n_a"], r["n_b"], r["n_baskets"])
+        for r in association_rules(df, "basket", "item").collect()
+    }
+    sets = {}
+    for b, i in rows:
+        sets.setdefault(b, set()).add(i)
+    n = len(sets)
+    singles = {}
+    for s in sets.values():
+        for i in s:
+            singles[i] = singles.get(i, 0) + 1
+    want = {}
+    for s in sets.values():
+        for a, b in combinations(sorted(s), 2):
+            k = (a, b)
+            want[k] = want.get(k, (0,))[0] + 1, singles[a], singles[b], n
+    assert got == want

@@ -446,3 +446,29 @@ def test_kcore_ignores_duplicates_loops_and_direction(spark):
     df = spark.createDataFrame(rows, "src bigint, dst bigint")
     got = {r["node"]: r["degree"] for r in kcore(df, "src", "dst", 2, rounds=3).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+# --- randomized kcore equivalence -------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+edges_st = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=40
+)
+
+
+@given(edges_st, st.integers(1, 4))
+@settings(max_examples=12, deadline=None)
+def test_kcore_random_equivalence(spark, edges, k):
+    df = (
+        spark.createDataFrame(edges, "src bigint, dst bigint")
+        if edges
+        else spark.createDataFrame([], "src bigint, dst bigint")
+    )
+    got = {
+        r["node"]: r["degree"]
+        for r in kcore(df, "src", "dst", k, rounds=14).collect()
+    }
+    want = brute_kcore([e for e in edges if e[0] != e[1]], k) if edges else {}
+    assert got == want

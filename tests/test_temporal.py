@@ -303,3 +303,45 @@ def test_sliding_distinct_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     # only the broadcast of the 1-row span aggregate may nested-loop
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+# --- randomized decayed_sum equivalence -------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+decay_rows_st = st.lists(
+    st.tuples(
+        st.integers(0, 3),                    # key
+        st.integers(0, 4000),                 # days since 2010-01-01
+        st.integers(0, 10_000_00),            # value in cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(decay_rows_st)
+@settings(max_examples=15, deadline=None)
+def test_decayed_sum_random_equivalence(spark, rows):
+    base = datetime(2010, 1, 1)
+    as_of = datetime(2021, 1, 1)
+    data = [
+        (k, base + __import__("datetime").timedelta(days=d), cents / 100.0)
+        for k, d, cents in rows
+    ]
+    df = spark.createDataFrame(data, "k int, ts timestamp, v double")
+    got = {
+        r["k"]: (r["decayed_value_scaled"], r["decayed_value"])
+        for r in decayed_sum(
+            df, ["k"], "v", "ts", "2021-01-01 00:00:00", "365 days"
+        ).collect()
+    }
+    want = {}
+    for k, d, cents in rows:
+        age_days = (as_of - base).days - d
+        hl = max(0, min(20, age_days * 86_400_000_000 // (365 * 86_400_000_000)))
+        want[k] = want.get(k, 0) + cents * (1 << (20 - hl))
+    assert {k: v[0] for k, v in got.items()} == want
+    for k, (scaled, dbl) in got.items():
+        assert dbl == scaled / float(100 * (1 << 20))
