@@ -138,3 +138,95 @@ def jaccard_threshold_pairs(
             (F.col("n_intersect").cast("double") / F.col("n_union")).alias("jaccard"),
         )
     )
+
+
+def containment_threshold_pairs(
+    df: DataFrame,
+    id_col: str,
+    elements: Column,
+    threshold: float,
+) -> DataFrame:
+    """All ORDERED pairs where ``|A ∩ B| >= t·|B|`` — B (the contained
+    side) is mostly inside A (the container). Containment is the
+    text-reuse relation proper: a quote keeps a high fraction of ITS
+    shingles inside the quoting document regardless of how much bigger
+    that document is, which symmetric Jaccard dilutes away.
+
+    Prefix filtering asymmetricizes cleanly: containment ≥ t forces
+    |∩| ≥ ceil(t·nb), so by the usual pigeonhole B must share one of
+    its first ``nb − ceil(t·nb) + 1`` rarity-ordered elements; the
+    CONTAINER side cannot be prefix-pruned (a bigger A only helps), so
+    A contributes its full element list as the inverted index. The
+    length filter also collapses to one direction (nb bounded only
+    when t·nb ≤ na).
+
+    Scale note vs the Jaccard join: the index side is the full corpus
+    posting list, so hot elements cost candidates proportional to
+    their document frequency times the number of B-prefixes touching
+    them — B prefixes hold each record's RAREST elements, which is
+    what keeps that product down. If the element universe has no rare
+    tail (tiny vocabulary), containment search degenerates — use
+    shingles, not raw tokens, as the element domain.
+
+    Output: ``(container_id, contained_id, n_intersect, n_contained,
+    containment)`` — integer-exact gate (``1000·|∩| >= t_milli·nb``,
+    inclusive), the division only in the reported float.
+    """
+    t_milli = int(round(threshold * 1000))
+    if not 0 < t_milli <= 1000:
+        raise ValueError(
+            f"threshold must be in (0, 1] at thousandth precision, got {threshold}"
+        )
+    sets = (
+        df.select(F.col(id_col).alias("id"), F.array_distinct(elements).alias("els"))
+        .where(F.size("els") > 0)
+        .persist()
+    )
+    flat = sets.select("id", F.explode("els").alias("el"))
+    freq = flat.groupBy("el").agg(F.count(F.lit(1)).alias("freq"))
+    ordered = (
+        flat.join(freq, "el")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("freq", "el"))).alias("fe"))
+    )
+    nb = F.size("fe")
+    ceil_tn = F.floor((F.lit(t_milli) * nb + F.lit(999)) / F.lit(1000)).cast("int")
+    prefix = F.slice(
+        F.transform("fe", lambda x: x["el"]), F.lit(1), nb - ceil_tn + F.lit(1)
+    )
+    probe = ordered.select(
+        F.col("id").alias("contained_id"),
+        nb.alias("nb"),
+        F.explode(prefix).alias("el"),
+    )
+    index = flat.select(F.col("id").alias("container_id"), "el")
+    cand = (
+        index.join(
+            probe,
+            (index["el"] == probe["el"])
+            & (F.col("container_id") != F.col("contained_id")),
+        )
+        .select("container_id", "contained_id", "nb")
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("container_id"), F.col("els").alias("els_a"))
+    sb = sets.select(F.col("id").alias("contained_id"), F.col("els").alias("els_b"))
+    inter = F.size(F.array_intersect("els_a", "els_b"))
+    return (
+        cand.join(sa, "container_id")
+        .join(sb, "contained_id")
+        .withColumn("n_intersect", inter.cast("bigint"))
+        .withColumn("n_contained", F.col("nb").cast("bigint"))
+        .where(
+            F.lit(1000) * F.col("n_intersect") >= F.lit(t_milli) * F.col("nb")
+        )
+        .select(
+            "container_id",
+            "contained_id",
+            "n_intersect",
+            "n_contained",
+            (F.col("n_intersect").cast("double") / F.col("n_contained")).alias(
+                "containment"
+            ),
+        )
+    )

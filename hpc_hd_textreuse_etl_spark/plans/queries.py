@@ -5827,3 +5827,47 @@ def lang_token_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = kmv_bottom_k(tok, ["lang"], "token", k=128)
     return kmv_pairwise_overlap(sk, "lang", k=128)
+
+
+@query(
+    "shingle_containment_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS l FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(l[i + 1 : i + 3], ' ')
+                            for i in range(0, greatest(len(l) - 3, 0) + 1)])
+               AS els
+      FROM t WHERE len(l) > 0
+    )
+    SELECT a.doc_id AS container_id, b.doc_id AS contained_id,
+           CAST(len(list_intersect(a.els, b.els)) AS BIGINT) AS n_intersect,
+           CAST(len(b.els) AS BIGINT) AS n_contained,
+           CAST(len(list_intersect(a.els, b.els)) AS DOUBLE)
+             / CAST(len(b.els) AS DOUBLE) AS containment
+    FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+    WHERE 1000 * len(list_intersect(a.els, b.els)) >= 500 * len(b.els)
+    """,
+    tags=("containment-join", "text-reuse", "setsim"),
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment join over 3-token shingles: every ordered
+    (container, contained) pair where ≥ 50% of the contained document's
+    distinct shingles appear in the container — the text-reuse relation
+    symmetric Jaccard dilutes (operators/setsim.py
+    containment_threshold_pairs, B-prefix probe vs full inverted index,
+    integer-exact threshold). Oracle brute-forces all pairs, which the
+    prefix filter must provably reproduce."""
+    from hpc_hd_textreuse_etl_spark.functions.text import token_shingles, tokens
+    from hpc_hd_textreuse_etl_spark.operators.setsim import (
+        containment_threshold_pairs,
+    )
+
+    # guard: token_shingles of an EMPTY doc yields [""] (one degenerate
+    # shingle), which the oracle's len(l) > 0 filter excludes — drop
+    # token-less docs before shingling so both engines see the same set
+    docs = spark.table("documents").where(F.size(tokens("text")) > 0)
+    return containment_threshold_pairs(
+        docs, "doc_id", token_shingles(F.col("text"), 3), threshold=0.5
+    )

@@ -102,3 +102,76 @@ def test_no_cartesian_product_in_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- containment_threshold_pairs --------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from hpc_hd_textreuse_etl_spark.operators.setsim import (  # noqa: E402
+    containment_threshold_pairs,
+)
+
+
+def brute_containment(sets, t_milli):
+    out = set()
+    for a, ea in sets.items():
+        for b, eb in sets.items():
+            if a != b and eb and 1000 * len(ea & eb) >= t_milli * len(eb):
+                out.add((a, b, len(ea & eb), len(eb)))
+    return out
+
+
+def test_containment_hand_case(spark):
+    rows = [
+        (1, ["x", "y", "z", "w", "q"]),   # container
+        (2, ["x", "y"]),                  # fully inside 1
+        (3, ["x", "r"]),                  # half inside 1
+        (4, ["p"]),                       # disjoint
+    ]
+    df = spark.createDataFrame(rows, "id int, els array<string>")
+    got = {
+        (r["container_id"], r["contained_id"], r["n_intersect"], r["n_contained"])
+        for r in containment_threshold_pairs(df, "id", F.col("els"), 0.9).collect()
+    }
+    assert (1, 2, 2, 2) in got
+    assert all(p[1] != 3 for p in got)  # 50% < 90%: 3 is contained nowhere
+    # asymmetry: 2 contains only 2/5 of 1's elements
+    assert all(not (p[0] == 2 and p[1] == 1) for p in got)
+
+
+contain_sets_st = st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=8),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(contain_sets_st, st.sampled_from([300, 500, 800, 1000]))
+@settings(max_examples=15, deadline=None)
+def test_containment_random_equivalence(spark, els, t_milli):
+    sets = {i: set(e) for i, e in enumerate(els) if e}
+    rows = [(i, sorted(s)) for i, s in sets.items()]
+    df = (
+        spark.createDataFrame(rows, "id int, els array<string>")
+        if rows
+        else spark.createDataFrame([], "id int, els array<string>")
+    )
+    got = {
+        (r["container_id"], r["contained_id"], r["n_intersect"], r["n_contained"])
+        for r in containment_threshold_pairs(
+            df, "id", F.col("els"), t_milli / 1000
+        ).collect()
+    }
+    assert got == brute_containment(sets, t_milli)
+
+
+def test_containment_no_cartesian(spark):
+    rows = [(i, [f"t{i}", f"t{i+1}", "common"]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id int, els array<string>")
+    plan = (
+        containment_threshold_pairs(df, "id", F.col("els"), 0.8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
