@@ -129,3 +129,71 @@ def incremental_join(
     J_new = (A∪ΔA) ⋈ (B∪ΔB) is what the oracle-gated contract query
     recomputes from scratch."""
     return j_old.unionByName(join_delta(a_old, a_delta, b_old, b_delta, on))
+
+
+def retractable_aggregate_delta(
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    specs: dict[str, tuple[str, str | Column | None]],
+    op_col: str = "op",
+) -> DataFrame:
+    """Partial states over a SIGNED change stream: rows carry
+    ``op_col`` ∈ {'I', 'D'} and deletes contribute negatively — the
+    retraction half of incremental view maintenance.
+
+    Only the abelian-group aggregates (count/sum) admit retractions:
+    subtracting a delete is exact because every element has an inverse.
+    min/max do NOT — deleting the current minimum requires knowing the
+    runner-up, i.e. the full multiset — so they are rejected here;
+    recompute affected keys from the base table instead
+    (:func:`affected_keys` + a keyed semi-join re-aggregation, the
+    standard "dirty key" repair used by every IVM engine for
+    non-invertible aggregates)."""
+    bad = [n for n, (name, _) in specs.items() if name not in ("count", "sum")]
+    if bad:
+        raise ValueError(
+            f"retractable aggregates are count/sum only; {bad} are not "
+            "(min/max need a dirty-key recompute — see affected_keys)"
+        )
+    sign = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+    aggs = []
+    for out, (name, col) in specs.items():
+        if name == "count":
+            aggs.append(F.sum(sign).cast("bigint").alias(out))
+        else:
+            c = F.col(col) if isinstance(col, str) else col
+            aggs.append(F.sum(sign * c).alias(out))
+    return delta.groupBy(*key_cols).agg(*aggs)
+
+
+def incremental_aggregate_with_retractions(
+    snapshot: DataFrame | None,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    specs: dict[str, tuple[str, str | Column | None]],
+    op_col: str = "op",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Fold a signed change stream into the aggregate snapshot. Same
+    merge as :func:`merge_aggregate_states` (count/sum merge by
+    addition, and negative partials subtract exactly); pass
+    ``count_col`` naming a count spec to prune keys whose live row
+    count hits zero — otherwise fully-deleted keys linger as zero rows,
+    which is both wrong for consumers and permanent state growth."""
+    states = retractable_aggregate_delta(delta, key_cols, specs, op_col)
+    merged = merge_aggregate_states(snapshot, states, key_cols, specs)
+    if count_col is not None:
+        merged = merged.where(F.col(count_col) != 0)
+    return merged
+
+
+def affected_keys(
+    delta: DataFrame, key_cols: Sequence[str], op_col: str = "op"
+) -> DataFrame:
+    """Distinct keys touched by deletes — the dirty-key set whose
+    non-invertible aggregates (min/max/distinct) must be recomputed
+    from the base table (a semi-join restricted re-aggregation: cost ∝
+    touched keys, not table size)."""
+    return (
+        delta.where(F.col(op_col) == "D").select(*key_cols).distinct()
+    )

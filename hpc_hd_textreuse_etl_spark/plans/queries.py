@@ -5871,3 +5871,80 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_threshold_pairs(
         docs, "doc_id", token_shingles(F.col("text"), 3), threshold=0.5
     )
+
+
+def _install_retraction_ivm_query() -> None:
+    from hpc_hd_textreuse_etl_spark.operators.sampling import threshold
+
+    base_t = threshold(0.8)
+    del_t = threshold(0.125)
+    base_gate = _duck_gate("ivmbase", "o_orderkey")
+    del_gate = _duck_gate("ivmdel", "o_orderkey")
+    QUERIES["incremental_retraction_aggs"].oracle = f"""
+    WITH eff AS (
+      SELECT * FROM orders
+      WHERE ({base_gate} < {base_t} AND {del_gate} >= {del_t})
+         OR {base_gate} >= {base_t}
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS total_price
+    FROM eff GROUP BY o_custkey
+    """
+
+
+@query(
+    "incremental_retraction_aggs",
+    oracle=None,  # installed below (shares the portable-gate spelling)
+    tags=("ivm-retractions", "cdc"),
+)
+def incremental_retraction_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-aware incremental aggregation: the orders table splits
+    into a base snapshot (80% by hash gate), a later insert batch (the
+    rest) and a delete batch (12.5%-gated subset of the base); the
+    maintained per-customer count/sum — snapshot partials + SIGNED
+    delta partials, zero-count keys pruned — must equal the from-
+    scratch aggregate over (base − deletes + inserts), row for row and
+    cent for cent (operators/incremental.py
+    incremental_aggregate_with_retractions)."""
+    from hpc_hd_textreuse_etl_spark.operators.incremental import (
+        incremental_aggregate_with_retractions,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.sampling import (
+        sample_hash,
+        threshold,
+    )
+
+    orders = spark.table("orders")
+    in_base = sample_hash(["o_orderkey"], "ivmbase") < F.lit(threshold(0.8))
+    is_del = sample_hash(["o_orderkey"], "ivmdel") < F.lit(threshold(0.125))
+    base = orders.where(in_base)
+    inserts = orders.where(~in_base).withColumn("op", F.lit("I"))
+    deletes = base.where(is_del).withColumn("op", F.lit("D"))
+    specs = {
+        "n_orders": ("count", None),
+        "total_price": (
+            "sum",
+            F.col("o_totalprice").cast("decimal(30,2)"),
+        ),
+    }
+    snapshot = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("total_price"),
+    )
+    out = incremental_aggregate_with_retractions(
+        snapshot,
+        inserts.unionByName(deletes),
+        ["o_custkey"],
+        specs,
+        count_col="n_orders",
+    )
+    return out.select(
+        "o_custkey",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+    )
+
+
+_install_retraction_ivm_query()

@@ -178,3 +178,53 @@ def test_incremental_join_two_rounds_associative(spark):
     j2 = incremental_join(j1, A(a0 + a1), A(a2), B(b0 + b1), B(b2), ["k"])
     once = incremental_join(j0, A(a0), A(a1 + a2), B(b0), B(b1 + b2), ["k"])
     assert _jrows(j2) == _jrows(once)
+
+
+# --- retractions ------------------------------------------------------------
+
+import pytest as _pytest  # noqa: E402
+
+from hpc_hd_textreuse_etl_spark.operators.incremental import (  # noqa: E402
+    affected_keys,
+    incremental_aggregate_with_retractions,
+    retractable_aggregate_delta,
+)
+
+
+def test_retractions_match_from_scratch(spark):
+    base = [(k, v) for k in range(5) for v in range(k + 1)]
+    df = spark.createDataFrame(base, "k int, v int")
+    snapshot = df.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("v").alias("s")
+    )
+    # delete one row of k=2, all rows of k=0; insert two rows of k=9
+    delta = spark.createDataFrame(
+        [(2, 1, "D"), (0, 0, "D"), (9, 7, "I"), (9, 8, "I")], "k int, v int, op string"
+    )
+    out = {
+        r["k"]: (r["n"], r["s"])
+        for r in incremental_aggregate_with_retractions(
+            snapshot, delta, ["k"],
+            {"n": ("count", None), "s": ("sum", "v")}, count_col="n",
+        ).collect()
+    }
+    want_rows = [r for r in base if not (r == (2, 1) or r[0] == 0)] + [(9, 7), (9, 8)]
+    want = {}
+    for k, v in want_rows:
+        n, s = want.get(k, (0, 0))
+        want[k] = (n + 1, s + v)
+    assert out == want
+    assert 0 not in out  # fully-deleted key pruned, not a zero row
+
+
+def test_retractions_reject_min_max(spark):
+    delta = spark.createDataFrame([(1, 2, "D")], "k int, v int, op string")
+    with _pytest.raises(ValueError, match="dirty-key"):
+        retractable_aggregate_delta(delta, ["k"], {"m": ("min", "v")})
+
+
+def test_affected_keys_only_deletes(spark):
+    delta = spark.createDataFrame(
+        [(1, 1, "D"), (1, 2, "D"), (2, 3, "I")], "k int, v int, op string"
+    )
+    assert {r["k"] for r in affected_keys(delta, ["k"]).collect()} == {1}
