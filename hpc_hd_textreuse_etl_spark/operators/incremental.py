@@ -197,3 +197,27 @@ def affected_keys(
     return (
         delta.where(F.col(op_col) == "D").select(*key_cols).distinct()
     )
+
+
+def repair_non_invertible(
+    snapshot: DataFrame,
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    specs: dict[str, tuple[str, str | Column | None]],
+    op_col: str = "op",
+) -> DataFrame:
+    """The dirty-key repair for non-invertible aggregates (min/max):
+    keys touched by deletes are re-aggregated from the post-change
+    ``base`` table (cost ∝ dirty keys via a semi-join restricted scan,
+    never the full table) and patched into the snapshot; keys that
+    vanish entirely drop out. Clean keys keep their snapshot rows
+    untouched. ``base`` must already reflect the delta (it is the
+    source of truth the snapshot lags)."""
+    keys = list(key_cols)
+    dirty = affected_keys(delta, keys, op_col)
+    recomputed = aggregate_delta(
+        base.join(F.broadcast(dirty), keys, "left_semi"), keys, specs
+    )
+    clean = snapshot.join(F.broadcast(dirty), keys, "left_anti")
+    return clean.unionByName(recomputed)

@@ -228,3 +228,26 @@ def test_affected_keys_only_deletes(spark):
         [(1, 1, "D"), (1, 2, "D"), (2, 3, "I")], "k int, v int, op string"
     )
     assert {r["k"] for r in affected_keys(delta, ["k"]).collect()} == {1}
+
+
+def test_repair_non_invertible_min_max(spark):
+    from hpc_hd_textreuse_etl_spark.operators.incremental import (
+        repair_non_invertible,
+    )
+
+    base0 = [(1, 10), (1, 5), (2, 7), (3, 1)]
+    df0 = spark.createDataFrame(base0, "k int, v int")
+    specs = {"mn": ("min", "v"), "mx": ("max", "v")}
+    snapshot = df0.groupBy("k").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    # delete k=1's max and ALL of k=3; k=2 untouched
+    delta = spark.createDataFrame(
+        [(1, 10, "D"), (3, 1, "D")], "k int, v int, op string"
+    )
+    base1 = spark.createDataFrame([(1, 5), (2, 7)], "k int, v int")
+    out = {
+        r["k"]: (r["mn"], r["mx"])
+        for r in repair_non_invertible(
+            snapshot, base1, delta, ["k"], specs
+        ).collect()
+    }
+    assert out == {1: (5, 5), 2: (7, 7)}  # k=1 repaired, k=2 clean, k=3 gone
