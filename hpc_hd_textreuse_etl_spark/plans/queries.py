@@ -5948,3 +5948,133 @@ def incremental_retraction_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_retraction_ivm_query()
+
+
+@query(
+    "near_dup_degree",
+    oracle=f"""
+    WITH p AS (
+      SELECT * FROM ({_minhash_oracle(num_hashes=32, shingle=5, num_bands=8, threshold=0.7)})
+    ), ends AS (
+      SELECT id_a AS doc_id, est_jaccard FROM p
+      UNION ALL SELECT id_b, est_jaccard FROM p
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           max(est_jaccard) AS max_est_jaccard
+    FROM ends GROUP BY doc_id
+    """,
+    tags=("dedup-analytics", "minhash"),
+)
+def near_dup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication pressure: neighbor count and strongest
+    similarity in the MinHash near-dup graph — the triage view a
+    curation run reads to decide what to resolve first (a doc with 400
+    neighbors is boilerplate; one with 1 is a revision). Pure rollup of
+    the already-gated pair pipeline: endpoints union + one map-side-
+    combined aggregation."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import minhash_near_duplicates
+
+    pairs = minhash_near_duplicates(
+        spark.table("documents"), "doc_id", "text",
+        num_hashes=32, num_bands=8, threshold=0.7, hash_family="portable",
+    )
+    ends = pairs.select(
+        F.col("id_a").alias("doc_id"), "est_jaccard"
+    ).unionAll(pairs.select(F.col("id_b").alias("doc_id"), "est_jaccard"))
+    return ends.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        F.max("est_jaccard").alias("max_est_jaccard"),
+    )
+
+
+def _install_winsorize_oracle() -> None:
+    from hpc_hd_textreuse_etl_spark.operators.sampling import threshold
+
+    gate = _DUCK_H.format(
+        x="'qsk-v1|' || CAST(l_orderkey AS VARCHAR)"
+          " || '|' || CAST(l_linenumber AS VARCHAR)"
+    )
+    QUERIES["winsorized_price_stats"].oracle = f"""
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+      FROM lineitem WHERE {gate} < {threshold(0.2)}
+    ), r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM s
+    ), bounds AS (
+      SELECT l_returnflag,
+             MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.05 * n) AS BIGINT))
+                      THEN l_extendedprice END) AS lo,
+             MAX(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT))
+                      THEN l_extendedprice END) AS hi
+      FROM r GROUP BY l_returnflag
+    )
+    SELECT li.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN li.l_extendedprice < b.lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN li.l_extendedprice > b.hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(CAST(LEAST(GREATEST(li.l_extendedprice, b.lo), b.hi)
+                         AS DECIMAL(30,4))) AS DOUBLE) AS winsorized_sum
+    FROM lineitem li JOIN bounds b USING (l_returnflag)
+    GROUP BY li.l_returnflag
+    """
+
+
+@query(
+    "winsorized_price_stats",
+    oracle=None,  # installed above pattern (needs sampling.threshold)
+    tags=("winsorize", "curation", "sketch-quantile"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier-clipping curation primitive: clip
+    every price to its return-flag's [p05, p95], bounds taken from the
+    deterministic hash-sample quantile sketch (already gated standalone
+    in quantile_sketch_prices). Bounds broadcast back onto the fact
+    table; clipped sums accumulate in decimal — so clip counts AND the
+    winsorized total are value-hash-exact end to end."""
+    from hpc_hd_textreuse_etl_spark.operators.sketches import (
+        quantile_sketch,
+        quantiles_from_sketch,
+    )
+
+    li = spark.table("lineitem")
+    sk = quantile_sketch(
+        li, ["l_returnflag"], "l_extendedprice",
+        sample_key_cols=["l_orderkey", "l_linenumber"], fraction=0.2,
+    )
+    qs = quantiles_from_sketch(
+        sk, ["l_returnflag"], "l_extendedprice",
+        qs=(0.05, 0.95), tiebreak_cols=("l_orderkey", "l_linenumber"),
+    )
+    bounds = (
+        qs.groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("quantile") == 0.05, F.col("value"))).alias("lo"),
+            F.max(F.when(F.col("quantile") == 0.95, F.col("value"))).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("lo"), 1).otherwise(0)
+            ).cast("bigint").alias("n_clipped_lo"),
+            F.sum(
+                F.when(F.col("l_extendedprice") > F.col("hi"), 1).otherwise(0)
+            ).cast("bigint").alias("n_clipped_hi"),
+            dsum(clipped, 4, "winsorized_sum"),
+        )
+    )
+
+
+_install_winsorize_oracle()
