@@ -6078,3 +6078,107 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_winsorize_oracle()
+
+
+@query(
+    "orders_time_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(GROUPING(year(o_orderdate)) * 4
+                + GROUPING(quarter(o_orderdate)) * 2
+                + GROUPING(month(o_orderdate)) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (year(o_orderdate)),
+      (year(o_orderdate), quarter(o_orderdate)),
+      (year(o_orderdate), quarter(o_orderdate), month(o_orderdate))
+    )
+    """,
+    tags=("grouping-sets", "time-hierarchy"),
+)
+def orders_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup (year / year-quarter / year-quarter-month)
+    in ONE Expand + one shuffle — the multi-grain reporting table a
+    warehouse would otherwise build with three scans. Derived time
+    columns inside the grouping sets (not pre-projected dims) show the
+    sets compose with expressions; grouping_id disambiguates grain."""
+    orders = spark.table("orders").select(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.month("o_orderdate").cast("bigint").alias("mon"),
+        "o_totalprice",
+    )
+    return (
+        orders.groupingSets(
+            [["yr"], ["yr", "qtr"], ["yr", "qtr", "mon"]], "yr", "qtr", "mon"
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice"), 4, "total_price"),
+        )
+        .select("yr", "qtr", "mon", "gid", "n_orders", "total_price")
+    )
+
+
+def _install_ann_recall_oracle() -> None:
+    QUERIES["ann_lsh_recall"].oracle = f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM ({QUERIES["ann_cosine_topk"].oracle})
+    ), lsh AS (
+      SELECT query_id, neighbor_id FROM ({QUERIES["ann_lsh_topk"].oracle})
+    )
+    SELECT e.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(l.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM exact e LEFT JOIN lsh l USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """
+
+
+@query(
+    "ann_lsh_recall",
+    oracle=None,  # composed below from the two gated ANN oracles
+    tags=("ann-eval", "recall", "similarity-lsh"),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH ANN path against the exact brute-force
+    ranking, per query — the evaluation metric that tells you whether
+    an approximate index is good enough to ship, AS a gated query (both
+    underlying pipelines already hash-match standalone; this composes
+    their oracles verbatim). Left join on the exact top-k so missing
+    LSH hits count as misses, one rollup per query."""
+    from hpc_hd_textreuse_etl_spark.operators.similarity import (
+        cosine_topk,
+        lsh_topk,
+    )
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(q, emb, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = (
+        lsh_topk(
+            q, emb, "vec_id", "embedding",
+            k=5, num_planes=4, num_tables=4, plane_source="literal",
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("bigint").alias("n_overlap"),
+            (F.count("__hit").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
+
+
+_install_ann_recall_oracle()
