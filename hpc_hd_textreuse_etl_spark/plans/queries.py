@@ -1443,10 +1443,14 @@ def cw_component_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_custkey
       ) m ON o.o_custkey = m.o_custkey AND o.o_orderdate = m.min_date
     )
-    SELECT DISTINCT COALESCE(w.o_custkey, a.o_custkey) AS o_custkey
+    SELECT CAST(count(DISTINCT CASE WHEN w.o_orderkey IS NULL
+                                      OR a.o_orderkey IS NULL
+                     THEN COALESCE(w.o_custkey, a.o_custkey) END) AS BIGINT)
+             AS n_disagreements,
+           CAST(count(DISTINCT COALESCE(w.o_custkey, a.o_custkey)) AS BIGINT)
+             AS n_groups_checked
     FROM win w FULL OUTER JOIN agg a
       ON w.o_custkey = a.o_custkey AND w.o_orderkey = a.o_orderkey
-    WHERE w.o_orderkey IS NULL OR a.o_orderkey IS NULL
     """,
     tags=("serving-qc", "W5", "A7"),
 )
@@ -1456,9 +1460,10 @@ def earliest_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     "earliest member per group" — the ties-kept window
     (earliest_in_group, the path reception edges are built on) vs a
     groupBy-min + equality join-back — cross-validated via symmetric
-    difference. Groups where they disagree; expected EMPTY, and the
-    oracle recomputes the full check (both derivations + full outer
-    join), so a divergence in EITHER engine surfaces."""
+    difference. Emitted as a one-row
+    summary (disagreement count + groups checked) rather than the
+    expected-empty violation set — an empty set hash-matches trivially;
+    the (0, N) row only matches if both engines ran the full check."""
     from hpc_hd_textreuse_etl_spark.operators.reception import earliest_in_group
     from hpc_hd_textreuse_etl_spark.plans.qc import set_disagreement
 
@@ -1479,7 +1484,18 @@ def earliest_consistency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "o_orderkey")
     )
-    return set_disagreement(win, agg, "o_custkey", "o_orderkey")
+    dis = set_disagreement(win, agg, "o_custkey", "o_orderkey")
+    groups = win.select("o_custkey").unionAll(agg.select("o_custkey"))
+    # one-row summary, not the (expected-empty) violation set: an empty
+    # result hash-matches trivially, a (0, 1500) row only matches if both
+    # engines actually ran the full cross-validation
+    return dis.agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_disagreements")
+    ).crossJoin(
+        groups.agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_groups_checked")
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
