@@ -6198,3 +6198,83 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_ann_recall_oracle()
+
+
+@query(
+    "boolean_and_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id, unnest({_TOK}) AS token FROM documents
+      ) WHERE token IN ('spark', 'merge', 'window')
+    )
+    SELECT doc_id FROM tok GROUP BY doc_id HAVING count(*) = 3
+    """,
+    tags=("boolean-retrieval", "search"),
+)
+def boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND retrieval (docs containing EVERY query term) as a
+    postings count-match: term-filter BEFORE any shuffle (only the |q|
+    terms' postings move), distinct per (doc, term), one map-side-
+    combined count keyed on the doc, HAVING = |q| — the conjunctive
+    companion to BM25's ranked path, with no join chain (an n-way
+    semi-join intersection would cost |q|−1 shuffles; the count-match
+    costs one)."""
+    from hpc_hd_textreuse_etl_spark.functions.text import tokens
+
+    terms = ["spark", "merge", "window"]
+    tok = (
+        spark.table("documents")
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .where(F.col("token").isin(terms))
+        .distinct()
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == len(terms))
+        .select("doc_id")
+    )
+
+
+@query(
+    "term_proximity_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.i AS pos, l[t.i] AS token
+      FROM (SELECT doc_id, {_TOK} AS l FROM documents),
+           LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) t
+    ), a AS (
+      SELECT doc_id, pos FROM tok WHERE token = 'spark'
+    ), b AS (
+      SELECT doc_id, pos FROM tok WHERE token = 'window'
+    )
+    SELECT a.doc_id,
+           CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_distance
+    FROM a JOIN b ON a.doc_id = b.doc_id
+    GROUP BY a.doc_id
+    """,
+    tags=("proximity-search", "positional-index"),
+)
+def term_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term proximity ("spark NEAR window"): per document, the minimum
+    token-position distance between the two terms — the positional-
+    index primitive behind phrase and NEAR queries. Postings filter to
+    the two terms BEFORE the per-document position join, so fan-out is
+    tf('spark')·tf('window') per doc (bounded by term frequency, never
+    document length²); one shuffle keys the join + the min on doc_id."""
+    from hpc_hd_textreuse_etl_spark.functions.text import tokens
+
+    tok = spark.table("documents").select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "token")
+    ).withColumn("pos", F.col("pos0") + 1)
+    a = tok.where(F.col("token") == "spark").select("doc_id", F.col("pos").alias("pa"))
+    b = tok.where(F.col("token") == "window").select("doc_id", F.col("pos").alias("pb"))
+    return (
+        a.join(b, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("pa") - F.col("pb"))).cast("bigint")
+            .alias("min_distance")
+        )
+    )
