@@ -6278,3 +6278,92 @@ def term_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("min_distance")
         )
     )
+
+
+@query(
+    "vocab_growth_curve",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT token, min(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(list_distinct({_TOK})) AS token FROM documents
+      ) GROUP BY token
+    ), per_doc AS (
+      SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new_tokens
+      FROM firsts GROUP BY first_doc
+    )
+    SELECT doc_id, n_new_tokens,
+           CAST(SUM(n_new_tokens) OVER (ORDER BY doc_id) AS BIGINT)
+             AS cum_vocab
+    FROM per_doc
+    """,
+    tags=("corpus-stats", "vocab-growth"),
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth (Heaps-law curve): how many NEVER-BEFORE-SEEN
+    tokens each document contributes in doc-id order, plus the running
+    vocabulary size — the corpus diagnostic that says when more data
+    stops buying new vocabulary. No per-prefix rescans: one min-agg
+    (token → first containing doc), one count, one cumsum window over
+    the (tiny) per-doc table."""
+    from hpc_hd_textreuse_etl_spark.functions.text import tokens
+
+    firsts = (
+        spark.table("documents")
+        .select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    per_doc = firsts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_tokens")
+    )
+    w = Window.orderBy("doc_id")
+    return per_doc.withColumn(
+        "cum_vocab", F.sum("n_new_tokens").over(w).cast("bigint")
+    )
+
+
+@query(
+    "view_to_purchase_latency",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_view_us
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.first_view_us
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view_us, p.first_purchase_us,
+           p.first_purchase_us - v.first_view_us AS latency_us
+    FROM v LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    tags=("conversion-latency", "event-analytics"),
+)
+def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, first view → first purchase AT OR
+    AFTER that view (a purchase preceding any view is prior intent, not
+    conversion — the ordering predicate is the semantic point vs a
+    naive min/min join). Two map-side-combined min-aggs + one
+    broadcastable join; non-converting users kept with NULL latency."""
+    ev = spark.table("events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_view_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("us") >= F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_purchase_us"))
+    )
+    return v.join(p, "user_id", "left").select(
+        "user_id",
+        "first_view_us",
+        "first_purchase_us",
+        (F.col("first_purchase_us") - F.col("first_view_us")).alias("latency_us"),
+    )
