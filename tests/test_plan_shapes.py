@@ -139,3 +139,45 @@ def test_fuzzy_join_no_cartesian(spark):
     plan = executed_plan(spark, "fuzzy_name_pairs")
     assert "CartesianProduct" not in plan
     assert "levenshtein" in plan
+
+
+def test_decayed_counters_single_exchange_partial_agg(spark):
+    """The decayed counter is ONE map-side-combined aggregation: one
+    hash exchange, partial aggregation below it, no window, no join."""
+    plan = executed_plan(spark, "decayed_customer_value")
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 1
+    assert "partial" in plan
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_boolean_and_search_single_shuffle_no_join(spark):
+    """Conjunctive retrieval must stay a count-match: no n-way semi-join
+    chain, one distinct+count pipeline."""
+    plan = executed_plan(spark, "boolean_and_search")
+    assert "Join" not in plan
+
+
+def test_trigrams_topk_is_take_ordered(spark):
+    plan = executed_plan(spark, "top_event_trigrams")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_topk_is_take_ordered_and_broadcasts_stats(spark):
+    plan = executed_plan(spark, "bm25_doc_ranking")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    """The quantile bounds (a 3-row dim) must broadcast back onto the
+    fact scan — a shuffle join here would re-exchange the fact table."""
+    plan = executed_plan(spark, "winsorized_price_stats")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pit_join_is_single_window_no_range_join(spark):
+    """The SCD2 point-in-time join must plan as the as-of union+window,
+    never a range θ-join (CartesianProduct / BroadcastNestedLoopJoin)."""
+    plan = executed_plan(spark, "orders_pit_status_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
