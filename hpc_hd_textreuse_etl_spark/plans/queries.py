@@ -6367,3 +6367,92 @@ def view_to_purchase_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_purchase_us",
         (F.col("first_purchase_us") - F.col("first_view_us")).alias("latency_us"),
     )
+
+
+@query(
+    "uniform_k_per_group_sample",
+    oracle=None,  # installed below (shares the portable-gate spelling)
+    tags=("sampling-per-group", "training-data"),
+)
+def uniform_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group sampling without RNG state: per_key_quota
+    ordered by the portable hash of the row key — each customer keeps
+    the 2 orders with the smallest H('upg-v1'|orderkey), a uniform
+    draw that is reproducible across runs/partitionings and needs no
+    reservoir (the window's per-group state is O(1)). The chosen row
+    SET per group is value-hashed."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import (
+        per_key_quota,
+        sample_hash,
+    )
+
+    orders = spark.table("orders")
+    out = per_key_quota(
+        orders,
+        ["o_custkey"],
+        2,
+        order_by=[sample_hash(["o_orderkey"], "upg-v1"), F.col("o_orderkey")],
+    )
+    return out.select("o_custkey", "o_orderkey", F.col("quota_rank").cast("int").alias("quota_rank"))
+
+
+QUERIES["uniform_k_per_group_sample"].oracle = f"""
+    SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS quota_rank FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY {_duck_gate("upg-v1", "o_orderkey")}, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+"""
+
+
+@query(
+    "embedding_int8_quantization",
+    oracle="""
+    WITH elems AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), f AS (
+      SELECT * FROM elems WHERE dim <= 8
+    ), stats AS (
+      SELECT dim, min(x) AS lo, max(x) AS hi FROM f GROUP BY dim
+    )
+    SELECT f.vec_id, CAST(f.dim AS INT) AS dim,
+           CAST(CASE WHEN s.hi = s.lo THEN 0
+                ELSE floor((f.x - s.lo) / (s.hi - s.lo) * 255.0 + 0.5) END
+                AS INT) AS q8
+    FROM f JOIN stats s ON s.dim = f.dim
+    """,
+    tags=("vector-quantization", "similarity", "beyond-parity"),
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of embeddings (first 8 dims): per-dim
+    corpus min/max (exact float compares) broadcast back, then
+    ``floor((x−lo)/(hi−lo)·255 + 0.5)`` — floor instead of round()
+    because floor of an identical double has no half-to-even/half-up
+    ambiguity, which makes every quantized code value-hash-exact. The
+    memory-4×/speed path vector stores run before exact re-ranking;
+    constant dims map to 0."""
+    emb = spark.table("embeddings")
+    f = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim0", "x0"))
+        .select(
+            "vec_id",
+            (F.col("dim0") + 1).alias("dim"),
+            F.col("x0").cast("double").alias("x"),
+        )
+        .where(F.col("dim") <= 8)
+    )
+    stats = f.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    q = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.floor(
+            (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * F.lit(255.0)
+            + F.lit(0.5)
+        )
+    )
+    return f.join(F.broadcast(stats), "dim").select(
+        "vec_id", F.col("dim").cast("int").alias("dim"), q.cast("int").alias("q8")
+    )
