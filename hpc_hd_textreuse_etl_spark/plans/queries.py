@@ -6456,3 +6456,28 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.join(F.broadcast(stats), "dim").select(
         "vec_id", F.col("dim").cast("int").alias("dim"), q.cast("int").alias("q8")
     )
+
+
+@query(
+    "customer_order_count_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM c GROUP BY n_orders
+    """,
+    tags=("count-of-counts", "A-family"),
+)
+def customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts (group-size distribution): two chained map-side-
+    combined aggregations — the skew diagnostic you run BEFORE picking a
+    partitioning (a fat tail here is what salting/AQE-skew handling is
+    for; SCALE.md's knobs cite exactly this shape)."""
+    c = spark.table("orders").groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    return c.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )

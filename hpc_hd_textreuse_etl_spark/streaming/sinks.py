@@ -93,3 +93,71 @@ def write_stream_upsert(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_decayed_counters(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols,
+    value_col: str,
+    ts_col: str,
+    as_of: str,
+    half_life: str = "365 days",
+    max_half_lives: int = 20,
+    value_scale: int = 2,
+    out_col: str = "decayed_value",
+    trigger_available_now: bool = True,
+):
+    """Streaming twin of ``operators/temporal.decayed_sum``: each
+    micro-batch collapses to per-key SCALED-INTEGER partials
+    (units·2^(K−d) — exact, associative), written to its own
+    ``batch_id=N`` directory. The additive merge CANNOT go through the
+    upsert sink — replaying an additive delta into a running total
+    double-counts — so idempotence comes from the batch-keyed
+    directory instead (a replayed batch overwrites itself), and the
+    read side (:func:`read_decayed_counters`) sums the partials. The
+    snapshot-at-``as_of`` semantics match the batch operator exactly,
+    so the maintained table is bit-equal to a from-scratch
+    ``decayed_sum`` over everything ingested."""
+    from hpc_hd_textreuse_etl_spark.operators.temporal import decayed_sum
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = decayed_sum(
+            batch_df, key_cols, value_col, ts_col, as_of,
+            half_life, max_half_lives, value_scale, out_col,
+        ).select(*key_cols, f"{out_col}_scaled", f"{out_col}_n")
+        part.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_decayed_counters(
+    spark,
+    path: str,
+    key_cols,
+    max_half_lives: int = 20,
+    value_scale: int = 2,
+    out_col: str = "decayed_value",
+) -> DataFrame:
+    """Current decayed totals: sum the per-batch integer partials and
+    derive the double exactly like the batch operator (one bigint→
+    double conversion + one IEEE division)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", path).parquet(path).drop("batch_id")
+    denom = float(10**value_scale * (1 << max_half_lives))
+    out = df.groupBy(*list(key_cols)).agg(
+        F.sum(f"{out_col}_scaled").cast("bigint").alias(f"{out_col}_scaled"),
+        F.sum(f"{out_col}_n").cast("bigint").alias(f"{out_col}_n"),
+    )
+    return out.withColumn(
+        out_col, F.col(f"{out_col}_scaled").cast("double") / F.lit(denom)
+    )

@@ -227,3 +227,60 @@ def test_streaming_active_users_matches_batch(spark, tmp_path):
     # span both agree exactly
     for day, n in want.items():
         assert got[day] == n, (day, got.get(day), n)
+
+
+def test_streaming_decayed_counters_match_batch(spark, tmp_path):
+    """Two micro-batches of additive scaled-integer partials; the read
+    side must equal the batch decayed_sum over everything — bit-exact,
+    including the derived double. A replayed batch (same batch_id dir
+    overwritten) must not double-count."""
+    from hpc_hd_textreuse_etl_spark.operators.temporal import decayed_sum
+    from hpc_hd_textreuse_etl_spark.streaming.sinks import (
+        read_decayed_counters,
+        streaming_decayed_counters,
+    )
+
+    src = str(tmp_path / "dc-events")
+    out = str(tmp_path / "dc-state")
+    ckpt = str(tmp_path / "dc-ckpt")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    base = datetime.datetime(2023, 1, 1)
+    rows = [
+        (i, base + datetime.timedelta(days=400 * (i % 4)), i % 3, "click",
+         100.25 + i)
+        for i in range(12)
+    ]
+    spark.createDataFrame(rows[:6], schema).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows[6:], schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = streaming_decayed_counters(
+        stream, out, ckpt, ["user_id"], "value", "ts",
+        as_of="2027-01-01 00:00:00", half_life="365 days",
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["decayed_value_scaled"], r["decayed_value_n"], r["decayed_value"])
+        for r in read_decayed_counters(spark, out, ["user_id"]).collect()
+    }
+    want = {
+        r["user_id"]: (r["decayed_value_scaled"], r["decayed_value_n"], r["decayed_value"])
+        for r in decayed_sum(
+            spark.createDataFrame(rows, schema).withColumnRenamed("user_id", "user_id"),
+            ["user_id"], "value", "ts",
+            as_of="2027-01-01 00:00:00", half_life="365 days",
+        ).collect()
+    }
+    assert got == want
+    # replay convergence: rewrite batch 0's directory with the same
+    # partials (what a crash-replay does) — totals must not change
+    import glob
+    b0 = glob.glob(out + "/batch_id=*")[0]
+    stash = str(tmp_path / "replayed-partials")  # outside the sink path
+    spark.read.parquet(b0).write.mode("overwrite").parquet(stash)
+    spark.read.parquet(stash).write.mode("overwrite").parquet(b0)
+    again = {
+        r["user_id"]: (r["decayed_value_scaled"], r["decayed_value_n"], r["decayed_value"])
+        for r in read_decayed_counters(spark, out, ["user_id"]).collect()
+    }
+    assert again == want
