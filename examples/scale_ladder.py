@@ -1,0 +1,219 @@
+"""Scale-factor ladder: measure headline-query growth sf0.1 → sf1.
+
+``--generate`` builds an sf1-equivalent synthetic dataset from the
+driver's sf0.1 parquet by replicating every fact table N× (default 10)
+with disjoint surrogate-key ranges per replica — joins stay consistent
+within a replica, group cardinalities scale, and the replication runs
+as ONE distributed pass per table (``crossJoin(spark.range(N))`` +
+key-offset arithmetic; no driver loops, no collected data).
+
+Two scale-semantics details, deliberately handled:
+
+- document TEXT is re-keyed per replica with a vowel permutation
+  (``F.translate``): verbatim copies would make every cross-replica
+  pair a near-duplicate, growing dedup FAMILIES (and their quadratic
+  pair outputs) 10×, which measures an artifact, not scaling. With the
+  permutation, near-dup families keep their original size and family
+  COUNT scales 10× — the actual sf1 shape.
+- EMBEDDINGS get deterministic per-replica sign flips
+  (xxhash64-derived): identical vectors across replicas would again
+  create cross-replica near-dup pairs; random sign patterns make
+  cross-replica cosine ≈ 0 while preserving norms.
+
+``--run`` executes the bench-tagged registry queries against both
+directories in one session, recording wall seconds and per-query
+shuffle read/write bytes (UI REST stage totals), and writes
+``SCALE_LADDER.json`` with a growth ratio per query (data grows 10× —
+a plan that holds at scale shows ratio ≈ 10× or less on wall time;
+super-linear ratios demand an explanation or a fix, see SCALE.md).
+
+Usage:
+    python examples/scale_ladder.py --generate          # build sf1 dir
+    python examples/scale_ladder.py --run               # measure both
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, "scale_data", "sf1")
+
+#: key columns per table, grouped by the surrogate-key DOMAIN they
+#: reference — every column in a domain shifts by the same offset so
+#: foreign keys stay consistent within a replica.
+KEY_DOMAINS: dict[str, list[tuple[str, str]]] = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
+}
+
+DIM_TABLES = ("region", "nation")
+FACT_TABLES = (
+    "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+)
+
+VOWELS = "aeiou"
+#: deterministic vowel permutations per replica (identity for r=0)
+PERMS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
+         "eaiou", "ieaou", "oeaiu", "ueaio", "aieou"]
+
+
+def generate(spark, out_dir: str, replicas: int) -> None:
+    from hpc_hd_textreuse_etl_spark.catalog import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    # one offset per key domain: max over every column in the domain + 1
+    offsets: dict[str, int] = {}
+    loaded = {t: load_table(spark, SF01, t, register_view=False) for t in FACT_TABLES}
+    for domain, cols in KEY_DOMAINS.items():
+        offsets[domain] = 1 + max(
+            loaded[t].agg(F.max(c)).first()[0] for t, c in cols
+        )
+
+    for t in DIM_TABLES:
+        load_table(spark, SF01, t, register_view=False).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+    col_domain = {
+        (t, c): domain for domain, cols in KEY_DOMAINS.items() for t, c in cols
+    }
+    for t in FACT_TABLES:
+        df = loaded[t].crossJoin(
+            spark.range(replicas).select(F.col("id").alias("__r"))
+        )
+        for c in df.columns:
+            if (t, c) in col_domain:
+                df = df.withColumn(
+                    c, F.col(c) + F.col("__r") * F.lit(offsets[col_domain[(t, c)]])
+                )
+        if t == "documents":
+            trans = F.col("text")
+            for r in range(1, replicas):
+                trans = F.when(
+                    F.col("__r") == r,
+                    F.translate("text", VOWELS, PERMS[r % len(PERMS)]),
+                ).otherwise(trans)
+            df = df.withColumn("text", trans).withColumn(
+                "n_chars", F.length("text").cast("long")
+            )
+        if t == "embeddings":
+            # per-replica deterministic sign flips: cross-replica cosine
+            # collapses, norms are preserved
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("__r") == 0, F.col("embedding")).otherwise(
+                    F.expr(
+                        "transform(embedding, (x, i) -> CASE WHEN"
+                        " pmod(xxhash64(__r, i), 2) = 0 THEN x ELSE -x END)"
+                    )
+                ),
+            )
+        df.drop("__r").write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{t}.parquet")
+        )
+        print(f"generated {t} ×{replicas}", flush=True)
+
+
+def _stage_totals(spark) -> tuple[int, int]:
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages") as r:
+        stages = json.load(r)
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def run(spark, out_path: str) -> None:
+    from hpc_hd_textreuse_etl_spark.plans.queries import QUERIES
+
+    names = [n for n, s in QUERIES.items() if s.bench]
+    results: dict[str, dict] = {}
+    for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+        # warm the JVM/footers (excluded from timings)
+        QUERIES[names[0]].builder(spark, sf_dir).count()
+        for name in names:
+            best, best_sh = float("inf"), (0, 0)
+            rows = None
+            for _ in range(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))):
+                r0, w0 = _stage_totals(spark)
+                t0 = time.perf_counter()
+                df = QUERIES[name].builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                secs = time.perf_counter() - t0
+                r1, w1 = _stage_totals(spark)
+                if secs < best:
+                    best, best_sh = secs, (r1 - r0, w1 - w0)
+            rec = results.setdefault(name, {})
+            rec[sf_label] = {
+                "sec": round(best, 3),
+                "shuffle_read_mb": round(best_sh[0] / 1e6, 2),
+                "shuffle_write_mb": round(best_sh[1] / 1e6, 2),
+            }
+            print(f"{sf_label} {name}: {best:.2f}s "
+                  f"(shuffle {best_sh[1] / 1e6:.1f} MB)", flush=True)
+
+    for name, rec in results.items():
+        a, b = rec["sf0.1"], rec["sf1"]
+        rec["wall_ratio"] = round(b["sec"] / max(a["sec"], 1e-9), 2)
+        rec["shuffle_ratio"] = round(
+            b["shuffle_write_mb"] / max(a["shuffle_write_mb"], 1e-6), 2
+        ) if a["shuffle_write_mb"] > 0.01 else None
+    payload = {
+        "data_growth": 10.0,
+        "note": "wall_ratio ≤ ~10 means at-most-linear growth in data "
+                "size at fixed parallelism; see SCALE.md for per-query "
+                "readings",
+        "queries": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({
+        "total_sf0.1": round(sum(r["sf0.1"]["sec"] for r in results.values()), 2),
+        "total_sf1": round(sum(r["sf1"]["sec"] for r in results.values()), 2),
+        "max_ratio": max(r["wall_ratio"] for r in results.values()),
+    }))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--generate", action="store_true")
+    ap.add_argument("--run", action="store_true")
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_LADDER.json"))
+    args = ap.parse_args()
+
+    from hpc_hd_textreuse_etl_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(
+        app_name="scale-ladder", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    if args.generate:
+        generate(spark, SF1, args.replicas)
+    if args.run:
+        run(spark, args.out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -91,3 +91,44 @@ def coverage(
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("n_rows").alias("n_intervals"),
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Distributed global running sum of ``value_col`` in ``order_col``
+    order — the scalable replacement for an unpartitioned
+    ``Window.orderBy`` (which funnels every row through ONE task).
+
+    Classic two-pass partial-prefix shape:
+
+    1. range-repartition on the order key (equal keys land in one
+       partition; partition ids are range-ordered), run the cumulative
+       window WITHIN each partition — parallel, bounded per-task;
+    2. per-partition totals (``num_buckets`` rows) get their own
+       prefix-sum on the tiny side and broadcast back as additive
+       offsets.
+
+    Ties on ``order_col`` take the whole tied group's sum (RANGE frame),
+    matching ANSI ``SUM() OVER (ORDER BY ...)`` semantics."""
+    parts = df.repartitionByRange(num_buckets, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(order_col)
+    local = parts.withColumn("__run", F.sum(value_col).over(w_local))
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    w_prior = (
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__tot").over(w_prior), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__run") + F.col("__off"))
+        .drop("__pid", "__run", "__off")
+    )

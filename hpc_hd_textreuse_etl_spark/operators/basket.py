@@ -51,6 +51,7 @@ def association_rules(
     basket_col: str,
     item_col: str,
     min_pair_support: int = 1,
+    broadcast_items: bool = False,
 ) -> DataFrame:
     """Pair association rules over baskets.
 
@@ -58,7 +59,14 @@ def association_rules(
     ``item_a < item_b``): exact supports ``n_ab``/``n_a``/``n_b``/
     ``n_baskets`` plus ``confidence`` (P(item_b | item_a)) and ``lift``.
     For the symmetric rule a←b, confidence is n_ab/n_b — derivable from
-    the emitted counts, so it is not duplicated."""
+    the emitted counts, so it is not duplicated.
+
+    ``broadcast_items`` opt-in hints the singleton-support table (one
+    row per distinct item) into both joins. Item universes are unbounded
+    in general, so the default lets AQE pick the strategy (it broadcasts
+    small sides at runtime anyway); force the hint only when the item
+    dimension is known-bounded. The 1-row basket count is always
+    broadcast."""
     items = basket_items(df, basket_col, item_col)
     n_baskets = items.agg(
         F.count_distinct("basket").cast("bigint").alias("n_baskets")
@@ -76,13 +84,14 @@ def association_rules(
     singles = items.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+    hint = F.broadcast if broadcast_items else (lambda d: d)
     out = (
         pairs.join(
-            F.broadcast(singles.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))),
+            hint(singles.select(F.col("item").alias("item_a"), F.col("n").alias("n_a"))),
             "item_a",
         )
         .join(
-            F.broadcast(singles.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))),
+            hint(singles.select(F.col("item").alias("item_b"), F.col("n").alias("n_b"))),
             "item_b",
         )
         .crossJoin(F.broadcast(n_baskets))

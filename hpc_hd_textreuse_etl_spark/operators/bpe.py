@@ -163,12 +163,21 @@ def bpe_segment(
     id_col: str,
     text_col: str,
     sep: str = "@@",
+    checkpoint_every: int = 50,
 ) -> DataFrame:
     """Apply a LEARNED merge table to (possibly new) text — inference
     side of the trainer: replay merges in rank order, same greedy fold.
     The merge table is collected to the driver (it is vocabulary-sized
     by construction — hundreds to tens of thousands of rows) and
-    inlined as literals, keeping the rewrite a map-only plan."""
+    inlined as literals, keeping the rewrite a map-only plan.
+
+    Each merge is one chained projection; real merge tables run to tens
+    of thousands of rows, and tens of thousands of stacked projections
+    blow up Catalyst analysis time and driver memory. So the replay
+    cuts lineage with a lazy ``localCheckpoint`` every
+    ``checkpoint_every`` merges — the same bound the trainer applies
+    per round — keeping the analyzed plan depth O(checkpoint_every)
+    regardless of vocabulary size."""
     ranked = [
         (r["w1"], r["w2"])
         for r in merges.orderBy("merge_rank").collect()
@@ -177,10 +186,12 @@ def bpe_segment(
         F.col(id_col).alias("__id"),
         F.concat_ws(" ", tokens(text_col)).alias("__t"),
     ).where(F.length("__t") > 0)
-    for w1, w2 in ranked:
+    for i, (w1, w2) in enumerate(ranked, start=1):
         corpus = corpus.withColumn("__bw1", F.lit(w1)).withColumn(
             "__bw2", F.lit(w2)
         ).withColumn("__t", _merge_stream(sep)).select("__id", "__t")
+        if checkpoint_every and i % checkpoint_every == 0 and i < len(ranked):
+            corpus = corpus.localCheckpoint(eager=False)
     return corpus.select(
         F.col("__id").alias(id_col), F.col("__t").alias(text_col)
     )

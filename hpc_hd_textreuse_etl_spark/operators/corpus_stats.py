@@ -371,11 +371,15 @@ def bm25_topk(
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
 
-    # one row per candidate doc, one tf column per term, in query order
+    # one row per candidate doc, one tf column per term, in query order.
+    # Both pivots are renamed POSITIONALLY (__tf_i / __df_i): raw term
+    # strings as column names would break on backticks and collide with
+    # the internal dl/n_docs/total_dl columns.
     wide = (
         tf.groupBy(id_col)
         .pivot("token", list(query_terms))
         .agg(F.first("tf"))
+        .toDF(id_col, *[f"__tf_{i}" for i in range(len(query_terms))])
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .crossJoin(
@@ -388,7 +392,7 @@ def bm25_topk(
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl)
     score = F.lit(0.0)
     for i, term in enumerate(query_terms):
-        tf_t = F.coalesce(F.col(f"`{term}`").cast("double"), F.lit(0.0))
+        tf_t = F.coalesce(F.col(f"__tf_{i}").cast("double"), F.lit(0.0))
         df_t = F.coalesce(F.col(f"__df_{i}").cast("double"), F.lit(0.0))
         idf = F.log(
             F.lit(1.0)

@@ -4,9 +4,12 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct; decode / feature-extraction / resize /
 frame-sampling run as Arrow-batched ``mapInPandas`` stages. The Spark
 side (schema, partitioning, batch shape, UDF signatures) is real and
-tested; the codec calls themselves are stubbed behind
-:data:`DECODERS` because media libraries aren't in this environment —
-swap in PIL/libav implementations by registering a decoder.
+tested. Image decode is ALSO real: Pillow when importable, else the
+pure-stdlib PNG codec (``functions/png_codec.py`` — zlib is all PNG
+needs), with the deterministic byte-histogram stub as the last resort
+for payloads neither path can decode (and for audio/video, whose
+codecs genuinely aren't in this environment). Swap in libav etc. by
+registering a decoder.
 
 Scale notes: payload columns are the widest thing in the pipeline, so
 every transform here projects metadata-only where it can (decode is the
@@ -40,7 +43,7 @@ class DecoderNotAvailable(NotImplementedError):
 
 def _stub_decode(payload: bytes, mime: str) -> dict:
     """Deterministic fake decode: byte-histogram 'features'. Stands in
-    for PIL/libav so the distributed plumbing is fully exercisable."""
+    for libav etc. so the distributed plumbing is fully exercisable."""
     hist = [0] * 16
     for b in payload[:4096]:
         hist[b >> 4] += 1
@@ -51,9 +54,75 @@ def _stub_decode(payload: bytes, mime: str) -> dict:
     }
 
 
+try:  # optional dependency: most Spark images ship Pillow
+    from PIL import Image as _PILImage
+except ImportError:  # pragma: no cover - absent in this container
+    _PILImage = None
+
+_PIL_CHANNELS = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}
+
+
+def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, channels, raw pixels) via Pillow when importable,
+    else the pure-stdlib PNG codec. Raises ValueError if neither can."""
+    if _PILImage is not None:
+        import io
+
+        try:
+            im = _PILImage.open(io.BytesIO(payload))
+            im.load()
+        except Exception as exc:  # PIL raises a zoo of types
+            raise ValueError(f"undecodable image payload: {exc}") from exc
+        if im.mode not in _PIL_CHANNELS:
+            im = im.convert("RGBA")
+        return im.width, im.height, _PIL_CHANNELS[im.mode], im.tobytes()
+    from hpc_hd_textreuse_etl_spark.functions.png_codec import png_decode
+
+    return png_decode(payload)
+
+
+def _pixel_features(w: int, h: int, c: int, pixels: bytes) -> list[float]:
+    """16-float content feature (same arity as the stub): geometry +
+    global mean + 12-bin luminance histogram, all deterministic."""
+    n = max(len(pixels), 1)
+    # luminance = first channel for grey/LA, integer-weighted RGB else
+    lum_hist = [0] * 12
+    step = c
+    count = 0
+    for i in range(0, len(pixels), step):
+        if c >= 3:
+            lum = (77 * pixels[i] + 150 * pixels[i + 1] + 29 * pixels[i + 2]) >> 8
+        else:
+            lum = pixels[i]
+        lum_hist[min(lum * 12 // 256, 11)] += 1
+        count += 1
+    count = max(count, 1)
+    return [
+        w / 4096.0,
+        h / 4096.0,
+        c / 4.0,
+        sum(pixels) / (255.0 * n),
+        *[b / count for b in lum_hist],
+    ]
+
+
+def _image_decode(payload: bytes, mime: str) -> dict:
+    """Real image decode (Pillow → pure-PNG → stub fallback): feature is
+    content-derived when the payload decodes, the byte-histogram stub
+    when it doesn't — never a silent skip."""
+    try:
+        w, h, c, pixels = _decode_pixels(bytes(payload))
+    except ValueError:
+        return _stub_decode(payload, mime)
+    return {
+        "feature": _pixel_features(w, h, c, pixels),
+        "digest": hashlib.md5(payload).hexdigest(),
+    }
+
+
 #: modality → decoder(payload, mime) -> {"feature": [...], "digest": str}
 DECODERS: dict[str, Callable[[bytes, str], dict]] = {
-    "image": _stub_decode,
+    "image": _image_decode,
     "audio": _stub_decode,
     "video": _stub_decode,
 }
@@ -116,16 +185,34 @@ def resize_images(
 ) -> DataFrame:
     """Image resize plan: payload → resized payload + updated metadata.
 
-    The pixel work is behind :data:`DECODERS`-style stubbing (this
-    environment has no imaging libs): the stub passes bytes through and
-    rewrites the metadata, keeping the distributed plumbing (schema,
-    Arrow batching, partition preservation) real. Swap ``_resize`` for a
-    PIL implementation in production."""
+    Decodable payloads are REALLY resized — Pillow's nearest-neighbor
+    resample when importable, else decode → ``resize_nearest`` →
+    re-encode through the pure-stdlib PNG codec. Payloads neither path
+    can decode pass through unchanged (metadata still updated), keeping
+    the distributed plumbing exercisable on synthetic bytes."""
 
     def _resize(payload: bytes, w: int, h: int) -> bytes:
-        # STUB: real implementation decodes + resamples; deterministic
-        # pass-through keeps tests meaningful without imaging libs
-        return payload
+        if _PILImage is not None:
+            import io
+
+            try:
+                im = _PILImage.open(io.BytesIO(payload))
+                out = io.BytesIO()
+                im.resize((w, h), _PILImage.NEAREST).save(out, format="PNG")
+                return out.getvalue()
+            except Exception:
+                return payload
+        from hpc_hd_textreuse_etl_spark.functions.png_codec import (
+            png_decode,
+            png_encode,
+            resize_nearest,
+        )
+
+        try:
+            sw, sh, c, pixels = png_decode(payload)
+        except ValueError:
+            return payload
+        return png_encode(w, h, c, resize_nearest(sw, sh, c, pixels, w, h))
 
     def run(batches):
         for pdf in batches:

@@ -31,10 +31,15 @@ running best of every strictly-smaller d1 group — one window over one
 exchange, no Python, no quadratic verify.
 
 For the 100 TB argument: phase 1's output is bounded by
-batches × local-skyline-size; if a pathological input (anti-correlated
-dimensions) makes the candidate set too big to broadcast, re-run phase
-1 on the candidates (it contracts monotonically) or pre-partition by a
-grid cell of the first objective — both compose from these pieces.
+partitions × local-skyline-size. If a pathological input
+(anti-correlated dimensions) makes the candidate set too big to
+broadcast, :func:`pareto_frontier` contracts it before the verify:
+re-run the local prune on the candidates at a reduced partition count
+(round-robin repartition mixes survivors from different original
+partitions, so the set shrinks monotonically), repeating until it fits
+the broadcast budget — and if contraction bottoms out at ONE partition,
+the partition-local prune has seen every candidate, the result is the
+exact skyline, and the quadratic verify is skipped entirely.
 """
 
 from __future__ import annotations
@@ -56,11 +61,60 @@ def _validate(dims: Sequence[str], directions: Sequence[str]) -> list[bool]:
     return flips
 
 
+def _prune_block(pdf: "pd.DataFrame", dim_list: list[str], flips: list[bool]):
+    """Exact in-memory skyline of one pandas block (numpy, vectorized):
+    repeatedly take the smallest-objective-sum remaining point — which
+    no later point can dominate — and mask out everything it dominates.
+    Duplicates of a skyline point all survive."""
+    import numpy as np
+
+    # canonical orientation: every objective is "minimize"
+    mat = pdf[dim_list].to_numpy(dtype="float64", copy=True)
+    for j, flip in enumerate(flips):
+        if flip:
+            mat[:, j] = -mat[:, j]
+    alive = np.ones(len(pdf), dtype=bool)
+    keep = np.zeros(len(pdf), dtype=bool)
+    score = mat.sum(axis=1)
+    while alive.any():
+        idx = np.flatnonzero(alive)
+        pick = idx[np.argmin(score[idx])]
+        keep[pick] = True
+        alive[pick] = False
+        rest = np.flatnonzero(alive)
+        if rest.size == 0:
+            break
+        le = (mat[rest] >= mat[pick]).all(axis=1)
+        lt = (mat[rest] > mat[pick]).any(axis=1)
+        dominated = le & lt
+        alive[rest[dominated]] = False
+        # exact duplicates of the pick are skyline members too
+        dup = le & ~lt
+        keep[rest[dup]] = True
+        alive[rest[dup]] = False
+    return pdf[keep]
+
+
 def pareto_frontier(
-    df: DataFrame, dims: Sequence[str], directions: Sequence[str]
+    df: DataFrame,
+    dims: Sequence[str],
+    directions: Sequence[str],
+    *,
+    max_broadcast_candidates: int = 500_000,
+    max_contractions: int = 6,
 ) -> DataFrame:
-    """General-d skyline: batch-local numpy prune, then a broadcast
-    anti-join verify among the surviving candidates."""
+    """General-d skyline: partition-local numpy prune, then a broadcast
+    anti-join verify among the surviving candidates.
+
+    Pathological inputs (anti-correlated dimensions → huge candidate
+    sets) no longer risk a broadcast/driver blowup: when phase 1 leaves
+    more than ``max_broadcast_candidates`` rows, the candidate set is
+    round-robin repartitioned to fewer partitions and locally pruned
+    again (monotonically contracting — survivors from different
+    partitions now meet), up to ``max_contractions`` times. If the set
+    contracts all the way to one partition, that partition's prune saw
+    every candidate, so the result is already the exact skyline and the
+    O(m²) verify is skipped."""
     import pandas as pd  # noqa: F401 (signature requirement)
 
     flips = _validate(dims, directions)
@@ -68,38 +122,42 @@ def pareto_frontier(
     schema = df.schema
 
     def local_prune(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import numpy as np
-
+        # streaming partition-local skyline: the accumulator stays
+        # skyline-sized, so memory is bounded by the partition's own
+        # skyline, not the partition
+        acc = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # canonical orientation: every objective is "minimize"
-            mat = pdf[dim_list].to_numpy(dtype="float64", copy=True)
-            for j, flip in enumerate(flips):
-                if flip:
-                    mat[:, j] = -mat[:, j]
-            alive = np.ones(len(pdf), dtype=bool)
-            keep = np.zeros(len(pdf), dtype=bool)
-            score = mat.sum(axis=1)
-            while alive.any():
-                idx = np.flatnonzero(alive)
-                pick = idx[np.argmin(score[idx])]
-                keep[pick] = True
-                alive[pick] = False
-                rest = np.flatnonzero(alive)
-                if rest.size == 0:
-                    break
-                le = (mat[rest] >= mat[pick]).all(axis=1)
-                lt = (mat[rest] > mat[pick]).any(axis=1)
-                dominated = le & lt
-                alive[rest[dominated]] = False
-                # exact duplicates of the pick are skyline members too
-                dup = le & ~lt
-                keep[rest[dup]] = True
-                alive[rest[dup]] = False
-            yield pdf[keep]
+            acc = pdf if acc is None else pd.concat([acc, pdf], ignore_index=True)
+            acc = _prune_block(acc, dim_list, flips).reset_index(drop=True)
+        if acc is not None and len(acc):
+            yield acc
 
-    candidates = df.mapInPandas(local_prune, schema=schema)
+    # materialize once: the count guard, and both sides of the verify
+    # join, reuse the checkpointed candidates instead of re-running the
+    # phase-1 scan (MEMORY_AND_DISK, so oversized sets spill not OOM)
+    candidates = df.mapInPandas(local_prune, schema=schema).localCheckpoint(
+        eager=True
+    )
+
+    n = candidates.count()
+    for _ in range(max_contractions):
+        if n <= max_broadcast_candidates:
+            break
+        n_parts = candidates.rdd.getNumPartitions()
+        if n_parts <= 1:
+            # one partition ⟹ the local prune was global ⟹ exact
+            return candidates
+        target = max(1, n_parts // 8)
+        candidates = (
+            candidates.repartition(target)
+            .mapInPandas(local_prune, schema=schema)
+            .localCheckpoint(eager=True)
+        )
+        n = candidates.count()
+        if candidates.rdd.getNumPartitions() <= 1:
+            return candidates
 
     left = candidates.alias("q")
     right = F.broadcast(

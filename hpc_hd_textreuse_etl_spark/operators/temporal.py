@@ -208,6 +208,36 @@ def interval_join(
     ).drop(_BIN)
 
 
+#: refuse dense grids beyond this many estimated cells unless the
+#: caller opts in — same footgun contract as dedup.embedding_near_duplicates.
+MAX_GAPFILL_CELLS = 50_000_000
+
+
+def _estimated_grid_cells(
+    df: DataFrame, bucket_col: str, group_cols: Sequence[str], step: str
+) -> int:
+    """One-scan estimate of |buckets| × |groups| for the gap-fill grid:
+    min/max span + approx_count_distinct(groups) in a single aggregate,
+    step width evaluated as an interval literal (month-based steps use
+    their January width — an estimate is all the guard needs)."""
+    probe = df.agg(
+        F.unix_micros(F.min(bucket_col).cast("timestamp")).alias("lo_us"),
+        F.unix_micros(F.max(bucket_col).cast("timestamp")).alias("hi_us"),
+        F.approx_count_distinct(F.struct(*group_cols)).alias("n_groups"),
+    ).first()
+    if probe["lo_us"] is None:
+        return 0
+    step_us = df.sparkSession.sql(
+        f"SELECT unix_micros(timestamp'2000-01-01 00:00:00' + ({step}))"
+        " - unix_micros(timestamp'2000-01-01 00:00:00') AS us"
+    ).first()["us"]
+    if step_us <= 0:
+        raise ValueError(f"gap-fill step must be positive, got {step!r}")
+    n_buckets = (probe["hi_us"] - probe["lo_us"]) // step_us + 1
+    # approx_count_distinct is ±~2%; pad so the guard errs toward refusal
+    return int(n_buckets * max(probe["n_groups"], 1) * 1.05)
+
+
 def gapfill_buckets(
     df: DataFrame,
     bucket_col: str,
@@ -215,6 +245,9 @@ def gapfill_buckets(
     value_cols: dict[str, Column],
     step: str = "interval 1 day",
     fill: dict[str, object] | None = None,
+    *,
+    allow_dense_grid: bool = False,
+    max_grid_cells: int = MAX_GAPFILL_CELLS,
 ) -> DataFrame:
     """Dense time-series re-grid: one row for EVERY (group, bucket) in
     the span, empty buckets filled — the hypertable ``time_bucket_gapfill``
@@ -226,10 +259,23 @@ def gapfill_buckets(
     — the global bucket span (driver-held min/max, exploded ``sequence``)
     cross-joined with distinct groups — so the cross join is
     |buckets| × |groups| rows regardless of input size, then a
-    broadcast-able left join attaches the sparse aggregates. Grids too
-    big to enumerate (microsecond buckets × 10^9 groups) are not a
-    gap-fill use case.
+    broadcast-able left join attaches the sparse aggregates.
+
+    Grids too big to enumerate (microsecond buckets × 10^9 groups) are
+    not a gap-fill use case, and the operator REFUSES them: unless
+    ``allow_dense_grid=True``, a one-scan probe estimates
+    |buckets| × |groups| and raises past ``max_grid_cells`` instead of
+    materializing an unbounded cross join. Opting in also skips the
+    probe scan for callers who know their grid is small.
     """
+    if not allow_dense_grid:
+        cells = _estimated_grid_cells(df, bucket_col, group_cols, step)
+        if cells > max_grid_cells:
+            raise ValueError(
+                f"gap-fill grid would materialize ~{cells:,} cells "
+                f"(> {max_grid_cells:,}); pass allow_dense_grid=True to "
+                "proceed anyway, or coarsen `step` / pre-filter groups"
+            )
     agged = df.groupBy(*group_cols, bucket_col).agg(
         *[c.alias(n) for n, c in value_cols.items()]
     )

@@ -5526,10 +5526,14 @@ def _bpe_oracle_rounds(n_merges: int) -> str:
       SELECT w1, w2, pair_count FROM p{r}
       ORDER BY pair_count DESC, w1, w2 LIMIT 1
     ), c{r + 1} AS MATERIALIZED (
+      -- LEFT JOIN ON TRUE, not a comma cross join: if the corpus
+      -- exhausts pairs before n_merges rounds, b{r} is empty and the
+      -- NULL-w1 CASE falls through to the no-op append — mirroring the
+      -- Spark operator's left join that keeps documents unchanged.
       SELECT id, list_reduce(string_split(t, ' '), (acc, x) ->
         CASE WHEN (acc = b.w1 OR ends_with(acc, ' ' || b.w1)) AND x = b.w2
              THEN acc || '@@' || x ELSE acc || ' ' || x END) AS t
-      FROM c{r}, b{r} b
+      FROM c{r} LEFT JOIN b{r} b ON TRUE
     )""")
     return "".join(parts)
 
@@ -6303,8 +6307,12 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens each document contributes in doc-id order, plus the running
     vocabulary size — the corpus diagnostic that says when more data
     stops buying new vocabulary. No per-prefix rescans: one min-agg
-    (token → first containing doc), one count, one cumsum window over
-    the (tiny) per-doc table."""
+    (token → first containing doc), one count, then the global cumsum
+    runs as a distributed two-pass prefix sum (functions/intervals.py
+    prefix_sum) — the per-doc table is one row per DOCUMENT, so a
+    single-partition Window.orderBy over it would violate the repo's
+    no-global-window rule at corpus scale."""
+    from hpc_hd_textreuse_etl_spark.functions.intervals import prefix_sum
     from hpc_hd_textreuse_etl_spark.functions.text import tokens
 
     firsts = (
@@ -6316,9 +6324,8 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = firsts.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_new_tokens")
     )
-    w = Window.orderBy("doc_id")
-    return per_doc.withColumn(
-        "cum_vocab", F.sum("n_new_tokens").over(w).cast("bigint")
+    return prefix_sum(per_doc, "doc_id", "n_new_tokens", "cum_vocab").select(
+        "doc_id", "n_new_tokens", F.col("cum_vocab").cast("bigint").alias("cum_vocab")
     )
 
 

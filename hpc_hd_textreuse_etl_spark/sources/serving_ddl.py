@@ -357,6 +357,63 @@ SERVING_TABLES: dict[str, ServingTableSpec] = {
             ),
             ref="database_assets/coverages.py:6-37",
         ),
+        # --- additional_assets/book_based.py -------------------------
+        # The book-based serving trio ("additional_assets_for_ville"):
+        # same analytics as the manifestation-level tables but restricted
+        # to book-typed sources (plans/textreuse.py restricted_reception
+        # and the book inception coverages produce the data).
+        _spec(
+            "earliest_book_and_pieces_by_cluster",
+            (
+                _id("cluster_id"),
+                _id("manifestation_id_i"),
+                Column("piece_id", "bigint(20) unsigned", nullable=False),
+            ),
+            indexes=(
+                Index("cluster_id", ("cluster_id",)),
+                Index("manifestation_id_i", ("manifestation_id_i",)),
+                Index("piece_id", ("piece_id",)),
+            ),
+            ref="additional_assets/book_based.py:293-311",
+        ),
+        _spec(
+            "reception_edges_between_books_denorm",
+            (
+                _id("src_trs_id"),
+                _id("src_trs_start"),
+                _id("src_trs_end"),
+                _id("dst_trs_id"),
+                _id("dst_trs_start"),
+                _id("dst_trs_end"),
+            ),
+            indexes=(
+                Index("src_trs_id", ("src_trs_id",)),
+                Index("dst_trs_id", ("dst_trs_id",)),
+            ),
+            ref="additional_assets/book_based.py:317-338",
+        ),
+        _spec(
+            "reception_inception_between_book_coverages",
+            (
+                _id("src_trs_id"),
+                _opt_int("num_reuses_src"),
+                _opt_int("reuses_src_in_dst"),
+                _opt_int("src_length"),
+                Column("coverage_src_in_dst", "double unsigned"),
+                _id("dst_trs_id"),
+                _opt_int("num_reuses_dst"),
+                _opt_int("reuses_dst_in_src"),
+                _opt_int("dst_length"),
+                Column("coverage_dst_in_src", "double unsigned"),
+            ),
+            indexes=(
+                Index("src_trs_id", ("src_trs_id",)),
+                Index("reception", ("coverage_src_in_dst",)),
+                Index("dst_trs_id", ("dst_trs_id",)),
+                Index("inception", ("coverage_dst_in_src",)),
+            ),
+            ref="additional_assets/book_based.py:344-375",
+        ),
     ]
 }
 

@@ -41,13 +41,24 @@ def streaming_dedup(
             return
         (seen,) = state.get if state.exists else ([],)
         seen_set = set(seen)
+        batch_max_ms = 0
         for pdf in pdfs:
+            if len(pdf):
+                batch_max_ms = max(
+                    batch_max_ms, int(pdf["ts"].astype("int64").max() // 1_000_000)
+                )
             fresh = pdf[~pdf[id_col].isin(seen_set)].drop_duplicates(subset=[id_col])
             seen_set.update(fresh[id_col].tolist())
             if len(fresh):
                 yield fresh[[key_col, id_col, "ts"]]
         state.update((list(seen_set),))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        # anchor the timeout on the LATER of the watermark and this
+        # batch's own event times: on a key's first batch the watermark
+        # is still epoch-0, and watermark+horizon would expire the state
+        # the moment the watermark initializes to real event time.
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), batch_max_ms) + 3_600_000
+        )
 
     return (
         events.withWatermark("ts", watermark)
@@ -129,7 +140,12 @@ def streaming_funnel(
                 row[f"t{i}"] = [path[i - 1] if i <= len(path) else None]
             yield pd.DataFrame(row)
         state.update((path,))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 3_600_000)
+        # same anchoring as streaming_dedup: epoch-0 watermark on a
+        # key's first batch must not schedule an immediate expiry.
+        batch_max_ms = int(us.max() // 1000) if len(us) else 0
+        state.setTimeoutTimestamp(
+            max(state.getCurrentWatermarkMs(), batch_max_ms) + 3_600_000
+        )
 
     return (
         events.withWatermark(ts_col, watermark)

@@ -362,3 +362,20 @@ def test_feature_hash_no_vocabulary_stage(spark):
     )
     # no join anywhere: the defining contrast with tf_idf's df join
     assert "Join" not in plan
+
+
+def test_bm25_terms_colliding_with_internal_columns(spark):
+    """Query terms named like the operator's internal columns (dl,
+    n_docs, total_dl) or containing backticks must not break the pivot
+    — tf columns are positional aliases, not raw term strings."""
+    docs = [
+        (1, "dl dl n_docs"),
+        (2, "total_dl dl"),
+        (3, "plain words only"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = bm25_topk(df, "doc_id", "text", ["dl", "n_docs", "total_dl"], k=5).collect()
+    got = {r["doc_id"] for r in out}
+    assert got == {1, 2}
+    assert sorted(r["rank"] for r in out) == [1, 2]
+    assert all(r["score"] > 0 for r in out)

@@ -50,3 +50,43 @@ def test_coverage_totals(spark):
     row = coverage(df, ["g"], "s", "e", adjacency_gap=1).first()
     # [0,15]+[16,20] merge (adjacent via gap=1) → [0,20]; plus [100,110]
     assert row.covered_len == 30 and row.n_islands == 2 and row.n_intervals == 4
+
+
+# --- prefix_sum --------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from hpc_hd_textreuse_etl_spark.functions.intervals import prefix_sum  # noqa: E402
+
+
+def test_prefix_sum_matches_global_window(spark):
+    """Two-pass distributed prefix sum == single-partition global window,
+    including RANGE-frame tie semantics, at several bucket counts."""
+    import random
+
+    rng = random.Random(19)
+    rows = [(rng.randint(0, 40), rng.randint(-5, 9)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    w = Window.orderBy("k")
+    want = sorted(
+        (r["k"], r["v"], r["c"])
+        for r in df.withColumn("c", F.sum("v").over(w)).collect()
+    )
+    for buckets in (1, 4, 32):
+        got = sorted(
+            (r["k"], r["v"], r["c"])
+            for r in prefix_sum(df, "k", "v", "c", num_buckets=buckets).collect()
+        )
+        assert got == want, buckets
+
+
+def test_prefix_sum_is_distributed(spark):
+    """No single-partition Exchange of the data side: the only
+    SinglePartition appears under the tiny per-bucket offsets branch."""
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), F.lit(1).alias("v")
+    )
+    out = prefix_sum(df, "k", "v", "c", num_buckets=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert out.where(F.col("k") == 9_999).first()["c"] == 10_000

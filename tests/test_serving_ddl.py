@@ -29,6 +29,10 @@ REFERENCE_LOAD_SITES = {
     "reception_edges_denorm", "non_source_pieces",
     # coverages.py
     "coverages", "reception_inception_coverages",
+    # additional_assets/book_based.py (the "for_ville" serving trio)
+    "earliest_book_and_pieces_by_cluster",
+    "reception_edges_between_books_denorm",
+    "reception_inception_between_book_coverages",
 }
 
 
@@ -69,6 +73,37 @@ def test_key_access_paths_match_reference_design():
     # unsigned dense ids; 64-bit piece ids (count exceeds 2^32)
     assert SERVING_TABLES["coverages"].columns[0].sql_type == "int(11) unsigned"
     assert "bigint" in cdp.columns[0].sql_type
+
+
+def test_book_based_specs_match_reference_design():
+    """The additional_assets/book_based.py serving trio: same access
+    paths as the reference DDL (per-column indexes on the earliest-book
+    table, src/dst endpoints on the denorm edges, both coverage-ratio
+    indexes on the book coverages table)."""
+    ebc = SERVING_TABLES["earliest_book_and_pieces_by_cluster"]
+    assert [c.name for c in ebc.columns] == [
+        "cluster_id", "manifestation_id_i", "piece_id"
+    ]
+    assert all(not c.nullable for c in ebc.columns)
+    assert "bigint" in ebc.columns[2].sql_type
+    assert {ix.columns for ix in ebc.indexes} == {
+        ("cluster_id",), ("manifestation_id_i",), ("piece_id",)
+    }
+    edges = SERVING_TABLES["reception_edges_between_books_denorm"]
+    assert [c.name for c in edges.columns] == [
+        "src_trs_id", "src_trs_start", "src_trs_end",
+        "dst_trs_id", "dst_trs_start", "dst_trs_end",
+    ]
+    assert {ix.columns for ix in edges.indexes} == {
+        ("src_trs_id",), ("dst_trs_id",)
+    }
+    bc = SERVING_TABLES["reception_inception_between_book_coverages"]
+    assert {ix.name for ix in bc.indexes} == {
+        "src_trs_id", "reception", "dst_trs_id", "inception"
+    }
+    assert [c.name for c in bc.columns] == [
+        c.name for c in SERVING_TABLES["reception_inception_coverages"].columns
+    ]
 
 
 def test_load_serving_table_executes_spec_in_contract_order(spark, monkeypatch):

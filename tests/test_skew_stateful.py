@@ -149,3 +149,142 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
         ), uid
     # pinned expectations, not just cross-agreement
     assert latest[1].stage == 3 and latest[2].stage == 1 and latest[3].stage == 0
+
+
+def test_streaming_funnel_restart_resumes_checkpointed_state(spark, tmp_path):
+    """Kill-and-restart soak: run the stateful funnel over two batches,
+    stop the query, append two more batches, start a NEW query on the
+    same checkpoint + file sink. The checkpointed per-user state must
+    resume (steps bound before the restart are not re-emitted or
+    rebound; batches processed before the restart are not replayed into
+    the sink) and the final state must equal the batch twin over the
+    full log."""
+    from hpc_hd_textreuse_etl_spark.operators.funnel import funnel
+    from hpc_hd_textreuse_etl_spark.streaming.events import EVENT_SCHEMA
+    from hpc_hd_textreuse_etl_spark.streaming.stateful import streaming_funnel
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def ev(eid, sec, user, typ):
+        return (eid, base + datetime.timedelta(seconds=sec), user, typ, 1.0)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = tmp_path / "restart_events"
+    sink = str(tmp_path / "restart_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    # run 1: user 1 reaches stage 2, user 2 stage 1
+    run1 = [
+        [ev(1, 0, 1, "view"), ev(2, 5, 2, "view")],
+        [ev(3, 60, 1, "click")],
+    ]
+    # run 2 (after restart): user 1 completes, user 2 advances
+    run2 = [
+        [ev(4, 120, 1, "purchase"), ev(5, 130, 2, "click")],
+        [ev(6, 200, 2, "purchase")],
+    ]
+
+    def write_batches(batches, start):
+        for i, rows in enumerate(batches, start=start):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src / f"b{i}"))
+
+    def run_query():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            streaming_funnel(stream, ("view", "click", "purchase"))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    write_batches(run1, 0)
+    run_query()
+    rows_run1 = spark.read.parquet(sink).collect()
+    write_batches(run2, 2)
+    run_query()  # fresh query object, same checkpoint: must resume
+
+    log = spark.read.parquet(sink).collect()
+    # no replay: run 2 appended only progressions caused by NEW events
+    new_rows = [tuple(r) for r in log if tuple(r) not in {tuple(x) for x in rows_run1}]
+    assert len(log) == len(rows_run1) + len(new_rows)
+    assert all(r[1] >= 2 for r in new_rows)  # only post-restart stages 2/3
+
+    latest = {}
+    for r in log:
+        if r.user_id not in latest or r.stage > latest[r.user_id].stage:
+            latest[r.user_id] = r
+    all_events = [e for b in run1 + run2 for e in b]
+    batch = {
+        r.user_id: r
+        for r in funnel(
+            spark.createDataFrame(all_events, schema),
+            "user_id", "ts", "event_type",
+            ("view", "click", "purchase"),
+        ).collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, got in latest.items():
+        want = batch[uid]
+        assert got.stage == want.stage, uid
+        for i in range(1, 4):
+            assert got[f"t{i}"] == want[f"t{i}"], (uid, i)
+    # the restart did NOT rebind pre-restart steps: user 1's t1/t2 in the
+    # run-2 completion row equal the run-1 bindings
+    t1_run1 = next(r for r in rows_run1 if r.user_id == 1 and r.stage == 2)
+    assert latest[1].t1 == t1_run1.t1 and latest[1].t2 == t1_run1.t2
+
+
+def test_streaming_dedup_restart_remembers_seen_ids(spark, tmp_path):
+    """State-resume proof for the dedup operator: an id emitted before
+    the restart arrives again after it and must NOT be re-emitted."""
+    from hpc_hd_textreuse_etl_spark.streaming.events import EVENT_SCHEMA
+    from hpc_hd_textreuse_etl_spark.streaming.stateful import streaming_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = tmp_path / "dedup_events"
+    sink = str(tmp_path / "dedup_sink")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    def run_query():
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    rows1 = [(1, base, 1, "click", 1.0), (2, base + datetime.timedelta(seconds=5), 1, "click", 1.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "b0"))
+    run_query()
+    # after restart: id 1 again (must be suppressed by restored state) + new id 3
+    rows2 = [
+        (1, base + datetime.timedelta(seconds=30), 1, "click", 1.0),
+        (3, base + datetime.timedelta(seconds=35), 1, "click", 1.0),
+    ]
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "b1"))
+    run_query()
+
+    got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 3]

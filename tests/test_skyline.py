@@ -143,3 +143,41 @@ def test_2d_plan_no_global_window_on_data(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     # the window sits above a HashAggregate, not above the raw scan
     assert plan.index("Window") > plan.index("BroadcastHashJoin")
+
+
+def test_anticorrelated_contraction_fallback(spark):
+    """Worst case — every point is on the frontier (anti-diagonal), so
+    phase 1 can't shrink anything. With a tiny broadcast budget the
+    operator must contract partitions instead of broadcasting 400
+    candidates, bottom out at one partition, and still be exact."""
+    n = 400
+    rows = [(i, float(i), float(n - i)) for i in range(n)]
+    rows += [(n, 0.0, float(n)), (n + 1, 0.0, float(n))]  # dup frontier pt
+    df = _df(spark, rows, 2).repartition(32)
+    got = sorted(
+        tuple(r)
+        for r in pareto_frontier(
+            df, ["d0", "d1"], ["min", "min"], max_broadcast_candidates=50
+        ).collect()
+    )
+    assert got == _brute_skyline(rows, ["d0", "d1"], ["min", "min"])
+
+
+def test_contraction_matches_default_path(spark):
+    """Mixed data: forcing contraction must not change the answer vs the
+    ordinary broadcast-verify path."""
+    rng = random.Random(11)
+    rows = [
+        (i, float(rng.randint(0, 12)), float(rng.randint(0, 12)), float(rng.randint(0, 12)))
+        for i in range(300)
+    ]
+    df = _df(spark, rows, 3).repartition(16)
+    dims, dirs = ["d0", "d1", "d2"], ["min", "max", "min"]
+    base = sorted(tuple(r) for r in pareto_frontier(df, dims, dirs).collect())
+    forced = sorted(
+        tuple(r)
+        for r in pareto_frontier(
+            df, dims, dirs, max_broadcast_candidates=1
+        ).collect()
+    )
+    assert forced == base

@@ -345,3 +345,79 @@ def test_decayed_sum_random_equivalence(spark, rows):
     assert {k: v[0] for k, v in got.items()} == want
     for k, (scaled, dbl) in got.items():
         assert dbl == scaled / float(100 * (1 << 20))
+
+
+import pytest  # noqa: E402
+
+from hpc_hd_textreuse_etl_spark.operators.temporal import (  # noqa: E402
+    gapfill_buckets,
+)
+
+
+def _gapfill_input(spark):
+    return spark.createDataFrame(
+        [
+            ("a", datetime(2021, 1, 1), 1.0),
+            ("a", datetime(2021, 1, 4), 2.0),
+            ("b", datetime(2021, 1, 2), 3.0),
+        ],
+        "g string, bucket timestamp, v double",
+    )
+
+
+def test_gapfill_fills_missing_buckets(spark):
+    out = gapfill_buckets(
+        _gapfill_input(spark),
+        "bucket",
+        ["g"],
+        {"total": F.sum("v")},
+        step="interval 1 day",
+        fill={"total": 0.0},
+    ).collect()
+    # 4-day span × 2 groups = 8 dense cells
+    assert len(out) == 8
+    cells = {(r["g"], r["bucket"].day): r["total"] for r in out}
+    assert cells[("a", 1)] == 1.0 and cells[("a", 4)] == 2.0
+    assert cells[("a", 2)] == 0.0 and cells[("b", 3)] == 0.0
+
+
+def test_gapfill_refuses_oversized_grid(spark):
+    df = _gapfill_input(spark)
+    with pytest.raises(ValueError, match="allow_dense_grid"):
+        gapfill_buckets(
+            df,
+            "bucket",
+            ["g"],
+            {"total": F.sum("v")},
+            step="interval 1 second",  # ~260k buckets × 2 groups
+            max_grid_cells=1000,
+        )
+    # explicit opt-in skips the guard (and its probe scan) entirely
+    out = gapfill_buckets(
+        df,
+        "bucket",
+        ["g"],
+        {"total": F.sum("v")},
+        step="interval 1 day",
+        max_grid_cells=1,
+        allow_dense_grid=True,
+    )
+    assert out.count() == 8
+
+
+def test_gapfill_guard_handles_empty_and_bad_step(spark):
+    empty = _gapfill_input(spark).where(F.lit(False))
+    assert (
+        gapfill_buckets(
+            empty, "bucket", ["g"], {"total": F.sum("v")}, max_grid_cells=10
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="positive"):
+        gapfill_buckets(
+            _gapfill_input(spark),
+            "bucket",
+            ["g"],
+            {"total": F.sum("v")},
+            step="interval -1 day",
+        )
