@@ -206,7 +206,11 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
-        app_name="scale-ladder", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name="scale-ladder",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        # the UI REST API is the shuffle-bytes source (off by default)
+        extra_conf={"spark.ui.enabled": "true", "spark.driver.memory": "24g"},
     )
     if args.generate:
         generate(spark, SF1, args.replicas)
