@@ -143,12 +143,24 @@ def _stage_totals(spark) -> tuple[int, int]:
     )
 
 
+#: ladder rungs: (label, dir, scale factor). sf0.01 is the driver's
+#: small gate; sf1 is the generated 10× set. Three points let the
+#: growth EXPONENT be fitted, not just one ratio read off.
+RUNGS = (
+    ("sf0.01", "/root/testdata/sf0.01", 0.01),
+    ("sf0.1", SF01, 0.1),
+    ("sf1", SF1, 1.0),
+)
+
+
 def run(spark, out_path: str) -> None:
+    import math
+
     from hpc_hd_textreuse_etl_spark.plans.queries import QUERIES
 
     names = [n for n, s in QUERIES.items() if s.bench]
     results: dict[str, dict] = {}
-    for sf_label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+    for sf_label, sf_dir, _sf in RUNGS:
         # warm the JVM/footers (excluded from timings)
         QUERIES[names[0]].builder(spark, sf_dir).count()
         for name in names:
@@ -178,11 +190,26 @@ def run(spark, out_path: str) -> None:
         rec["shuffle_ratio"] = round(
             b["shuffle_write_mb"] / max(a["shuffle_write_mb"], 1e-6), 2
         ) if a["shuffle_write_mb"] > 0.01 else None
+        # fitted growth exponent: least-squares slope of log(sec) vs
+        # log(sf) over all rungs. Fixed per-query overhead deflates the
+        # small-sf points, so the slope UNDER-states asymptotic growth
+        # (it is a lower bound); the sf0.1→sf1 ratio is the conservative
+        # upper read. Exponent ≈ 1 = linear; > 1 = super-linear.
+        xs = [math.log10(sf) for _, _, sf in RUNGS]
+        ys = [math.log10(max(rec[lbl]["sec"], 1e-3)) for lbl, _, _ in RUNGS]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        rec["wall_exponent"] = round(
+            sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+            / sum((x - mx) ** 2 for x in xs),
+            2,
+        )
     payload = {
         "data_growth": 10.0,
         "note": "wall_ratio ≤ ~10 means at-most-linear growth in data "
-                "size at fixed parallelism; see SCALE.md for per-query "
-                "readings",
+                "size at fixed parallelism; wall_exponent is the "
+                "log-log slope over sf0.01/0.1/1; see SCALE.md for "
+                "per-query readings",
         "queries": results,
     }
     with open(out_path, "w") as f:

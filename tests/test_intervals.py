@@ -55,6 +55,7 @@ def test_coverage_totals(spark):
 # --- prefix_sum --------------------------------------------------------------
 
 from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
 
 from hpc_hd_textreuse_etl_spark.functions.intervals import prefix_sum  # noqa: E402
 

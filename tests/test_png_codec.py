@@ -162,3 +162,27 @@ def test_resize_images_real_path(spark):
     # undecodable payload passes through unchanged (metadata updated)
     assert bytes(out[2]["payload"]) == b"undecodable"
     assert out[2]["width"] == 4
+
+
+# --- property: arbitrary pixel buffers round-trip ---------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    c=st.integers(1, 4),
+    data=st.data(),
+)
+def test_roundtrip_property(w, h, c, data):
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * c, max_size=w * h * c
+            )
+        )
+    )
+    assert png_decode(png_encode(w, h, c, pixels)) == (w, h, c, pixels)
