@@ -48,6 +48,17 @@ from pyspark.sql import functions as F  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, "scale_data", "sf1")
+SF10 = os.path.join(REPO, "scale_data", "sf10")
+
+#: the deep rung runs only the shuffle/compute-heavy queries whose
+#: sf0.1 wall is NOT overhead-dominated — a third decade of data for
+#: the exponents that matter.
+DEEP_QUERIES = (
+    "pricing_summary", "defrag_piece_mappings", "pair_coverage",
+    "minhash_near_duplicates", "interval_coverage", "user_sessions",
+    "purchase_funnel", "cdc_latest_events", "decayed_customer_value",
+    "orders_table_diff",
+)
 
 #: key columns per table, grouped by the surrogate-key DOMAIN they
 #: reference — every column in a domain shifts by the same offset so
@@ -69,10 +80,24 @@ FACT_TABLES = (
     "events", "documents", "embeddings",
 )
 
-VOWELS = "aeiou"
-#: deterministic vowel permutations per replica (identity for r=0)
-PERMS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio",
-         "eaiou", "ieaou", "oeaiu", "ueaio", "aieou"]
+#: character remap source for per-replica text perturbation: three
+#: independently-rotated letter groups give 5×6×6 = 180 distinct
+#: permutations (identity at r=0), so up to 180 replicas never share a
+#: mapping — sharing one would make cross-replica document pairs
+#: near-duplicates and quadratically inflate dedup outputs.
+TRANS_SRC = "aeiou" + "shrdlu" + "tnclmw"
+
+
+def _trans_dst(r: int) -> str:
+    def rot(s: str, k: int) -> str:
+        k %= len(s)
+        return s[k:] + s[:k]
+
+    return (
+        rot("aeiou", r % 5)
+        + rot("shrdlu", (r // 5) % 6)
+        + rot("tnclmw", (r // 30) % 6)
+    )
 
 
 def generate(spark, out_dir: str, replicas: int) -> None:
@@ -105,11 +130,13 @@ def generate(spark, out_dir: str, replicas: int) -> None:
                     c, F.col(c) + F.col("__r") * F.lit(offsets[col_domain[(t, c)]])
                 )
         if t == "documents":
+            if replicas > 180:
+                raise ValueError("text perturbation supports ≤ 180 replicas")
             trans = F.col("text")
             for r in range(1, replicas):
                 trans = F.when(
                     F.col("__r") == r,
-                    F.translate("text", VOWELS, PERMS[r % len(PERMS)]),
+                    F.translate("text", TRANS_SRC, _trans_dst(r)),
                 ).otherwise(trans)
             df = df.withColumn("text", trans).withColumn(
                 "n_chars", F.length("text").cast("long")
@@ -153,14 +180,25 @@ RUNGS = (
 )
 
 
-def run(spark, out_path: str) -> None:
+#: deep rungs: one more decade for the heavy queries (sf10 = 100×
+#: replication — 60M lineitem / 10M events / 500k documents locally).
+DEEP_RUNGS = (
+    ("sf0.1", SF01, 0.1),
+    ("sf1", SF1, 1.0),
+    ("sf10", SF10, 10.0),
+)
+
+
+def run(spark, out_path: str, rungs=RUNGS, only=None) -> None:
     import math
 
     from hpc_hd_textreuse_etl_spark.plans.queries import QUERIES
 
     names = [n for n, s in QUERIES.items() if s.bench]
+    if only:
+        names = [n for n in names if n in set(only)]
     results: dict[str, dict] = {}
-    for sf_label, sf_dir, _sf in RUNGS:
+    for sf_label, sf_dir, _sf in rungs:
         # warm the JVM/footers (excluded from timings)
         QUERIES[names[0]].builder(spark, sf_dir).count()
         for name in names:
@@ -184,8 +222,9 @@ def run(spark, out_path: str) -> None:
             print(f"{sf_label} {name}: {best:.2f}s "
                   f"(shuffle {best_sh[1] / 1e6:.1f} MB)", flush=True)
 
+    lo_label, hi_label = rungs[-2][0], rungs[-1][0]
     for name, rec in results.items():
-        a, b = rec["sf0.1"], rec["sf1"]
+        a, b = rec[lo_label], rec[hi_label]
         rec["wall_ratio"] = round(b["sec"] / max(a["sec"], 1e-9), 2)
         rec["shuffle_ratio"] = round(
             b["shuffle_write_mb"] / max(a["shuffle_write_mb"], 1e-6), 2
@@ -193,10 +232,10 @@ def run(spark, out_path: str) -> None:
         # fitted growth exponent: least-squares slope of log(sec) vs
         # log(sf) over all rungs. Fixed per-query overhead deflates the
         # small-sf points, so the slope UNDER-states asymptotic growth
-        # (it is a lower bound); the sf0.1→sf1 ratio is the conservative
+        # (it is a lower bound); the top-rung ratio is the conservative
         # upper read. Exponent ≈ 1 = linear; > 1 = super-linear.
-        xs = [math.log10(sf) for _, _, sf in RUNGS]
-        ys = [math.log10(max(rec[lbl]["sec"], 1e-3)) for lbl, _, _ in RUNGS]
+        xs = [math.log10(sf) for _, _, sf in rungs]
+        ys = [math.log10(max(rec[lbl]["sec"], 1e-3)) for lbl, _, _ in rungs]
         n = len(xs)
         mx, my = sum(xs) / n, sum(ys) / n
         rec["wall_exponent"] = round(
@@ -206,17 +245,17 @@ def run(spark, out_path: str) -> None:
         )
     payload = {
         "data_growth": 10.0,
-        "note": "wall_ratio ≤ ~10 means at-most-linear growth in data "
-                "size at fixed parallelism; wall_exponent is the "
-                "log-log slope over sf0.01/0.1/1; see SCALE.md for "
-                "per-query readings",
+        "rungs": [lbl for lbl, _, _ in rungs],
+        "note": "wall_ratio is the top-rung step (10× data); "
+                "wall_exponent is the log-log slope over all rungs; "
+                "see SCALE.md for per-query readings",
         "queries": results,
     }
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({
-        "total_sf0.1": round(sum(r["sf0.1"]["sec"] for r in results.values()), 2),
-        "total_sf1": round(sum(r["sf1"]["sec"] for r in results.values()), 2),
+        f"total_{lo_label}": round(sum(r[lo_label]["sec"] for r in results.values()), 2),
+        f"total_{hi_label}": round(sum(r[hi_label]["sec"] for r in results.values()), 2),
         "max_ratio": max(r["wall_ratio"] for r in results.values()),
     }))
 
@@ -225,8 +264,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--generate", action="store_true")
     ap.add_argument("--run", action="store_true")
+    ap.add_argument("--generate-deep", action="store_true",
+                    help="build the 100× sf10 set")
+    ap.add_argument("--deep", action="store_true",
+                    help="run the heavy-query subset at sf0.1/1/10")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_LADDER.json"))
+    ap.add_argument("--deep-out", default=os.path.join(REPO, "SCALE_DEEP.json"))
     args = ap.parse_args()
 
     from hpc_hd_textreuse_etl_spark.session import get_spark
@@ -241,8 +285,12 @@ def main() -> None:
     )
     if args.generate:
         generate(spark, SF1, args.replicas)
+    if args.generate_deep:
+        generate(spark, SF10, 100)
     if args.run:
         run(spark, args.out)
+    if args.deep:
+        run(spark, args.deep_out, rungs=DEEP_RUNGS, only=DEEP_QUERIES)
     spark.stop()
 
 

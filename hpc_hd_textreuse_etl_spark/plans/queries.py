@@ -3642,12 +3642,29 @@ def events_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_oracle_terms(cols: tuple[str, ...], bits: int) -> str:
+    """Morton-interleave SQL mirroring operators/layout.py zorder_key
+    term by term — generated, so the bit budget stays in ONE place."""
+    d = len(cols)
+    return " + ".join(
+        f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {b * d + j})"
+        for b in range(bits)
+        for j, c in enumerate(cols)
+    )
+
+
+#: 21 bits/dim (the zorder_key default, 42-bit keys for 2 dims): covers
+#: key domains up to 2^21 ≈ 2M, so the contract holds at every ladder
+#: rung (bits=12 overflowed already at sf0.1's 20k part keys).
+_ZORDER_BITS = 21
+
+
 @query(
     "zorder_lineitem_keys",
-    oracle="""
+    oracle=f"""
     SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
            CAST(l_linenumber AS BIGINT) AS linenumber,
-           ((((CAST(l_partkey AS BIGINT) >> 0) & 1) << 0) + (((CAST(l_suppkey AS BIGINT) >> 0) & 1) << 1)) + ((((CAST(l_partkey AS BIGINT) >> 1) & 1) << 2) + (((CAST(l_suppkey AS BIGINT) >> 1) & 1) << 3)) + ((((CAST(l_partkey AS BIGINT) >> 2) & 1) << 4) + (((CAST(l_suppkey AS BIGINT) >> 2) & 1) << 5)) + ((((CAST(l_partkey AS BIGINT) >> 3) & 1) << 6) + (((CAST(l_suppkey AS BIGINT) >> 3) & 1) << 7)) + ((((CAST(l_partkey AS BIGINT) >> 4) & 1) << 8) + (((CAST(l_suppkey AS BIGINT) >> 4) & 1) << 9)) + ((((CAST(l_partkey AS BIGINT) >> 5) & 1) << 10) + (((CAST(l_suppkey AS BIGINT) >> 5) & 1) << 11)) + ((((CAST(l_partkey AS BIGINT) >> 6) & 1) << 12) + (((CAST(l_suppkey AS BIGINT) >> 6) & 1) << 13)) + ((((CAST(l_partkey AS BIGINT) >> 7) & 1) << 14) + (((CAST(l_suppkey AS BIGINT) >> 7) & 1) << 15)) + ((((CAST(l_partkey AS BIGINT) >> 8) & 1) << 16) + (((CAST(l_suppkey AS BIGINT) >> 8) & 1) << 17)) + ((((CAST(l_partkey AS BIGINT) >> 9) & 1) << 18) + (((CAST(l_suppkey AS BIGINT) >> 9) & 1) << 19)) + ((((CAST(l_partkey AS BIGINT) >> 10) & 1) << 20) + (((CAST(l_suppkey AS BIGINT) >> 10) & 1) << 21)) + ((((CAST(l_partkey AS BIGINT) >> 11) & 1) << 22) + (((CAST(l_suppkey AS BIGINT) >> 11) & 1) << 23)) AS zkey
+           {_zorder_oracle_terms(('l_partkey', 'l_suppkey'), _ZORDER_BITS)} AS zkey
     FROM lineitem
     """,
     tags=("layout-zorder",),
@@ -3656,15 +3673,16 @@ def zorder_lineitem_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton z-order clustering keys over (l_partkey, l_suppkey) —
     the multi-dimensional data-layout key (operators/layout.py
     zorder_key): pure Catalyst shift-and-mask interleave, exact integer
-    arithmetic the oracle reproduces term by term. Range-sorting files
-    by this key gives tight parquet min/max stats on BOTH dimensions
-    (pruning proof in test_layout)."""
+    arithmetic the oracle reproduces term by term (generated from the
+    same bit budget). Range-sorting files by this key gives tight
+    parquet min/max stats on BOTH dimensions (pruning proof in
+    test_layout)."""
     from hpc_hd_textreuse_etl_spark.operators.layout import zorder_key
 
     return spark.table("lineitem").select(
         F.col("l_orderkey").cast("long").alias("orderkey"),
         F.col("l_linenumber").cast("long").alias("linenumber"),
-        zorder_key(["l_partkey", "l_suppkey"], bits=12).alias("zkey"),
+        zorder_key(["l_partkey", "l_suppkey"], bits=_ZORDER_BITS).alias("zkey"),
     )
 
 

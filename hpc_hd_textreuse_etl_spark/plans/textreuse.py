@@ -162,6 +162,7 @@ def coverages(
     defrag_textreuses: DataFrame,
     defrag_pieces: DataFrame,
     lengths: DataFrame,
+    broadcast_lengths: bool = True,
 ) -> DataFrame:
     """Per-document-pair reuse coverage, both directions (reference
     coverages.py:36-165): for each (trs1, trs2) merge the t1-side spans
@@ -169,7 +170,15 @@ def coverages(
     the two aggregate branches and the length dim, emit ratios ×100.
 
     One shuffle per side keyed by the pair; islands machinery is
-    functions/intervals (single window sort per side)."""
+    functions/intervals (single window sort per side).
+
+    ``broadcast_lengths``: the lengths dim is one row per DOCUMENT, so
+    it scales with the corpus (the reference's production corpus has
+    ~3M sources ≈ 50 MB — the broadcast hint is right there and at any
+    dim that fits executors). For corpora whose document count makes
+    the dim too big to broadcast, pass ``False`` and let AQE pick the
+    join strategy (the deep-ladder measurement showed the pair keyspace,
+    not this join, dominates at 10× anyway)."""
     p1 = defrag_pieces.select(
         F.col("piece_id").alias("piece1_id"),
         F.col("trs_id").alias("trs1_id"),
@@ -200,10 +209,11 @@ def coverages(
     t2 = side(edges, "trs1_id", "trs2_id", "t2_start", "t2_end", "t2")
     both = t1.join(t2, ["trs1_id", "trs2_id"], "left")
 
-    l1 = F.broadcast(
+    hint = F.broadcast if broadcast_lengths else (lambda d: d)
+    l1 = hint(
         lengths.select(F.col("trs_id").alias("trs1_id"), F.col("text_length").alias("t1_length"))
     )
-    l2 = F.broadcast(
+    l2 = hint(
         lengths.select(F.col("trs_id").alias("trs2_id"), F.col("text_length").alias("t2_length"))
     )
     # reference uses LEFT JOIN on both length dims (coverages.py:161-162,
