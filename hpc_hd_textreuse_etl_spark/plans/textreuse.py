@@ -192,6 +192,11 @@ def coverages(
         F.col("trs_end").alias("t2_end"),
     )
     edges = defrag_textreuses.join(p1, "piece1_id").join(p2, "piece2_id")
+    # ONE pair-keyed exchange feeds BOTH island sides: each side's
+    # window only needs clustering by (trs1, trs2) — the per-side sort
+    # orders happen above this shared shuffle, so the edge table crosses
+    # the wire once (full width) instead of twice (half width each).
+    edges = edges.repartition(F.col("trs1_id"), F.col("trs2_id"))
 
     def side(df: DataFrame, a: str, b: str, start: str, end: str, prefix: str) -> DataFrame:
         islands = merge_intervals(
