@@ -3168,7 +3168,8 @@ def custkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.event_type, b.bucket
       FROM buckets b CROSS JOIN (SELECT DISTINCT event_type FROM events) t
     )
-    SELECT g.event_type, g.bucket, COALESCE(a.n_events, 0) AS n_events
+    SELECT g.event_type, epoch_us(g.bucket) AS bucket_us,
+           COALESCE(a.n_events, 0) AS n_events
     FROM grid g LEFT JOIN agged a
       ON a.event_type = g.event_type AND a.bucket = g.bucket
     """,
@@ -3179,7 +3180,10 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours emitted as explicit zeros — the time_bucket_gapfill rollup a
     monitoring/feature pipeline needs (a missing row and a zero row are
     different facts). Data is aggregated in one shuffled pass; the
-    dense grid is dims-only (span × types) and broadcast-joined on."""
+    dense grid is dims-only (span × types) and broadcast-joined on.
+    The bucket is emitted as epoch-µs (not a raw timestamp): collected
+    timestamps render in the PROCESS timezone, so a raw column would
+    hash-mismatch the UTC-naive oracle in any non-UTC driver env."""
     from hpc_hd_textreuse_etl_spark.operators.temporal import gapfill_buckets
 
     ev = spark.table("events").withColumn(
@@ -3192,7 +3196,11 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n_events": F.count(F.lit(1)).cast("bigint")},
         step="interval 1 hour",
         fill={"n_events": 0},
-    ).select("event_type", "bucket", "n_events")
+    ).select(
+        "event_type",
+        F.unix_micros("bucket").alias("bucket_us"),
+        "n_events",
+    )
 
 
 @query(
@@ -3202,8 +3210,8 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
              AS sum_price,
-           MIN(o_orderdate) AS first_order,
-           MAX(o_orderdate) AS last_order
+           epoch_us(MIN(o_orderdate)) AS first_order_us,
+           epoch_us(MAX(o_orderdate)) AS last_order_us
     FROM orders GROUP BY o_custkey
     """,
     tags=("incremental-agg",),
@@ -3215,7 +3223,9 @@ def incremental_order_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge algebra (operators/incremental.py) — and the oracle aggregates
     everything from scratch, so the query IS the invariant that
     incremental maintenance equals recomputation. Sums stay decimal
-    through both stages; the cast to double happens once at the end."""
+    through both stages; the cast to double happens once at the end.
+    Min/max order times emit as epoch-µs (raw timestamps render in the
+    process timezone at collect and break the gate in non-UTC envs)."""
     from hpc_hd_textreuse_etl_spark.operators.incremental import (
         aggregate_delta,
         incremental_aggregate,
@@ -3239,8 +3249,8 @@ def incremental_order_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("sum_price").cast("double").alias("sum_price"),
-        "first_order",
-        "last_order",
+        F.unix_micros("first_order").alias("first_order_us"),
+        F.unix_micros("last_order").alias("last_order_us"),
     )
 
 

@@ -19,10 +19,20 @@ def duck():
     con.close()
 
 
+def _assert_no_raw_timestamps(name, df):
+    """Contract rule: collected TIMESTAMP columns render in the PROCESS
+    timezone (not the session conf), so a raw timestamp output breaks
+    the value gate in any non-UTC driver environment. Emit epoch-µs
+    bigints (unix_micros / epoch_us) instead."""
+    ts = [f.name for f in df.schema.fields if "timestamp" in f.dataType.simpleString()]
+    assert not ts, f"{name}: raw timestamp output columns {ts} — emit unix_micros"
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, duck, name):
     spec = QUERIES[name]
     df = spec.builder(spark, SF_SMOKE)
+    _assert_no_raw_timestamps(name, df)
     ok, msg = compare_spark_duckdb(df, duck, spec.oracle)
     assert ok, f"{name}: {msg}"
 
@@ -31,4 +41,5 @@ def test_query_matches_oracle(spark, duck, name):
 def test_query_runs(spark, name):
     """Non-SQL-expressible operators: rows-only smoke (driver parity)."""
     df = QUERIES[name].builder(spark, SF_SMOKE)
+    _assert_no_raw_timestamps(name, df)
     assert df.count() >= 0
