@@ -26,6 +26,14 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 _CHANNELS_BY_COLOR_TYPE = {0: 1, 2: 3, 4: 2, 6: 4}
 _COLOR_TYPE_BY_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
 
+#: hostile-input bounds: a crafted IHDR may claim absurd dimensions and a
+#: tiny IDAT can DEFLATE-expand without limit, so cap per-side size and
+#: the total filtered-scanline buffer before any allocation/decompression
+#: sized from attacker-controlled fields happens (1 GiB raw ≈ a 256 MP
+#: RGBA image — far past anything this fallback codec is for).
+_MAX_DIM = 1 << 20
+_MAX_RAW_BYTES = 1 << 30
+
 
 def is_png(data: bytes) -> bool:
     return data[: len(PNG_SIGNATURE)] == PNG_SIGNATURE
@@ -54,9 +62,16 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         chunk = data[pos : pos + length]
         pos += length + 4  # payload + CRC (not verified: zlib checks IDAT)
         if typ == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", chunk)
-            )
+            try:
+                width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                    struct.unpack(">IIBBBBB", chunk)
+                )
+            except struct.error as exc:
+                raise ValueError(f"malformed IHDR chunk: {exc}") from exc
+            if not (0 < width <= _MAX_DIM and 0 < height <= _MAX_DIM):
+                raise ValueError(
+                    f"implausible PNG dimensions {width}x{height}"
+                )
             if bit_depth != 8:
                 raise ValueError(f"unsupported bit depth {bit_depth} (only 8)")
             if interlace != 0:
@@ -70,9 +85,21 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None or not idat:
         raise ValueError("truncated PNG (missing IHDR/IDAT)")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    if expected > _MAX_RAW_BYTES:
+        raise ValueError(
+            f"PNG raw scanline buffer would be {expected} bytes "
+            f"(> {_MAX_RAW_BYTES}); refusing"
+        )
+    # bounded inflate: never produce more than the IHDR-implied bytes +1,
+    # so a decompression bomb errors out instead of eating executor RAM
+    decomp = zlib.decompressobj()
+    try:
+        raw = decomp.decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
+    if len(raw) != expected or decomp.unconsumed_tail:
         raise ValueError("PNG scanline data has wrong length")
     out = bytearray(height * stride)
     prev = bytearray(stride)

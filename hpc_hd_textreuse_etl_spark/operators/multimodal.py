@@ -23,6 +23,8 @@ pruning savings when selected).
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -112,7 +114,10 @@ def _image_decode(payload: bytes, mime: str) -> dict:
     when it doesn't — never a silent skip."""
     try:
         w, h, c, pixels = _decode_pixels(bytes(payload))
-    except ValueError:
+    except (ValueError, zlib.error, struct.error):
+        # png_codec re-raises malformed-input failures as ValueError, but
+        # catch the raw codec error types too: a payload with a valid PNG
+        # signature and corrupt body must hit the stub, never kill the task
         return _stub_decode(payload, mime)
     return {
         "feature": _pixel_features(w, h, c, pixels),
@@ -210,7 +215,7 @@ def resize_images(
 
         try:
             sw, sh, c, pixels = png_decode(payload)
-        except ValueError:
+        except (ValueError, zlib.error, struct.error):
             return payload
         return png_encode(w, h, c, resize_nearest(sw, sh, c, pixels, w, h))
 

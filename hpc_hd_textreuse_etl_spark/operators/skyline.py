@@ -114,7 +114,9 @@ def pareto_frontier(
     partitions now meet), up to ``max_contractions`` times. If the set
     contracts all the way to one partition, that partition's prune saw
     every candidate, so the result is already the exact skyline and the
-    O(m²) verify is skipped."""
+    O(m²) verify is skipped. If the budget runs out with the set still
+    over ``max_broadcast_candidates``, the operator raises instead of
+    broadcasting an oversized set."""
     import pandas as pd  # noqa: F401 (signature requirement)
 
     flips = _validate(dims, directions)
@@ -158,6 +160,19 @@ def pareto_frontier(
         n = candidates.count()
         if candidates.rdd.getNumPartitions() <= 1:
             return candidates
+
+    if n > max_broadcast_candidates:
+        # contraction budget exhausted with the set still too big to
+        # broadcast — refusing beats silently re-creating the blowup the
+        # contraction loop exists to prevent. (A non-equi anti-join has
+        # no shuffle-based physical strategy in Spark, so there is no
+        # bounded-memory verify to fall back to.)
+        raise ValueError(
+            f"pareto_frontier: {n:,} candidates remain after "
+            f"{max_contractions} contractions (> max_broadcast_candidates="
+            f"{max_broadcast_candidates:,}); raise max_contractions or "
+            "max_broadcast_candidates, or pre-aggregate the input"
+        )
 
     left = candidates.alias("q")
     right = F.broadcast(
