@@ -6,14 +6,26 @@ Runs the bench-tagged queries from the registry at
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}``.
+
+The line also self-diagnoses environment contamination: it embeds the
+1/5/15-minute load averages sampled before and after the run, the
+pinned repeat count, and per-query standard deviation across repeats —
+a loaded-machine artifact is mechanically identifiable (high loadavg_pre
+relative to the core count, or per-query stddev far above the ~5%
+idle-machine norm) without needing a judge rerun.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
+
+# Repeats are pinned in code for round-over-round comparability; the
+# env var can only raise them (e.g. for a manual soak), never lower.
+BENCH_REPEATS = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -34,17 +46,25 @@ def main() -> None:
     # warm the JVM + parquet footers once (excluded from timings)
     QUERIES[names[0]].builder(spark, sf_dir).count()
 
+    repeats = max(BENCH_REPEATS, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "0")))
+    loadavg_pre = [round(v, 2) for v in os.getloadavg()]
+
     timings: dict[str, float] = {}
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    stddevs: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(repeats):
             start = time.perf_counter()
             df = QUERIES[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - start)
+        timings[name] = round(min(samples), 4)
+        mean = sum(samples) / len(samples)
+        stddevs[name] = round(
+            math.sqrt(sum((s - mean) ** 2 for s in samples) / len(samples)), 4
+        )
 
+    loadavg_post = [round(v, 2) for v in os.getloadavg()]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -54,6 +74,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "repeats": repeats,
+                "loadavg_pre": loadavg_pre,
+                "loadavg_post": loadavg_post,
+                "cpus": cpus,
+                "query_stddev": stddevs,
             }
         )
     )

@@ -99,8 +99,10 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         raw = decomp.decompress(bytes(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt IDAT stream: {exc}") from exc
-    if len(raw) != expected or decomp.unconsumed_tail:
-        raise ValueError("PNG scanline data has wrong length")
+    # eof=False means the stream was truncated before its adler32 trailer,
+    # i.e. zlib never verified the checksum — reject, don't decode blindly
+    if len(raw) != expected or decomp.unconsumed_tail or not decomp.eof:
+        raise ValueError("PNG scanline data has wrong length or is truncated")
     out = bytearray(height * stride)
     prev = bytearray(stride)
     bpp = channels  # bytes per pixel at 8-bit depth

@@ -43,6 +43,15 @@ class DecoderNotAvailable(NotImplementedError):
     pass
 
 
+_JPEG_SOI = b"\xff\xd8\xff"
+
+
+def looks_like_jpeg(data: bytes) -> bool:
+    """JPEG start-of-image marker sniff (JFIF/EXIF/raw all start
+    FF D8 FF)."""
+    return data[: len(_JPEG_SOI)] == _JPEG_SOI
+
+
 def _stub_decode(payload: bytes, mime: str) -> dict:
     """Deterministic fake decode: byte-histogram 'features'. Stands in
     for libav etc. so the distributed plumbing is fully exercisable."""
@@ -78,6 +87,19 @@ def _decode_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         if im.mode not in _PIL_CHANNELS:
             im = im.convert("RGBA")
         return im.width, im.height, _PIL_CHANNELS[im.mode], im.tobytes()
+    if looks_like_jpeg(payload):
+        # a well-formed JPEG is NOT a corrupt payload — silently routing
+        # it to the byte-histogram stub would poison real training
+        # corpora (mostly JPEG) with meaningless features. Without
+        # Pillow this is a missing-capability error, raised loudly;
+        # extract_features offers stub_missing_codecs=True as the
+        # documented opt-in for synthetic pipelines.
+        raise DecoderNotAvailable(
+            "JPEG payload but Pillow is not importable (the pure-stdlib "
+            "fallback codec only covers PNG); install Pillow, "
+            "register_decoder('image', ...), or opt in to the stub with "
+            "extract_features(..., stub_missing_codecs=True)"
+        )
     from hpc_hd_textreuse_etl_spark.functions.png_codec import png_decode
 
     return png_decode(payload)
@@ -137,11 +159,22 @@ def register_decoder(modality: str, fn: Callable[[bytes, str], dict]) -> None:
     DECODERS[modality] = fn
 
 
-def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    batch_hint: int | None = None,
+    *,
+    stub_missing_codecs: bool = False,
+) -> DataFrame:
     """binary payloads → feature vectors via Arrow-batched mapInPandas.
 
     Input needs MEDIA_META_SCHEMA columns. Unknown modalities raise
     DecoderNotAvailable — silent skips would corrupt training sets.
+    Likewise, a decodable format whose codec is missing from the
+    environment (JPEG without Pillow) raises rather than silently
+    stubbing; ``stub_missing_codecs=True`` is the explicit opt-in that
+    routes those payloads to the deterministic byte-histogram stub
+    (synthetic pipelines / plumbing tests only — NEVER for real
+    training data).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -155,7 +188,12 @@ def extract_features(df: DataFrame, batch_hint: int | None = None) -> DataFrame:
                     raise DecoderNotAvailable(
                         f"no decoder registered for modality={modality!r}"
                     )
-                out = decoder(bytes(payload), mime)
+                try:
+                    out = decoder(bytes(payload), mime)
+                except DecoderNotAvailable:
+                    if not stub_missing_codecs:
+                        raise
+                    out = _stub_decode(bytes(payload), mime)
                 feats.append(out["feature"])
                 digests.append(out["digest"])
                 sizes.append(len(payload))
@@ -193,8 +231,10 @@ def resize_images(
     Decodable payloads are REALLY resized — Pillow's nearest-neighbor
     resample when importable, else decode → ``resize_nearest`` →
     re-encode through the pure-stdlib PNG codec. Payloads neither path
-    can decode pass through unchanged (metadata still updated), keeping
-    the distributed plumbing exercisable on synthetic bytes."""
+    can decode — including JPEG when Pillow is absent — pass through
+    UNCHANGED (metadata still updated): unlike feature extraction,
+    pass-through preserves the original bytes rather than fabricating
+    data, so it is safe-by-default and needs no opt-in."""
 
     def _resize(payload: bytes, w: int, h: int) -> bytes:
         if _PILImage is not None:

@@ -34,6 +34,7 @@ never by partition layout.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -213,13 +214,44 @@ def interval_join(
 MAX_GAPFILL_CELLS = 50_000_000
 
 
+#: strict ANSI interval-literal shape for the gap-fill ``step`` — the
+#: string is interpolated into SQL text (``sequence(lo, hi, {step})``),
+#: so anything outside unsigned unit terms is refused before it reaches
+#: the parser: no expressions, no negatives, no quotes, no semicolons.
+_STEP_PATTERN = re.compile(
+    r"^\s*interval(\s+\d+\s+(?:year|month|week|day|hour|minute|second)s?)+\s*$",
+    re.IGNORECASE,
+)
+
+
+def _validated_step_micros(df: DataFrame, step: str) -> int:
+    """Validate the gap-fill ``step`` and return its width in µs.
+
+    Runs UNCONDITIONALLY (also under ``allow_dense_grid=True``): the
+    pattern gate stops SQL injection/typos, the width probe (a one-row
+    SQL evaluation, no data scan; month-based steps use their January
+    width) stops the zero-width ``interval 0 day`` degenerate case.
+    """
+    if not _STEP_PATTERN.match(step):
+        raise ValueError(
+            f"gap-fill step must be a plain interval literal like "
+            f"'interval 1 day' or 'interval 2 hours 30 minutes', got {step!r}"
+        )
+    step_us = df.sparkSession.sql(
+        f"SELECT unix_micros(timestamp'2000-01-01 00:00:00' + ({step}))"
+        " - unix_micros(timestamp'2000-01-01 00:00:00') AS us"
+    ).first()["us"]
+    if step_us <= 0:
+        raise ValueError(f"gap-fill step must be positive, got {step!r}")
+    return step_us
+
+
 def _estimated_grid_cells(
-    df: DataFrame, bucket_col: str, group_cols: Sequence[str], step: str
+    df: DataFrame, bucket_col: str, group_cols: Sequence[str], step_us: int
 ) -> int:
     """One-scan estimate of |buckets| × |groups| for the gap-fill grid:
-    min/max span + approx_count_distinct(groups) in a single aggregate,
-    step width evaluated as an interval literal (month-based steps use
-    their January width — an estimate is all the guard needs)."""
+    min/max span + approx_count_distinct(groups) in a single aggregate
+    (an estimate is all the guard needs)."""
     probe = df.agg(
         F.unix_micros(F.min(bucket_col).cast("timestamp")).alias("lo_us"),
         F.unix_micros(F.max(bucket_col).cast("timestamp")).alias("hi_us"),
@@ -227,12 +259,6 @@ def _estimated_grid_cells(
     ).first()
     if probe["lo_us"] is None:
         return 0
-    step_us = df.sparkSession.sql(
-        f"SELECT unix_micros(timestamp'2000-01-01 00:00:00' + ({step}))"
-        " - unix_micros(timestamp'2000-01-01 00:00:00') AS us"
-    ).first()["us"]
-    if step_us <= 0:
-        raise ValueError(f"gap-fill step must be positive, got {step!r}")
     n_buckets = (probe["hi_us"] - probe["lo_us"]) // step_us + 1
     # approx_count_distinct is ±~2%; pad so the guard errs toward refusal
     return int(n_buckets * max(probe["n_groups"], 1) * 1.05)
@@ -266,10 +292,13 @@ def gapfill_buckets(
     ``allow_dense_grid=True``, a one-scan probe estimates
     |buckets| × |groups| and raises past ``max_grid_cells`` instead of
     materializing an unbounded cross join. Opting in also skips the
-    probe scan for callers who know their grid is small.
+    probe scan for callers who know their grid is small — but the
+    ``step`` literal itself is pattern-validated and positivity-checked
+    in BOTH modes (it is interpolated into SQL text).
     """
+    step_us = _validated_step_micros(df, step)
     if not allow_dense_grid:
-        cells = _estimated_grid_cells(df, bucket_col, group_cols, step)
+        cells = _estimated_grid_cells(df, bucket_col, group_cols, step_us)
         if cells > max_grid_cells:
             raise ValueError(
                 f"gap-fill grid would materialize ~{cells:,} cells "

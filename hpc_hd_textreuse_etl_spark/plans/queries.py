@@ -1427,6 +1427,64 @@ def cw_component_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cw_intra_edge_fraction",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS meets_threshold,
+           CAST(count(*) AS BIGINT) AS n_edges
+    FROM (SELECT DISTINCT c_custkey, c_nationkey FROM customer)
+    """,
+    tags=("§2.10", "qc-invariant"),
+)
+def cw_intra_edge_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second oracle-adjacent CW gate (complements cw_component_invariant,
+    which only proves labels never LEAK across components — it would
+    also pass if CW degenerated into one-node-per-cluster). This one
+    proves CW actually AGGLOMERATES: the fraction of graph edges whose
+    endpoints share a cluster must clear a seeded-run-pinned threshold.
+    Measured for this seed/graph (seed=42, max_iter=20, customer–nation
+    stars): 0.813 at sf0.001, 0.803 at sf0.01, 0.781 at sf0.1 — the
+    0.70 pin leaves >10% margin at every gated scale while a
+    no-agglomeration run (fraction ≈ 0) or a stale-vote bug (clusters
+    fragmenting mid-star) lands far below it. n_edges doubles as an
+    exact row-count anchor so the gate can't pass on an empty join."""
+    from hpc_hd_textreuse_etl_spark.operators.clustering import (
+        adjacency_list,
+        chinese_whispers,
+        clustered_pieces,
+    )
+
+    edges = (
+        spark.table("customer")
+        .select(
+            F.col("c_custkey").alias("piece1_id"),
+            (F.col("c_nationkey").cast("long") + 10_000_000).alias("piece2_id"),
+        )
+        .distinct()
+    )
+    state, _ = chinese_whispers(adjacency_list(edges), max_iter=20, seed=42)
+    cw = clustered_pieces(state)
+    lab1 = cw.select(
+        F.col("piece_id").alias("piece1_id"), F.col("cluster_id").alias("l1")
+    )
+    lab2 = cw.select(
+        F.col("piece_id").alias("piece2_id"), F.col("cluster_id").alias("l2")
+    )
+    joined = edges.join(lab1, "piece1_id").join(lab2, "piece2_id")
+    return joined.agg(
+        (
+            (
+                F.sum(F.when(F.col("l1") == F.col("l2"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            )
+            >= F.lit(0.70)
+        )
+        .cast("bigint")
+        .alias("meets_threshold"),
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+    )
+
+
+@query(
     "earliest_consistency_check",
     oracle="""
     WITH win AS (

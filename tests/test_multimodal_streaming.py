@@ -53,6 +53,64 @@ def test_unknown_modality_raises(spark, media):
         extract_features(bad).collect()
 
 
+def _fake_jpeg() -> bytes:
+    # real JPEG SOI/APP0 framing, truncated body — enough to trip the
+    # format sniff without being decodable
+    return b"\xff\xd8\xff\xe0\x00\x10JFIF\x00\x01" + b"\x00" * 64
+
+
+def test_jpeg_without_pillow_raises_loudly(spark, media):
+    from hpc_hd_textreuse_etl_spark.operators import multimodal as mm
+
+    if mm._PILImage is not None:
+        pytest.skip("Pillow importable: the no-Pillow JPEG path is dead here")
+    jpeg = media.limit(0).union(
+        spark.createDataFrame(
+            [(9, "image", "image/jpeg", 8, 8, None, bytearray(_fake_jpeg()))],
+            media.schema,
+        )
+    )
+    # default: a JPEG payload with no JPEG codec is a loud capability
+    # error, not a silent stub
+    with pytest.raises(Exception, match="Pillow"):
+        extract_features(jpeg).collect()
+    # documented opt-in: stub features, run survives
+    out = extract_features(jpeg, stub_missing_codecs=True).collect()
+    assert len(out) == 1 and len(out[0].feature) == 16
+    assert out[0].digest == hashlib.md5(_fake_jpeg()).hexdigest()
+
+
+def test_jpeg_golden_fixture_under_pillow(spark):
+    """Real-JPEG feature vectors verified when Pillow is importable:
+    encode a deterministic RGB gradient to JPEG via Pillow, then check
+    extract_features returns content-derived (not stub) features with
+    exact geometry terms."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    w, h = 16, 12
+    im = Image.new("RGB", (w, h))
+    im.putdata([(x * 16 % 256, y * 21 % 256, (x + y) * 9 % 256)
+                for y in range(h) for x in range(w)])
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG", quality=95)
+    payload = buf.getvalue()
+    assert payload[:3] == b"\xff\xd8\xff"
+    df = spark.createDataFrame(
+        [(1, "image", "image/jpeg", w, h, None, bytearray(payload))],
+        "media_id long, modality string, mime string, width int, height int, "
+        "duration_ms int, payload binary",
+    )
+    row = extract_features(df).collect()[0]
+    feat = list(row.feature)
+    assert feat[0] == pytest.approx(w / 4096) and feat[1] == pytest.approx(h / 4096)
+    assert feat[2] == pytest.approx(3 / 4)  # decoded as RGB, not stubbed
+    assert sum(feat[4:]) == pytest.approx(1.0)  # luminance histogram
+    assert row.digest == hashlib.md5(payload).hexdigest()
+
+
 def test_media_stats_prunes_payload(spark, media):
     stats = {r.modality: r.n_items for r in media_stats(media).collect()}
     assert stats == {"image": 2, "audio": 1, "video": 1}

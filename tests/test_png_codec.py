@@ -164,6 +164,158 @@ def test_resize_images_real_path(spark):
     assert out[2]["width"] == 4
 
 
+# --- hostile-input guards ----------------------------------------------------
+
+
+def _chunk(typ, payload):
+    import struct
+
+    return (
+        struct.pack(">I", len(payload))
+        + typ
+        + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def _ihdr(w, h, bit_depth=8, color_type=0):
+    import struct
+
+    return struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+
+
+def test_rejects_implausible_dimensions():
+    # a crafted IHDR claiming a 2^30-wide image must be refused before
+    # any allocation is sized from it
+    bad = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", _ihdr(1 << 30, 2))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        png_decode(bad)
+    with pytest.raises(ValueError, match="implausible"):
+        png_decode(
+            PNG_SIGNATURE
+            + _chunk(b"IHDR", _ihdr(0, 2))
+            + _chunk(b"IDAT", zlib.compress(b"\x00"))
+        )
+
+
+def test_rejects_raw_buffer_past_cap():
+    # dims individually under _MAX_DIM but whose scanline buffer tops
+    # the 1 GiB cap — refused before decompression
+    bad = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", _ihdr(1 << 20, 1 << 20, color_type=2))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+    )
+    with pytest.raises(ValueError, match="refusing"):
+        png_decode(bad)
+
+
+def test_rejects_decompression_bomb():
+    # 2×2 grey expects 6 filtered bytes; an IDAT inflating to 1 MiB must
+    # stop at the bounded-inflate cap, not expand fully
+    bomb = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", _ihdr(2, 2))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="wrong length"):
+        png_decode(bomb)
+
+
+def test_rejects_truncated_idat_stream():
+    # strip the 4-byte adler32 trailer from an otherwise-valid zlib
+    # stream: it inflates to exactly the expected bytes but the checksum
+    # was never verified (decomp.eof False) — must be refused
+    pixels = _checker(2, 2, 1)
+    raw = b"".join(b"\x00" + pixels[y * 2 : (y + 1) * 2] for y in range(2))
+    stream = zlib.compress(raw)
+    truncated = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", _ihdr(2, 2))
+        + _chunk(b"IDAT", stream[:-4])
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="wrong length|truncated"):
+        png_decode(truncated)
+    # sanity: the untruncated stream decodes fine
+    ok = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", _ihdr(2, 2))
+        + _chunk(b"IDAT", stream)
+        + _chunk(b"IEND", b"")
+    )
+    assert png_decode(ok) == (2, 2, 1, pixels)
+
+
+def test_rejects_truncated_ihdr():
+    bad = PNG_SIGNATURE + _chunk(b"IHDR", _ihdr(2, 2)[:9])
+    with pytest.raises(ValueError, match="malformed IHDR"):
+        png_decode(bad)
+
+
+def test_corrupt_body_routes_to_stub_not_task_death():
+    # valid signature + IHDR, garbage IDAT bytes: png_decode raises
+    # ValueError, and _image_decode must route to the stub
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        _image_decode,
+        _stub_decode,
+    )
+
+    corrupt = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", _ihdr(4, 4, color_type=2))
+        + _chunk(b"IDAT", b"\xde\xad\xbe\xef" * 8)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        png_decode(corrupt)
+    out = _image_decode(corrupt, "image/png")
+    assert out == _stub_decode(corrupt, "image/png")
+    # the bomb also routes to the stub on the pure-codec path (Pillow,
+    # when present, may decode or apply its own bomb guard — either way
+    # _image_decode must return a 16-float feature, never raise)
+    from hpc_hd_textreuse_etl_spark.operators import multimodal as mm
+
+    bomb = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", _ihdr(2, 2))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+        + _chunk(b"IEND", b"")
+    )
+    out2 = _image_decode(bomb, "image/png")
+    assert len(out2["feature"]) == 16
+    if mm._PILImage is None:
+        assert out2 == _stub_decode(bomb, "image/png")
+
+
+def test_extract_features_survives_corrupt_payloads(spark):
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import extract_features
+
+    good = png_encode(4, 4, 3, _checker(4, 4, 3))
+    corrupt = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", _ihdr(4, 4, color_type=2))
+        + _chunk(b"IDAT", b"\xde\xad\xbe\xef" * 8)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "image", "image/png", 4, 4, None, bytearray(good)),
+            (2, "image", "image/png", 4, 4, None, bytearray(corrupt)),
+        ],
+        "media_id long, modality string, mime string, width int, height int, "
+        "duration_ms int, payload binary",
+    )
+    rows = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert len(rows) == 2  # the corrupt row survived via the stub
+    assert len(rows[1]["feature"]) == 16 and len(rows[2]["feature"]) == 16
+
+
 # --- property: arbitrary pixel buffers round-trip ---------------------------
 
 from hypothesis import given, settings  # noqa: E402

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import contextlib
 import datetime
 
 import pyspark.sql.functions as F
@@ -151,14 +152,45 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     assert latest[1].stage == 3 and latest[2].stage == 1 and latest[3].stage == 0
 
 
-def test_streaming_funnel_restart_resumes_checkpointed_state(spark, tmp_path):
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextlib.contextmanager
+def _state_store_provider(spark, provider):
+    """Config-only provider swap (read at query start from the session
+    conf): 'default' leaves the HDFS-backed provider in place, 'rocksdb'
+    pins RocksDBStateStoreProvider — the provider a production cluster
+    runs, where state lives off-heap and survives executor GC pressure."""
+    if provider == "default":
+        yield
+        return
+    before = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if before is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, before)
+
+
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_streaming_funnel_restart_resumes_checkpointed_state(
+    spark, tmp_path, provider
+):
     """Kill-and-restart soak: run the stateful funnel over two batches,
     stop the query, append two more batches, start a NEW query on the
     same checkpoint + file sink. The checkpointed per-user state must
     resume (steps bound before the restart are not re-emitted or
     rebound; batches processed before the restart are not replayed into
     the sink) and the final state must equal the batch twin over the
-    full log."""
+    full log. Runs under BOTH state-store providers: the RocksDB leg
+    proves the applyInPandasWithState state schema round-trips through
+    the off-heap store and its changelog across a restart."""
     from hpc_hd_textreuse_etl_spark.operators.funnel import funnel
     from hpc_hd_textreuse_etl_spark.streaming.events import EVENT_SCHEMA
     from hpc_hd_textreuse_etl_spark.streaming.stateful import streaming_funnel
@@ -208,11 +240,12 @@ def test_streaming_funnel_restart_resumes_checkpointed_state(spark, tmp_path):
         q.awaitTermination()
         q.stop()
 
-    write_batches(run1, 0)
-    run_query()
-    rows_run1 = spark.read.parquet(sink).collect()
-    write_batches(run2, 2)
-    run_query()  # fresh query object, same checkpoint: must resume
+    with _state_store_provider(spark, provider):
+        write_batches(run1, 0)
+        run_query()
+        rows_run1 = spark.read.parquet(sink).collect()
+        write_batches(run2, 2)
+        run_query()  # fresh query object, same checkpoint: must resume
 
     log = spark.read.parquet(sink).collect()
     # no replay: run 2 appended only progressions caused by NEW events
@@ -245,7 +278,8 @@ def test_streaming_funnel_restart_resumes_checkpointed_state(spark, tmp_path):
     assert latest[1].t1 == t1_run1.t1 and latest[1].t2 == t1_run1.t2
 
 
-def test_streaming_dedup_restart_remembers_seen_ids(spark, tmp_path):
+@pytest.mark.parametrize("provider", ["default", "rocksdb"])
+def test_streaming_dedup_restart_remembers_seen_ids(spark, tmp_path, provider):
     """State-resume proof for the dedup operator: an id emitted before
     the restart arrives again after it and must NOT be re-emitted."""
     from hpc_hd_textreuse_etl_spark.streaming.events import EVENT_SCHEMA
@@ -276,15 +310,16 @@ def test_streaming_dedup_restart_remembers_seen_ids(spark, tmp_path):
         q.stop()
 
     rows1 = [(1, base, 1, "click", 1.0), (2, base + datetime.timedelta(seconds=5), 1, "click", 1.0)]
-    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "b0"))
-    run_query()
-    # after restart: id 1 again (must be suppressed by restored state) + new id 3
     rows2 = [
         (1, base + datetime.timedelta(seconds=30), 1, "click", 1.0),
         (3, base + datetime.timedelta(seconds=35), 1, "click", 1.0),
     ]
-    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "b1"))
-    run_query()
+    with _state_store_provider(spark, provider):
+        spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "b0"))
+        run_query()
+        # after restart: id 1 again (must be suppressed by restored state) + new id 3
+        spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "b1"))
+        run_query()
 
     got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
     assert got == [1, 2, 3]

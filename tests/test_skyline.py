@@ -163,6 +163,35 @@ def test_anticorrelated_contraction_fallback(spark):
     assert got == _brute_skyline(rows, ["d0", "d1"], ["min", "min"])
 
 
+def test_budget_exhausted_raises_instead_of_broadcasting(spark):
+    """Contraction budget exhausted with the candidate set still over
+    the broadcast cap: the operator must refuse loudly (ValueError),
+    not broadcast an oversized set — the round-5 guard at
+    skyline.py:164-176."""
+    n = 200  # anti-diagonal: every point survives every local prune
+    rows = [(i, float(i), float(n - i)) for i in range(n)]
+    df = _df(spark, rows, 2).repartition(16)
+    with pytest.raises(ValueError, match="contractions"):
+        pareto_frontier(
+            df,
+            ["d0", "d1"],
+            ["min", "min"],
+            max_broadcast_candidates=10,
+            max_contractions=0,
+        )
+    # one contraction (16 → 2 partitions) still can't shrink the
+    # anti-diagonal below the cap and doesn't bottom out at a single
+    # partition — must raise rather than fall through
+    with pytest.raises(ValueError, match="contractions"):
+        pareto_frontier(
+            df,
+            ["d0", "d1"],
+            ["min", "min"],
+            max_broadcast_candidates=10,
+            max_contractions=1,
+        )
+
+
 def test_contraction_matches_default_path(spark):
     """Mixed data: forcing contraction must not change the answer vs the
     ordinary broadcast-verify path."""

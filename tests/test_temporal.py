@@ -413,7 +413,7 @@ def test_gapfill_guard_handles_empty_and_bad_step(spark):
         ).count()
         == 0
     )
-    with pytest.raises(ValueError, match="positive"):
+    with pytest.raises(ValueError, match="interval literal"):
         gapfill_buckets(
             _gapfill_input(spark),
             "bucket",
@@ -421,3 +421,35 @@ def test_gapfill_guard_handles_empty_and_bad_step(spark):
             {"total": F.sum("v")},
             step="interval -1 day",
         )
+
+
+@pytest.mark.parametrize("allow_dense", [False, True])
+def test_gapfill_step_validated_in_both_modes(spark, allow_dense):
+    """The step gate must run even under allow_dense_grid=True: the
+    string is interpolated into SQL, so injection/typos and negative
+    or zero widths are refused before any plan is built."""
+    df = _gapfill_input(spark)
+
+    def call(step):
+        return gapfill_buckets(
+            df,
+            "bucket",
+            ["g"],
+            {"total": F.sum("v")},
+            step=step,
+            allow_dense_grid=allow_dense,
+        )
+
+    for bad in (
+        "interval -1 day",            # negative
+        "1 day",                      # missing keyword
+        "interval 1 fortnight",       # unknown unit
+        "interval 1 day); DROP --",   # injection shape
+        "interval '1' day",           # quoted form not in the strict gate
+    ):
+        with pytest.raises(ValueError, match="interval literal"):
+            call(bad)
+    with pytest.raises(ValueError, match="positive"):
+        call("interval 0 days")
+    # well-formed multi-term literal passes in both modes
+    assert call("interval 1 day 0 hours").count() == 8
