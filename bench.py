@@ -36,9 +36,12 @@ from hpc_hd_textreuse_etl_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # SPARK_GRAFT_MASTER overrides the master, e.g. local-cluster[2,8,4096]
+    # to bench across real executor process boundaries
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     spark = get_spark(
         app_name="bench",
-        master=f"local[{cpus}]",
+        master=master,
         shuffle_partitions=cpus,
     )
     names = [n for n, s in QUERIES.items() if s.bench]
@@ -75,6 +78,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "repeats": repeats,
+                "master": master,
                 "loadavg_pre": loadavg_pre,
                 "loadavg_post": loadavg_post,
                 "cpus": cpus,

@@ -32,6 +32,13 @@ def main() -> int:
         default=os.path.join(os.path.dirname(os.path.dirname(__file__)), "CORRECTNESS_SELF.json"),
     )
     ap.add_argument("--only", default="", help="comma-separated query subset")
+    ap.add_argument(
+        "--master",
+        default="",
+        help="Spark master override, e.g. local-cluster[2,8,4096] to gate "
+             "the registry across REAL executor process boundaries "
+             "(serialized tasks, per-executor broadcast, no shared JVM)",
+    )
     args = ap.parse_args()
 
     from hpc_hd_textreuse_etl_spark.plans.queries import QUERIES
@@ -39,7 +46,8 @@ def main() -> int:
     from tests.oracle_utils import duckdb_connection, normalized_rows
 
     spark = get_spark(
-        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]",
+        master=args.master
+        or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "16")),
     )
     con = duckdb_connection(args.sf_dir)

@@ -49,6 +49,28 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, "scale_data", "sf1")
 SF10 = os.path.join(REPO, "scale_data", "sf10")
+SKEW = os.path.join(REPO, "scale_data", "skew")
+ORGANIC = os.path.join(REPO, "scale_data", "sf1_organic")
+
+#: Zipf-shaped hot-key tiers for ``--generate-skew``: (cumulative ‰
+#: threshold, hot-key rank). Rank 0 absorbs 20% of all rows, rank 1
+#: 10%, rank 2 5% — the viral-quote shape of the reference's reception
+#: fan-out (a few clusters dominate edge counts,
+#: /root/reference/etl_textreuse/assets/reception.py:56-61).
+SKEW_TIERS = ((200, 0), (300, 1), (350, 2))
+
+#: queries measured by ``--skew`` — the four families round 4 asked for
+#: (reception join fan-out, coverage pair windows, CDC latest-pick,
+#: funnel fold) plus sessionization (worst window skew) and WAU as the
+#: skew-insensitive control.
+SKEW_QUERIES = (
+    "order_reception_edges",
+    "pair_coverage",
+    "user_sessions",
+    "cdc_latest_events",
+    "purchase_funnel",
+    "weekly_active_users",
+)
 
 #: the deep rung runs only the shuffle/compute-heavy queries whose
 #: sf0.1 wall is NOT overhead-dominated — a third decade of data for
@@ -98,6 +120,246 @@ def _trans_dst(r: int) -> str:
         + rot("shrdlu", (r // 5) % 6)
         + rot("tnclmw", (r // 30) % 6)
     )
+
+
+def _zipf_hot_key(key_col: str, unique_col: str, hot_keys: list[int], seed: int):
+    """CASE expression funneling a Zipf-shaped share of rows to a few
+    hot keys: a deterministic per-row coin (xxhash64 of the row's unique
+    id) lands in SKEW_TIERS' cumulative ranges. Rows outside the tiers
+    keep their original key."""
+    coin = F.pmod(F.xxhash64(F.col(unique_col), F.lit(seed)), F.lit(1000))
+    expr = F.col(key_col)
+    for threshold, rank in reversed(SKEW_TIERS):
+        lo = 0 if rank == 0 else SKEW_TIERS[rank - 1][0]
+        expr = F.when(
+            (coin >= lo) & (coin < threshold), F.lit(hot_keys[rank])
+        ).otherwise(expr)
+    return expr
+
+
+def generate_skew(spark, out_dir: str, replicas: int) -> None:
+    """sf1-scale data with Zipfian hot keys: rank-0 customer holds ~20%
+    of all orders and rank-0 user ~20% of all events (ranks 1/2 take
+    10%/5%) — the shape under which uniform-key ladders lie about
+    reception fan-out, sessionization windows, CDC latest-picks and
+    funnel folds. Hot keys are EXISTING keys (the three smallest), so
+    every dimension join still resolves."""
+    from hpc_hd_textreuse_etl_spark.catalog import load_table
+
+    generate(spark, out_dir, replicas)
+    for table, key_col, unique_col, seed in (
+        ("orders", "o_custkey", "o_orderkey", 7),
+        ("events", "user_id", "event_id", 11),
+    ):
+        df = load_table(spark, out_dir, table, register_view=False)
+        hot_keys = [
+            r[0]
+            for r in df.select(key_col).distinct().orderBy(key_col).limit(3).collect()
+        ]
+        skewed = df.withColumn(
+            key_col, _zipf_hot_key(key_col, unique_col, hot_keys, seed)
+        )
+        tmp = os.path.join(out_dir, f"{table}.parquet.skewtmp")
+        # many part files, deliberately: AQE's skew split subdivides a
+        # hot reduce partition at MAPPER granularity — a single-file
+        # single-row-group table gives it exactly one mapper and makes
+        # the hot partition unsplittable, a layout no 100 TB table has
+        skewed.repartition(32).write.mode("overwrite").parquet(tmp)
+        final = os.path.join(out_dir, f"{table}.parquet")
+        import shutil
+
+        shutil.rmtree(final)
+        os.rename(tmp, final)
+        print(f"skewed {table}.{key_col} → hot keys {hot_keys}", flush=True)
+
+
+def generate_organic(spark, out_dir: str, factor: int = 10) -> None:
+    """Organic (non-replicated) sf1: every fact table grows ``factor``×
+    by SAMPLING template rows with replacement and re-keying surrogate
+    keys into fresh contiguous ranges — no replica block structure.
+
+    What this changes vs ``generate()``'s replication: per-entity
+    cardinalities become organic (a customer's order count is
+    Binomial-sampled around the old mean instead of an exact copy of
+    one sf0.1 customer's history; session lengths, lines-per-order and
+    near-dup family sizes likewise), while marginal distributions are
+    preserved exactly (attributes come from empirical resampling).
+    Everything is hash-deterministic and runs as one distributed
+    range→join pass per table — no collected data, no driver loops.
+
+    Per-table key semantics:
+    - customer/supplier/part: new key = row id + 1; attributes from a
+      hash-picked template row.
+    - orders: new o_orderkey contiguous; o_custkey hash-uniform over the
+      NEW customer range (organic per-customer order counts).
+    - lineitem: each new order inherits its TEMPLATE order's full line
+      group (empirical lines-per-order and quantity/price marginals),
+      re-keyed to the new orderkey with hash-uniform part/supp keys.
+    - events: user_id hash-uniform over the scaled user range — organic
+      per-user event counts and session shapes; ts/type/value/props
+      resampled empirically.
+    - documents: template text under a hash-picked vowel/consonant
+      permutation (same 180-permutation family as ``generate()``): a
+      pair of new docs is a near-duplicate iff their templates were AND
+      their permutations collide, so family COUNT scales and family
+      SIZE stays organic.
+    - embeddings: template vector with a per-id deterministic sign-flip
+      pattern — norms preserved, cross-sample cosine collapses.
+    """
+    from pyspark.sql import Window
+
+    from hpc_hd_textreuse_etl_spark.catalog import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    loaded = {t: load_table(spark, SF01, t, register_view=False) for t in FACT_TABLES}
+    counts = {t: loaded[t].count() for t in FACT_TABLES}
+    n_users = loaded["events"].agg(F.max("user_id")).first()[0] + 1
+
+    for t in DIM_TABLES:
+        load_table(spark, SF01, t, register_view=False).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+    def indexed(table: str, order_cols: list[str]):
+        w = Window.orderBy(*order_cols)
+        return loaded[table].withColumn("__idx", F.row_number().over(w) - 1)
+
+    def sampled(table: str, order_cols: list[str], seed: int):
+        """spark.range(factor×n) hash-joined to the indexed template
+        table: row i inherits template pmod(xxhash64(i, seed), n)."""
+        n = counts[table]
+        base = spark.range(n * factor).select(
+            F.col("id").alias("__new"),
+            F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n)).alias("__t"),
+        )
+        tmpl = indexed(table, order_cols)
+        return base.join(tmpl, base["__t"] == tmpl["__idx"]).drop("__t", "__idx")
+
+    def key_uniform(seed: int, domain: int):
+        return (F.pmod(F.xxhash64("__new", F.lit(seed)), F.lit(domain)) + 1).cast("long")
+
+    # --- entity tables: fresh contiguous keys, resampled attributes ---
+    for table, key_col, order_cols, seed in (
+        ("customer", "c_custkey", ["c_custkey"], 101),
+        ("supplier", "s_suppkey", ["s_suppkey"], 103),
+        ("part", "p_partkey", ["p_partkey"], 107),
+    ):
+        df = sampled(table, order_cols, seed).withColumn(
+            key_col, (F.col("__new") + 1).cast("long")
+        )
+        df.select(*loaded[table].columns).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+        print(f"organic {table} ×{factor}", flush=True)
+
+    # --- orders + the (new orderkey → template orderkey) mapping ---
+    orders = (
+        sampled("orders", ["o_orderkey"], 109)
+        .withColumn("__tmpl_orderkey", F.col("o_orderkey"))
+        .withColumn("o_orderkey", (F.col("__new") + 1).cast("long"))
+        .withColumn("o_custkey", key_uniform(113, counts["customer"] * factor))
+    )
+    orders.persist()
+    orders.select(*loaded["orders"].columns).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+    print(f"organic orders ×{factor}", flush=True)
+
+    # --- lineitem: inherit the template order's line group ---
+    li = loaded["lineitem"]
+    mapping = orders.select("o_orderkey", "__tmpl_orderkey")
+    lineitem = (
+        mapping.join(li, mapping["__tmpl_orderkey"] == li["l_orderkey"])
+        .drop("l_orderkey", "__tmpl_orderkey")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .withColumn(
+            "l_partkey",
+            (
+                F.pmod(
+                    F.xxhash64("l_orderkey", "l_linenumber", F.lit(127)),
+                    F.lit(counts["part"] * factor),
+                )
+                + 1
+            ).cast("long"),
+        )
+        .withColumn(
+            "l_suppkey",
+            (
+                F.pmod(
+                    F.xxhash64("l_orderkey", "l_linenumber", F.lit(131)),
+                    F.lit(counts["supplier"] * factor),
+                )
+                + 1
+            ).cast("long"),
+        )
+    )
+    lineitem.select(*li.columns).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+    orders.unpersist()
+    print(f"organic lineitem ×{factor}", flush=True)
+
+    # --- events: organic per-user histories ---
+    events = (
+        sampled("events", ["event_id"], 137)
+        .withColumn("event_id", (F.col("__new") + 1).cast("long"))
+        .withColumn("user_id", key_uniform(139, n_users * factor))
+    )
+    events.select(*loaded["events"].columns).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    print(f"organic events ×{factor}", flush=True)
+
+    # --- documents: template text under a hash-picked permutation ---
+    # the 180-permutation family factors into three disjoint rotation
+    # groups (5×6×6), so instead of a 180-branch CASE (codegen killer)
+    # three sequential translates with 5/6/6 branches compose the same
+    # permutation — the groups touch disjoint character sets.
+    perm = F.pmod(F.xxhash64("__new", F.lit(149)), F.lit(180))
+
+    def _rot(s: str, k: int) -> str:
+        k %= len(s)
+        return s[k:] + s[:k]
+
+    text = F.col("text")
+    for group, selector in (
+        ("aeiou", perm % 5),
+        ("shrdlu", (perm / 5).cast("int") % 6),
+        ("tnclmw", (perm / 30).cast("int") % 6),
+    ):
+        rotated = text
+        for k in range(1, len(group)):
+            rotated = F.when(
+                selector == k, F.translate(text, group, _rot(group, k))
+            ).otherwise(rotated)
+        text = rotated
+    documents = (
+        sampled("documents", ["doc_id"], 151)
+        .withColumn("doc_id", (F.col("__new") + 1).cast("long"))
+        .withColumn("text", text)
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    documents.select(*loaded["documents"].columns).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    print(f"organic documents ×{factor}", flush=True)
+
+    # --- embeddings: per-id sign-flip of a template vector ---
+    embeddings = (
+        sampled("embeddings", ["vec_id"], 157)
+        .withColumn("vec_id", (F.col("__new") + 1).cast("long"))
+        .withColumn(
+            "embedding",
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN"
+                " pmod(xxhash64(__new, i, 163), 2) = 0 THEN x ELSE -x END)"
+            ),
+        )
+    )
+    embeddings.select(*loaded["embeddings"].columns).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    print(f"organic embeddings ×{factor}", flush=True)
 
 
 def generate(spark, out_dir: str, replicas: int) -> None:
@@ -177,6 +439,16 @@ RUNGS = (
     ("sf0.01", "/root/testdata/sf0.01", 0.01),
     ("sf0.1", SF01, 0.1),
     ("sf1", SF1, 1.0),
+)
+
+#: organic ladder: the top rung is the non-replicated sampler's output
+#: (``--generate-organic``) — organic per-entity cardinalities instead
+#: of replica blocks, so the fitted exponents cannot be flattered by
+#: replication structure.
+ORGANIC_RUNGS = (
+    ("sf0.01", "/root/testdata/sf0.01", 0.01),
+    ("sf0.1", SF01, 0.1),
+    ("sf1", ORGANIC, 1.0),
 )
 
 
@@ -260,6 +532,254 @@ def run(spark, out_path: str, rungs=RUNGS, only=None) -> None:
     }))
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def _conf(spark, kv: dict):
+    old = {k: spark.conf.get(k, None) for k in kv}
+    for k, v in kv.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _timed_counts(build, repeats: int = 2) -> tuple[float, str]:
+    """Execute ``build()`` via an all-columns count aggregate (keeps
+    every column alive through joins so skew byte thresholds see the
+    real shuffle) and return (best wall seconds, FINAL adaptive plan
+    string). ``build`` is a zero-arg DataFrame factory: each repeat gets
+    a FRESH plan — re-collecting one DataFrame would let the DAG
+    scheduler skip every stage whose shuffle files survive, timing only
+    the final stage. One untimed warm-up first so the A/B legs don't
+    charge cold page cache / codegen to whichever runs first."""
+
+    def counted():
+        df = build()
+        return df.agg(
+            *[F.count(c).alias(f"__c{i}") for i, c in enumerate(df.columns)]
+        )
+
+    counted().collect()  # warm-up
+    best = float("inf")
+    out = None
+    for _ in range(repeats):
+        out = counted()
+        t0 = time.perf_counter()
+        out.collect()
+        best = min(best, time.perf_counter() - t0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    return best, plan.split("== Initial Plan ==")[0]
+
+
+#: thresholds for the local skew-split demo: the MECHANISM is what is
+#: under test — at 100 TB the default 256 MB skewedPartitionThreshold
+#: triggers on real viral-quote partitions; at local sf1 the hot
+#: partition is a few MB, so the thresholds scale down proportionally
+#: (factor 2 over median, 1 MB absolute, 512 KB advisory target).
+_SKEW_DEMO_CONF = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # the 100 TB SMJ path
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1m",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512k",
+}
+
+
+def run_skew(spark, out_path: str) -> None:
+    """Measure the Zipf-skewed rung (``--generate-skew`` output) against
+    the uniform sf1 rung, then demonstrate and ASSERT the two skew
+    mitigations: AQE skew-join splitting on the reception fan-out join,
+    and the salted two-phase latest-pick where AQE cannot help (window
+    aggregation skew). Writes SCALE_SKEW.json; exits nonzero if the AQE
+    split does not materialize or the salted pick diverges."""
+    from hpc_hd_textreuse_etl_spark.catalog import load_table
+    from hpc_hd_textreuse_etl_spark.plans.queries import QUERIES
+
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    timings: dict[str, dict] = {}
+    for label, sf_dir in (("uniform", SF1), ("skew", SKEW)):
+        QUERIES[SKEW_QUERIES[0]].builder(spark, sf_dir).count()  # warm
+        for name in SKEW_QUERIES:
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                QUERIES[name].builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            timings.setdefault(name, {})[f"{label}_sec"] = round(best, 3)
+            print(f"{label} {name}: {best:.2f}s", flush=True)
+    for name, rec in timings.items():
+        rec["skew_over_uniform"] = round(
+            rec["skew_sec"] / max(rec["uniform_sec"], 1e-9), 2
+        )
+
+    failures = []
+    demo: dict[str, dict] = {}
+    from hpc_hd_textreuse_etl_spark.catalog import load_table as _lt
+
+    # --- mechanism 1: AQE skew-join split, clean join shape ---
+    # (orders ⋈ customer on the Zipf-hot custkey — both SMJ children are
+    # Sort→shuffle reads, the shape OptimizeSkewedJoin CAN split. Found
+    # while building this rung: the split subdivides a hot reduce
+    # partition at MAPPER granularity, so the generator writes 32 part
+    # files — a single-file table makes hot partitions unsplittable, a
+    # layout no 100 TB table has.)
+    orders = _lt(spark, SKEW, "orders", register_view=False)
+    cust = _lt(spark, SKEW, "customer", register_view=False)
+
+    def dim_join():
+        return orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+
+    with _conf(spark, _SKEW_DEMO_CONF):
+        on_sec, on_plan = _timed_counts(dim_join)
+        with _conf(spark, {"spark.sql.adaptive.skewJoin.enabled": "false"}):
+            off_sec, _ = _timed_counts(dim_join)
+    split = "skew=true" in on_plan and "AQEShuffleRead skewed" in on_plan
+    demo["dim_join_aqe_skew_split"] = {
+        "skewjoin_on_sec": round(on_sec, 3),
+        "skewjoin_off_sec": round(off_sec, 3),
+        "aqe_marked_skew": split,
+        "note": "SortMergeJoin(skew=true) + AQEShuffleRead skewed asserted "
+                "in the final adaptive plan; broadcast disabled to exercise "
+                "the at-scale SMJ path; thresholds scaled to local bytes "
+                "(defaults are sized for production partitions)",
+    }
+    if not split:
+        failures.append("AQE did not mark the dim join skewed")
+    print(f"dim join SMJ: skewJoin on {on_sec:.2f}s / off {off_sec:.2f}s "
+          f"(split={split})", flush=True)
+
+    # --- mechanism 2: the reception fan-out is STRUCTURALLY outside ---
+    # AQE skew handling: its final join consumes the earliest-side
+    # window output directly (no fresh exchange between Window and
+    # SortMergeJoin), and OptimizeSkewedJoin only splits joins whose
+    # children read plain shuffles. Mitigations, both measured: the
+    # default broadcast of the small earliest side (Catalyst picks it
+    # unhinted), and functions/skew.salted_join when the earliest side
+    # outgrows broadcast.
+    from hpc_hd_textreuse_etl_spark.functions.skew import salted_join
+    from hpc_hd_textreuse_etl_spark.operators.reception import (
+        earliest_in_group,
+        non_source_members,
+    )
+
+    members = orders.select("o_custkey", "o_orderkey", "o_orderdate")
+    earliest = earliest_in_group(members, ["o_custkey"], "o_orderdate")
+    non_source = non_source_members(
+        members, earliest.select("o_orderkey"), ["o_orderkey"]
+    )
+    src = earliest.select("o_custkey", F.col("o_orderkey").alias("src_key"))
+    dst = non_source.select("o_custkey", F.col("o_orderkey").alias("dst_key"))
+
+    legs: dict[str, float] = {}
+    bcast_sec, _ = _timed_counts(lambda: src.join(dst, "o_custkey"))
+    legs["broadcast_default"] = round(bcast_sec, 3)
+    with _conf(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
+        plain_sec, _ = _timed_counts(lambda: src.join(dst, "o_custkey"))
+        salted_sec, _ = _timed_counts(
+            lambda: salted_join(dst, src, ["o_custkey"], buckets=16)
+        )
+        n_plain = src.join(dst, "o_custkey").count()
+        n_salted = salted_join(dst, src, ["o_custkey"], buckets=16).count()
+    legs["plain_smj_sec"] = round(plain_sec, 3)
+    legs["salted_join_sec"] = round(salted_sec, 3)
+    demo["reception_fanout"] = {
+        **legs,
+        "rows_equal": n_plain == n_salted,
+        "note": "window-fed join: AQE skew split structurally inapplicable "
+                "(no plain shuffle read under the join); broadcast is the "
+                "default mitigation, salted_join the broadcast-impossible one",
+    }
+    if n_plain != n_salted:
+        failures.append("salted reception join row count diverged")
+    print(f"reception: broadcast {bcast_sec:.2f}s / plain SMJ {plain_sec:.2f}s"
+          f" / salted {salted_sec:.2f}s", flush=True)
+
+    # --- mechanism 3: salted latest-pick where AQE cannot split ---
+    # (window/aggregation skew). Measured at TWO hot-partition sizes
+    # (~40k and ~400k rows): the plain window wins BOTH locally — a
+    # single-task sort of 400k rows is cheap, while salting pays a
+    # second full shuffle. The artifact records that honestly: the
+    # salted path is the escape hatch for hot partitions that outgrow a
+    # TASK (multi-GB keys → spill/OOM/straggler), not a local-scale win.
+    from hpc_hd_textreuse_etl_spark.operators.cdc import latest_by_key
+
+    ev = _lt(spark, SKEW, "events", register_view=False).withColumn(
+        "__del", F.col("value") > 9.0
+    )
+    hot10 = ev.where(F.col("user_id") < 3).crossJoin(
+        spark.range(10).select(F.col("id").alias("__rep"))
+    ).withColumn(
+        "event_id", F.col("event_id") * 10 + F.col("__rep")
+    ).drop("__rep").unionByName(ev.where(F.col("user_id") >= 3))
+
+    cdc_demo: dict[str, dict] = {}
+    for scale_label, data in (("sf1", ev), ("hot10x", hot10)):
+        sizes = {}
+        for leg, kwargs in (("window", {}), ("salted", {"salted_buckets": 32})):
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                latest_by_key(
+                    data, ["user_id", "event_type"], ["ts", "event_id"],
+                    delete_col="__del", **kwargs,
+                ).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            sizes[f"{leg}_sec"] = round(best, 3)
+        cdc_demo[scale_label] = sizes
+        print(f"latest_by_key[{scale_label}]: {sizes}", flush=True)
+    plain = latest_by_key(ev, ["user_id", "event_type"], ["ts", "event_id"],
+                          delete_col="__del")
+    salted = latest_by_key(ev, ["user_id", "event_type"], ["ts", "event_id"],
+                           delete_col="__del", salted_buckets=32)
+    diverged = (
+        salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+    )
+    demo["cdc_salted_latest_pick"] = {
+        **cdc_demo,
+        "result_diverged_rows": diverged,
+        "note": "two-phase max-struct via functions/skew.with_salt; window "
+                "skew is invisible to AQE skew-join handling. Honest local "
+                "reading: the window path wins at BOTH measured hot sizes "
+                "(one-task sorts of <=400k rows are cheap; salting pays a "
+                "second full shuffle) — salted_buckets is the escape hatch "
+                "for hot partitions that outgrow a task, not a default",
+    }
+    if diverged:
+        failures.append(f"salted latest-pick diverged by {diverged} rows")
+
+    payload = {
+        "shape": "Zipf hot keys: rank0=20%/rank1=10%/rank2=5% of orders "
+                 "(o_custkey) and events (user_id) at sf1 scale",
+        "queries": timings,
+        "mechanisms": demo,
+        "residual_skew_notes": {
+            "purchase_funnel": "per-user fold is inherently sequential; the "
+                "hot user's events collapse into one collect_list task — "
+                "mitigation is the streaming stateful funnel (bounded state "
+                "per trigger), not salting",
+            "user_sessions": "sessionization windows are order-dependent per "
+                "user; a hot user is a straggler by semantics — pre-split by "
+                "time bucket only if session boundaries allow",
+            "pair_coverage": "hot user spreads over its (trs1,trs2) PAIRS, so "
+                "the pair-keyed exchange self-salts; ratio stays near the "
+                "data-growth ratio",
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({"skew_failures": failures}))
+    if failures:
+        raise SystemExit(1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--generate", action="store_true")
@@ -268,6 +788,15 @@ def main() -> None:
                     help="build the 100× sf10 set")
     ap.add_argument("--deep", action="store_true",
                     help="run the heavy-query subset at sf0.1/1/10")
+    ap.add_argument("--generate-skew", action="store_true",
+                    help="build the Zipf-hot-key sf1 variant")
+    ap.add_argument("--skew", action="store_true",
+                    help="measure skewed vs uniform + skew mitigations")
+    ap.add_argument("--skew-out", default=os.path.join(REPO, "SCALE_SKEW.json"))
+    ap.add_argument("--generate-organic", action="store_true",
+                    help="build the organic (sampled, non-replicated) sf1 set")
+    ap.add_argument("--run-organic", action="store_true",
+                    help="re-fit the ladder with the organic sf1 top rung")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_LADDER.json"))
     ap.add_argument("--deep-out", default=os.path.join(REPO, "SCALE_DEEP.json"))
@@ -287,10 +816,18 @@ def main() -> None:
         generate(spark, SF1, args.replicas)
     if args.generate_deep:
         generate(spark, SF10, 100)
+    if args.generate_skew:
+        generate_skew(spark, SKEW, args.replicas)
+    if args.generate_organic:
+        generate_organic(spark, ORGANIC, args.replicas)
     if args.run:
         run(spark, args.out)
+    if args.run_organic:
+        run(spark, args.out, rungs=ORGANIC_RUNGS)
     if args.deep:
         run(spark, args.deep_out, rungs=DEEP_RUNGS, only=DEEP_QUERIES)
+    if args.skew:
+        run_skew(spark, args.skew_out)
     spark.stop()
 
 

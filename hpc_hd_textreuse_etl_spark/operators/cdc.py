@@ -40,19 +40,61 @@ def latest_by_key(
     key_cols: Sequence[str],
     order_cols: Sequence[str],
     delete_col: str | None = None,
+    salted_buckets: int | None = None,
 ) -> DataFrame:
     """Last row per key under ``ORDER BY order_cols DESC``. The caller
     must make the order a total order per key (append a unique id as the
     final order column); a non-total order would make the winner
     partition-layout-dependent. If ``delete_col`` names a boolean
-    tombstone column, keys whose *latest* row is a delete vanish."""
+    tombstone column, keys whose *latest* row is a delete vanish.
+
+    ``salted_buckets``: skew escape hatch. The default window puts every
+    row of a key in ONE task — a hot key (one entity producing 20% of
+    the changelog) becomes a straggler that AQE cannot split (skew-join
+    handling covers joins, not windows). With ``salted_buckets=N`` the
+    pick runs as a two-phase MAX over ``struct(order_cols…, payload)``
+    on (key, salt) then (key) — hot keys spread over N tasks, and
+    because the caller already guarantees a total order, the struct max
+    picks the identical winner (payload fields are never consulted:
+    comparison is decided by the order columns). Requirements the
+    salted path enforces: no map-typed columns (structs containing maps
+    are not orderable) — and order columns must be non-null, which a
+    total order implies."""
     keys = list(key_cols)
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
-    latest = (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    if salted_buckets:
+        from hpc_hd_textreuse_etl_spark.functions.skew import with_salt
+
+        payload_cols = [c for c in df.columns if c not in keys]
+        for f in df.schema.fields:
+            if f.name in payload_cols and "map" in f.dataType.typeName():
+                raise ValueError(
+                    f"salted latest_by_key cannot order map-typed column "
+                    f"{f.name!r}; drop it or use the window path"
+                )
+        packed = F.struct(
+            *[F.col(c) for c in order_cols],
+            F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
+        )
+        salted = with_salt(df.withColumn("__packed", packed), keys, salted_buckets)
+        partial = salted.groupBy(*keys, "__salt").agg(
+            F.max("__packed").alias("__packed")
+        )
+        winner = partial.groupBy(*keys).agg(F.max("__packed").alias("__packed"))
+        latest = winner.select(
+            *[
+                F.col(c) if c in keys else F.col(f"__packed.__payload.{c}").alias(c)
+                for c in df.columns
+            ]
+        )
+    else:
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        latest = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     if delete_col is not None:
         latest = latest.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
             delete_col

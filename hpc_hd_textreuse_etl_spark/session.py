@@ -12,6 +12,8 @@ handling, partition coalescing) and Arrow for the Pandas-UDF path.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -20,6 +22,42 @@ DEFAULT_APP_NAME = "hpc-hd-textreuse-etl-spark"
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on EXECUTOR Python workers.
+
+    In ``local[N]`` the workers inherit the driver's sys.path, which
+    hides a real deployment bug: any closure that references a
+    module-level function (e.g. skyline's partition-local prune) is
+    cloudpickled BY REFERENCE and re-imported on the worker — on a real
+    cluster (or ``local-cluster[...]``, which spawns separate executor
+    JVMs + Python workers) that import fails with ModuleNotFoundError
+    unless the package is shipped. ``addPyFile`` with a zip of the
+    package is the mechanism that works without a shared filesystem;
+    it is idempotent per SparkContext and a no-op for pure local
+    masters."""
+    master = spark.sparkContext.master
+    if master.startswith("local[") or master == "local":
+        return
+    if getattr(spark.sparkContext, "_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="spark-pkg-"), "hpc_hd_textreuse_etl_spark.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    spark.sparkContext._pkg_shipped = True
 
 
 def get_spark(
@@ -74,4 +112,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark

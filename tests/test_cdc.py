@@ -49,6 +49,51 @@ def test_upsert_after_delete_resurrects_key(spark):
     assert [(r["k"], r["payload"]) for r in out] == [("a", "v3")]
 
 
+def test_salted_latest_matches_window_path(spark):
+    """The salted two-phase max-struct pick must return EXACTLY the
+    window path's rows on a hot-key changelog (one key with ~50% of
+    rows, composite keys, tombstones, hypothetical all-payload ties
+    excluded by the unique version column)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for ver in range(400):
+        k = "hot" if rng.random() < 0.5 else f"k{rng.randint(0, 20)}"
+        rows.append((k, ver, f"p{ver}", rng.random() < 0.1))
+    df = _changes(spark, rows).repartition(8)
+    for delete_col in (None, "deleted"):
+        plain = latest_by_key(df, ["k"], ["ver"], delete_col=delete_col)
+        salted = latest_by_key(
+            df, ["k"], ["ver"], delete_col=delete_col, salted_buckets=8
+        )
+        assert salted.columns == plain.columns
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_latest_rejects_map_columns(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, {"x": 1})], "k string, ver int, m map<string,int>"
+    )
+    with pytest.raises(ValueError, match="map"):
+        latest_by_key(df, ["k"], ["ver"], salted_buckets=4)
+
+
+def test_salted_latest_has_no_window_and_two_aggregates(spark):
+    """Plan shape: the salted path must contain NO Window operator (the
+    whole point) and exactly the two-phase aggregate pair."""
+    df = _changes(spark, [("a", 1, "x", False), ("a", 2, "y", False)])
+    plan = (
+        latest_by_key(df, ["k"], ["ver"], salted_buckets=4)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert plan.count("Aggregate") >= 2
+
+
 def test_latest_deterministic_under_repartition(spark):
     rows = [(f"k{i % 17}", i, f"p{i}", False) for i in range(500)]
     df = _changes(spark, rows)
