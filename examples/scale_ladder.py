@@ -199,10 +199,10 @@ def generate_organic(spark, out_dir: str, factor: int = 10) -> None:
       per-user event counts and session shapes; ts/type/value/props
       resampled empirically.
     - documents: template text under a hash-picked vowel/consonant
-      permutation (same 180-permutation family as ``generate()``): a
-      pair of new docs is a near-duplicate iff their templates were AND
-      their permutations collide, so family COUNT scales and family
-      SIZE stays organic.
+      permutation (a 180-member bijection family built from the same
+      rotation groups as ``generate()``): a pair of new docs is a
+      near-duplicate iff their templates were AND their permutations
+      collide, so family COUNT scales and family SIZE stays organic.
     - embeddings: template vector with a per-id deterministic sign-flip
       pattern — norms preserved, cross-sample cosine collapses.
     """
@@ -311,10 +311,15 @@ def generate_organic(spark, out_dir: str, factor: int = 10) -> None:
     print(f"organic events ×{factor}", flush=True)
 
     # --- documents: template text under a hash-picked permutation ---
-    # the 180-permutation family factors into three disjoint rotation
-    # groups (5×6×6), so instead of a 180-branch CASE (codegen killer)
-    # three sequential translates with 5/6/6 branches compose the same
-    # permutation — the groups touch disjoint character sets.
+    # 180 distinct deterministic char bijections built as three
+    # sequential group rotations (5×6×6 CASE branches instead of a
+    # 180-branch codegen killer). NOTE: this is NOT char-for-char the
+    # replicated generator's single-translate family — the groups
+    # overlap on 'u' and 'l', so composition order matters — but the
+    # property the dedup semantics need is identical and pytest-gated
+    # (tests/test_scale_generators.py): identity at perm 0, all 180
+    # compositions distinct and bijective, so two sampled docs are
+    # near-duplicates iff template AND permutation collide.
     perm = F.pmod(F.xxhash64("__new", F.lit(149)), F.lit(180))
 
     def _rot(s: str, k: int) -> str:
