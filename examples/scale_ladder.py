@@ -526,6 +526,7 @@ def run(spark, out_path: str, rungs=RUNGS, only=None) -> None:
         "note": "wall_ratio is the top-rung step (10× data); "
                 "wall_exponent is the log-log slope over all rungs; "
                 "see SCALE.md for per-query readings",
+        "loadavg": [round(v, 2) for v in os.getloadavg()],
         "queries": results,
     }
     with open(out_path, "w") as f:
@@ -763,6 +764,8 @@ def run_skew(spark, out_path: str) -> None:
     payload = {
         "shape": "Zipf hot keys: rank0=20%/rank1=10%/rank2=5% of orders "
                  "(o_custkey) and events (user_id) at sf1 scale",
+        "repeats": repeats,
+        "loadavg": [round(v, 2) for v in os.getloadavg()],
         "queries": timings,
         "mechanisms": demo,
         "residual_skew_notes": {

@@ -42,6 +42,15 @@ def _ship_package(spark: SparkSession) -> None:
         return
     if getattr(spark.sparkContext, "_pkg_shipped", False):
         return
+    spark.sparkContext.addPyFile(_build_package_zip())
+    spark.sparkContext._pkg_shipped = True
+
+
+def _build_package_zip() -> str:
+    """Zip every .py of this package (import-rooted, __pycache__
+    excluded) into a temp file suitable for ``addPyFile``. Split out of
+    :func:`_ship_package` so the completeness of the shipped artifact is
+    unit-testable without spawning executors."""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(
         tempfile.mkdtemp(prefix="spark-pkg-"), "hpc_hd_textreuse_etl_spark.zip"
@@ -56,8 +65,7 @@ def _ship_package(spark: SparkSession) -> None:
                 full = os.path.join(root, fname)
                 rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                 zf.write(full, rel)
-    spark.sparkContext.addPyFile(zip_path)
-    spark.sparkContext._pkg_shipped = True
+    return zip_path
 
 
 def get_spark(
