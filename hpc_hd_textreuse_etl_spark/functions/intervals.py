@@ -115,20 +115,47 @@ def prefix_sum(
 
     Ties on ``order_col`` take the whole tied group's sum (RANGE frame),
     matching ANSI ``SUM() OVER (ORDER BY ...)`` semantics."""
+    return prefix_sums(df, order_col, [value_col], [out_col], num_buckets)
+
+
+def prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    value_cols: Sequence[str],
+    out_cols: Sequence[str],
+    num_buckets: int = 32,
+) -> DataFrame:
+    """:func:`prefix_sum` over several value columns at once: all the
+    local cumulative windows share one range-repartition and one sort,
+    and the per-partition offset table carries every column — N running
+    sums for the price of one (vs N chained calls = N repartitions)."""
+    if len(value_cols) != len(out_cols) or not value_cols:
+        raise ValueError("value_cols and out_cols must be same non-zero length")
     parts = df.repartitionByRange(num_buckets, F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy(order_col)
-    local = parts.withColumn("__run", F.sum(value_col).over(w_local))
-    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    local = parts
+    for i, v in enumerate(value_cols):
+        local = local.withColumn(f"__run{i}", F.sum(v).over(w_local))
+    totals = local.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__tot{i}") for i, v in enumerate(value_cols)]
+    )
     w_prior = (
         Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
-        "__pid", F.coalesce(F.sum("__tot").over(w_prior), F.lit(0)).alias("__off")
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__tot{i}").over(w_prior), F.lit(0)).alias(f"__off{i}")
+            for i in range(len(value_cols))
+        ],
     )
-    return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(out_col, F.col("__run") + F.col("__off"))
-        .drop("__pid", "__run", "__off")
+    out = local.join(F.broadcast(offsets), "__pid")
+    for i, o in enumerate(out_cols):
+        out = out.withColumn(o, F.col(f"__run{i}") + F.col(f"__off{i}"))
+    return out.drop(
+        "__pid",
+        *[f"__run{i}" for i in range(len(value_cols))],
+        *[f"__off{i}" for i in range(len(value_cols))],
     )

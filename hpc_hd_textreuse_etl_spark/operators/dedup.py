@@ -625,3 +625,283 @@ def with_lsh_blocks(
 
     planes = hyperplane_coeffs(1, num_planes, dim, seed)[0]
     return df.withColumn(bucket_col, hyperplane_bucket_literal(vec_col, planes))
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring span dedup (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+#: unit separator — cannot appear inside a whitespace-split token, so
+#: joined grams collide iff their token sequences are identical
+_GRAM_SEP = "\x1f"
+
+
+def token_window_grams(
+    df: DataFrame, id_col: str, text_col: str, window: int
+) -> DataFrame:
+    """``(id, start, gram)`` for every ``window``-token window at stride
+    1 — the corpus-wide suffix-window table of exact-substring dedup.
+
+    ``start`` is a 0-based token index; a window covers the end-exclusive
+    token span ``[start, start + window)``. Documents shorter than
+    ``window`` contribute no rows (the ``when`` guard also keeps
+    ``sequence()`` from going descending on a negative upper bound).
+
+    Scale shape: built entirely in-row — tokenize, ``transform`` over a
+    ``sequence`` of start offsets, ``slice`` + ``concat_ws``, then one
+    Generate (posexplode). Zero shuffle; ~one output row per input token.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    t = tokens(text_col)
+    grams = F.when(
+        F.size(t) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - window),
+            lambda i: F.concat_ws(_GRAM_SEP, F.slice(t, i + 1, window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.posexplode(grams).alias("start", "gram")
+    )
+
+
+def duplicated_token_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_occurrences: int = 2,
+    min_docs: int = 1,
+    hashed_keys: bool = True,
+) -> DataFrame:
+    """Maximal duplicated token spans — the ExactSubstr dedup of Lee et
+    al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499), re-expressed as DataFrame ops instead of
+    a suffix array: any ``window``-token sequence occurring at least
+    ``min_occurrences`` times corpus-wide (optionally in at least
+    ``min_docs`` distinct documents) marks all its positions, and
+    overlapping/touching marked windows merge into maximal spans per
+    document via the coverage island pipeline (functions/intervals.py —
+    the same core as the reference's coverages.py:36-139, here applied
+    to token offsets instead of character offsets).
+
+    Returns one row per maximal span: ``(id, span_start, span_end,
+    span_len, n_windows)``; spans are end-exclusive token ranges and
+    never overlap within a document.
+
+    Scale shape (100 TB): gram strings are projected to 64-bit xxhash64
+    keys BEFORE the first exchange (``hashed_keys=True``, ~10-30× fewer
+    shuffle bytes than raw ``window``-token strings; collision odds at
+    n windows ~ n²/2⁶⁵ — at 10¹² windows, ~3%, and any collision only
+    over-marks a span, it cannot drop one). The count table map-side
+    combines on the key, gets pruned to duplicated keys only (a small
+    fraction of the corpus) before the equi-join back onto the window
+    table — both sides keyed identically, so the exchange is reused —
+    and the island merge is one doc-keyed sort, bounded by tokens per
+    document, not corpus size. ``hashed_keys=False`` keeps raw gram
+    strings as keys for exactness audits (and the DuckDB oracle gate
+    groups raw grams — the gate passing IS the collision audit at test
+    scale).
+    """
+    wins = token_window_grams(df, id_col, text_col, window)
+    key = F.xxhash64("gram") if hashed_keys else F.col("gram")
+    keyed = wins.select(F.col(id_col), F.col("start"), key.alias("k"))
+    # countDistinct plans a second exchange (partial-distinct on
+    # (k, id) then re-agg on k) — only pay it when the caller actually
+    # constrains distinct-document support; the default path is one
+    # map-side-combined count per key
+    aggs = [F.count(F.lit(1)).alias("n_occurrences")]
+    cond = F.col("n_occurrences") >= min_occurrences
+    if min_docs > 1:
+        aggs.append(F.countDistinct(id_col).alias("n_docs"))
+        cond = cond & (F.col("n_docs") >= min_docs)
+    dup = keyed.groupBy("k").agg(*aggs).filter(cond).select("k")
+    hits = keyed.join(dup, "k").select(
+        F.col(id_col),
+        F.col("start").cast("long").alias("s"),
+        (F.col("start") + window).cast("long").alias("e"),
+    )
+    from hpc_hd_textreuse_etl_spark.functions.intervals import merge_intervals
+
+    spans = merge_intervals(hits, [id_col], "s", "e", adjacency_gap=0)
+    return spans.select(
+        F.col(id_col),
+        F.col("island_start").alias("span_start"),
+        F.col("island_end").alias("span_end"),
+        (F.col("island_end") - F.col("island_start")).alias("span_len"),
+        F.col("n_rows").cast("long").alias("n_windows"),
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_occurrences: int = 2,
+    min_docs: int = 1,
+    hashed_keys: bool = True,
+) -> DataFrame:
+    """Per-document repeated-span exposure: ``(id, n_tokens, dup_tokens,
+    n_spans)`` for EVERY document (zero rows for clean docs would bias
+    downstream sampling, so clean docs appear with zeros). Integer core
+    only — the dup fraction is a trivial caller-side division."""
+    spans = duplicated_token_spans(
+        df, id_col, text_col, window, min_occurrences, min_docs, hashed_keys
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").alias("dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_occurrences: int = 2,
+    min_docs: int = 1,
+    hashed_keys: bool = True,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Documents with every duplicated span's tokens removed (tokens
+    outside any span, re-joined with single spaces). This is the
+    strictest cut policy — ALL copies go; keep-one-copy resolution at
+    document granularity is :func:`resolve_duplicates`' job. Emits every
+    input row (clean docs pass through with ``clean_text = text``'s
+    token-normalized form).
+
+    Scale shape: spans per doc collect into one array (bounded by tokens
+    per document), broadcast back onto the doc row by the same doc-keyed
+    join, and the token filter is a Catalyst higher-order ``filter`` +
+    ``exists`` — no Python."""
+    spans = duplicated_token_spans(
+        df, id_col, text_col, window, min_occurrences, min_docs, hashed_keys
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    t = tokens(text_col)
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+    )
+    kept = F.when(
+        F.col("_spans").isNull(), t
+    ).otherwise(
+        F.filter(t, lambda tok, i: ~covered(i.cast("long")))
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(out_col, F.concat_ws(" ", kept))
+        .drop("_spans")
+    )
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    hashed_keys: bool = True,
+) -> DataFrame:
+    """Span-level decontamination: maximal token spans of each corpus
+    document covered by ``window``-token windows that also occur in the
+    benchmark corpus. The document-level siblings
+    (:func:`ngram_contamination` / :func:`decontaminate`) count or drop
+    whole documents; this emits the surgical mask ranges — the policy
+    real pipelines prefer when a long document brushes a benchmark in
+    one paragraph. Same output contract as
+    :func:`duplicated_token_spans`.
+
+    Scale shape (100 TB corpus, MB-scale benchmark): benchmark gram
+    keys reduce to DISTINCT on the benchmark side only (tiny shuffle)
+    and broadcast; the corpus side never shuffles before the island
+    merge — scan → Generate → broadcast-hash semi-join → one doc-keyed
+    sort bounded by tokens per document."""
+    key = (lambda: F.xxhash64("gram")) if hashed_keys else (lambda: F.col("gram"))
+    cw = token_window_grams(corpus, id_col, text_col, window).select(
+        F.col(id_col), F.col("start"), key().alias("k")
+    )
+    bkeys = (
+        token_window_grams(benchmark, id_col, text_col, window)
+        .select(key().alias("k"))
+        .distinct()
+    )
+    hits = cw.join(F.broadcast(bkeys), "k", "left_semi").select(
+        F.col(id_col),
+        F.col("start").cast("long").alias("s"),
+        (F.col("start") + window).cast("long").alias("e"),
+    )
+    from hpc_hd_textreuse_etl_spark.functions.intervals import merge_intervals
+
+    spans = merge_intervals(hits, [id_col], "s", "e", adjacency_gap=0)
+    return spans.select(
+        F.col(id_col),
+        F.col("island_start").alias("span_start"),
+        F.col("island_end").alias("span_end"),
+        (F.col("island_end") - F.col("island_start")).alias("span_len"),
+        F.col("n_rows").cast("long").alias("n_windows"),
+    )
+
+
+def cut_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "clean_text",
+    mask_token: str | None = None,
+) -> DataFrame:
+    """Apply a span table (``id, span_start, span_end`` end-exclusive
+    token ranges) to documents: covered tokens are dropped, or each
+    whole span is replaced by a single ``mask_token`` sentinel when one
+    is given (the masking policy keeps sentence flow readable for
+    humans and marks the cut for downstream loss-masking). Every input
+    row is emitted; rows with no spans pass through token-identically.
+
+    Scale shape: spans collect per doc (bounded by tokens/doc), join
+    back doc-keyed, and the cut is a Catalyst higher-order
+    filter/transform — no Python."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    t = tokens(text_col)
+    in_span = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+    )
+    starts_span = lambda i: F.exists(  # noqa: E731
+        F.col("_spans"), lambda sp: i == sp["span_start"]
+    )
+    if mask_token is None:
+        kept = F.filter(t, lambda tok, i: ~in_span(i.cast("long")))
+    else:
+        # keep span-starting positions as the sentinel, drop the rest
+        kept = F.filter(
+            F.transform(
+                t,
+                lambda tok, i: F.when(
+                    starts_span(i.cast("long")), F.lit(mask_token)
+                ).when(in_span(i.cast("long")), F.lit(None)).otherwise(tok),
+            ),
+            lambda tok: tok.isNotNull(),
+        )
+    out = F.when(F.col("_spans").isNull(), F.concat_ws(" ", t)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    return (
+        df.join(per_doc, id_col, "left").withColumn(out_col, out).drop("_spans")
+    )

@@ -1,0 +1,115 @@
+"""Classifier evaluation: full-resolution threshold sweep and exact
+tie-aware ROC-AUC.
+
+A training-data pipeline that scores documents (quality gates, language
+ID, contamination risk — any scorer in this repo) needs to pick a
+threshold and report how good the scorer is. Both operators here are
+pure Catalyst with an exact integer core, so they sit under the DuckDB
+value-hash gate like every other contract query.
+
+Design rules for 100 TB:
+
+- aggregate to DISTINCT scores first (map-side combined groupBy) — the
+  sweep's cost is bounded by score cardinality, not corpus rows;
+- cumulative counts run through the distributed two-pass prefix sum
+  (functions/intervals.py ``prefix_sums``) — never an unpartitioned
+  ``Window.orderBy`` funneling every distinct score through one task;
+- both cumulative columns (positives, totals) share one
+  range-repartition + sort;
+- AUC is the rank-sum (Mann-Whitney) form computed from the sweep —
+  exact under ties via average ranks, no sampling, no sort of raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.functions.intervals import prefix_sums
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """One row per distinct score ``s``: the confusion-matrix integer
+    core (``tp fp fn tn``) of the classifier "predict positive iff
+    score >= s", plus the tied group's own ``n``/``pos`` counts.
+
+    Rows with a NULL score are unscorable and excluded (they belong in
+    neither predicted class at any threshold). ``label_col`` may be
+    boolean or 0/1 numeric. Ties share one row: ANSI RANGE-frame
+    cumulative semantics, the same convention DuckDB's windowed ``SUM()
+    OVER (ORDER BY score DESC)`` applies — which is what makes the
+    whole sweep value-hash-gateable.
+    """
+    per = (
+        df.filter(F.col(score_col).isNotNull())
+        .groupBy(score_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col(label_col).cast("long")).alias("pos"),
+        )
+        # negate so the ascending prefix sum accumulates from the
+        # highest score down — "predict positive iff score >= s"
+        .withColumn("__ns", -F.col(score_col))
+    )
+    cum = prefix_sums(per, "__ns", ["pos", "n"], ["tp", "__cum_n"], num_buckets)
+    tot = per.agg(
+        F.sum("pos").alias("__p"), F.sum("n").alias("__t")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col(score_col),
+            F.col("n"),
+            F.col("pos"),
+            F.col("tp"),
+            (F.col("__cum_n") - F.col("tp")).alias("fp"),
+            (F.col("__p") - F.col("tp")).alias("fn"),
+            (F.col("__t") - F.col("__p") - F.col("__cum_n") + F.col("tp")).alias(
+                "tn"
+            ),
+        )
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Exact ROC-AUC, one output row: ``(n_pos, n_neg, auc_num2, auc)``.
+
+    Rank-sum (Mann-Whitney) form over the threshold sweep: a tied group
+    at cumulative-from-top count ``cum_n`` occupies ascending ranks
+    ``T - cum_n + 1 .. T - cum_n + n``, so twice its positives'
+    rank-sum contribution is ``pos * (2*(T - cum_n) + n + 1)`` — and
+    ``T - cum_n`` is just ``fn + tn``, no pre-computed total needed.
+    ``auc_num2 = 2*R_pos - P*(P+1)`` stays integer (the exact core the
+    gate hashes); ``auc = auc_num2 / (2*P*N)`` is a single division of
+    exact integers, identical under IEEE-754 in any engine. NULL when
+    either class is empty (AUC undefined).
+    """
+    sweep = threshold_sweep(df, score_col, label_col, num_buckets)
+    agg = sweep.agg(
+        F.sum("pos").alias("p"),
+        (F.sum("n") - F.sum("pos")).alias("q"),
+        F.sum(
+            F.col("pos")
+            * (2 * (F.col("fn") + F.col("tn")) + F.col("n") + F.lit(1))
+        ).alias("rank2"),
+    )
+    return agg.select(
+        F.col("p").alias("n_pos"),
+        F.col("q").alias("n_neg"),
+        (F.col("rank2") - F.col("p") * (F.col("p") + 1)).alias("auc_num2"),
+        F.when(
+            (F.col("p") > 0) & (F.col("q") > 0),
+            (F.col("rank2") - F.col("p") * (F.col("p") + 1)).cast("double")
+            / (2.0 * F.col("p") * F.col("q")),
+        ).alias("auc"),
+    )

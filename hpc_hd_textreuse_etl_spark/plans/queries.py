@@ -6574,3 +6574,242 @@ def customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     return c.groupBy("n_orders").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring span dedup (round-6 wave) — ExactSubstr of
+# Lee et al. 2022, arXiv:2107.06499, as a window-hash + island pipeline
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of operators/dedup.py token_window_grams at window=8:
+#: 0-based start, end-exclusive spans, \x1f-joined gram strings. The
+#: Spark side groups xxhash64(gram); the oracle groups the raw gram —
+#: a value-hash match therefore ALSO audits the hashed path for
+#: collisions at test scale.
+_WIN8 = f"""
+    toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    wins AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+             array_to_string(t[i:i+7], chr(31)) AS gram
+      FROM toks, unnest(range(1, len(t) - 6)) r(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (SELECT gram FROM wins GROUP BY gram HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, s, s + 8 AS e FROM wins JOIN dup USING (gram)),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) < s
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS island_id
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(s) AS BIGINT) AS span_start,
+             CAST(MAX(e) AS BIGINT) AS span_end,
+             CAST(MAX(e) - MIN(s) AS BIGINT) AS span_len,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM islands GROUP BY doc_id, island_id
+    )
+"""
+
+
+@query(
+    "duplicated_token_spans",
+    oracle=f"""
+    WITH {_WIN8}
+    SELECT doc_id, span_start, span_end, span_len, n_windows FROM spans
+    """,
+    tags=("dedup", "W3", "W4", "A3"),
+)
+def duplicated_token_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup: every 8-token window occurring ≥2 times
+    corpus-wide marks its positions; marked windows merge into maximal
+    per-document spans through the same island pipeline as the
+    reference's character-offset coverage merge (coverages.py:36-139).
+    Runs the DEFAULT hashed-key path (xxhash64 gram keys before the
+    first exchange) — the oracle groups raw gram strings, so the gate
+    doubles as the collision audit."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import duplicated_token_spans
+
+    docs = spark.table("documents")
+    return duplicated_token_spans(docs, "doc_id", "text", window=8)
+
+
+@query(
+    "span_dedup_doc_stats",
+    oracle=f"""
+    WITH {_WIN8},
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS dup_tokens,
+             CAST(count(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(per_doc.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(per_doc.n_spans, 0) AS BIGINT) AS n_spans
+    FROM toks LEFT JOIN per_doc USING (doc_id)
+    """,
+    tags=("dedup", "A-family"),
+)
+def span_dedup_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-span exposure (every doc, zeros for clean
+    ones — the selection-bias-free form a curation sampler needs). The
+    dup-token fraction is the trivial division left to the caller; the
+    integer core is what the gate hashes."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import span_dedup_stats
+
+    docs = spark.table("documents")
+    return span_dedup_stats(docs, "doc_id", "text", window=8)
+
+
+@query(
+    "contaminated_token_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    wins AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+             array_to_string(t[i:i+7], chr(31)) AS gram
+      FROM toks, unnest(range(1, len(t) - 6)) r(i)
+      WHERE len(t) >= 8
+    ),
+    bg AS (SELECT DISTINCT gram FROM wins WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT doc_id, s, s + 8 AS e FROM wins JOIN bg USING (gram)
+      WHERE doc_id % 10 <> 0
+    ),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) < s
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS island_id
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(s) AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM islands GROUP BY doc_id, island_id
+    """,
+    tags=("decontamination", "dedup", "A3"),
+)
+def contaminated_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination: maximal corpus spans whose 8-token
+    windows occur in the benchmark set (every 10th doc — denser than
+    `benchmark_contamination`'s 50th so the gate exercises multi-doc,
+    multi-span output) — the surgical-mask policy, vs that
+    query's whole-document counting. Benchmark gram keys are DISTINCT'd
+    and broadcast; the corpus side reaches the island merge without a
+    pre-join shuffle (left_semi broadcast join, plan-pinned in
+    tests/test_plan_shapes.py)."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import contaminated_spans
+
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return contaminated_spans(corpus, bench, "doc_id", "text", window=8)
+
+
+#: DuckDB twin of the stopword-ratio scorer over the shared tokenizer —
+#: the 7-word DEFAULT_STOPWORDS list of functions/text.py; the score is
+#: one division of exact integers, bit-identical across engines
+_SCORED = f"""
+    scored AS (
+      SELECT CASE WHEN len(t) > 0 THEN
+               CAST(len(list_filter(t, x -> x IN
+                 ('the','a','of','and','in','to','is'))) AS DOUBLE) / len(t)
+             END AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+      FROM (SELECT {_TOK} AS t, lang FROM documents)
+    ),
+    per AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM scored WHERE score IS NOT NULL GROUP BY score
+    ),
+    cum AS (
+      SELECT score, n, pos,
+             CAST(SUM(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+             CAST(SUM(n) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n
+      FROM per
+    ),
+    tot AS (SELECT SUM(pos) AS p, SUM(n) AS t FROM per)
+"""
+
+
+@query(
+    "quality_score_threshold_sweep",
+    oracle=f"""
+    WITH {_SCORED}
+    SELECT score, n, pos, tp, cum_n - tp AS fp,
+           CAST(p - tp AS BIGINT) AS fn,
+           CAST(t - p - cum_n + tp AS BIGINT) AS tn
+    FROM cum, tot
+    """,
+    tags=("evaluation", "W4", "A-family"),
+)
+def quality_score_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation sweep: the stopword-ratio quality scorer
+    (functions/text.py) against the lang='en' label, one confusion-
+    matrix row per distinct score. Cumulatives run through the
+    distributed two-pass prefix sum, never a single-task global window
+    — score cardinality, not corpus size, bounds the sweep."""
+    from hpc_hd_textreuse_etl_spark.functions.text import stopword_ratio
+    from hpc_hd_textreuse_etl_spark.operators.evaluation import threshold_sweep
+
+    docs = spark.table("documents").select(
+        stopword_ratio("text").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return threshold_sweep(docs, "score", "label")
+
+
+@query(
+    "quality_score_roc_auc",
+    oracle=f"""
+    WITH {_SCORED},
+    rank2 AS (
+      SELECT SUM(pos) AS p, SUM(n) - SUM(pos) AS q,
+             SUM(pos * (2 * ((SELECT t FROM tot) - cum_n) + n + 1)) AS r2
+      FROM cum
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg,
+           CAST(r2 - p * (p + 1) AS BIGINT) AS auc_num2,
+           CASE WHEN p > 0 AND q > 0
+                THEN CAST(r2 - p * (p + 1) AS DOUBLE) / (2.0 * p * q)
+           END AS auc
+    FROM rank2
+    """,
+    tags=("evaluation", "A-family"),
+)
+def quality_score_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC (Mann-Whitney rank-sum form) of the
+    stopword-ratio scorer vs the lang='en' label. The integer core
+    ``auc_num2 = 2*R_pos - P*(P+1)`` is what the gate hashes; the final
+    ``auc`` double is one division of exact integers (IEEE-identical in
+    both engines)."""
+    from hpc_hd_textreuse_etl_spark.functions.text import stopword_ratio
+    from hpc_hd_textreuse_etl_spark.operators.evaluation import roc_auc
+
+    docs = spark.table("documents").select(
+        stopword_ratio("text").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return roc_auc(docs, "score", "label")

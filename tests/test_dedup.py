@@ -240,3 +240,171 @@ def test_decontaminate_drops_overlapping_docs(spark):
              decontaminate(corpus, bench, "doc_id", "text", n=3,
                            min_overlap=2).collect()}
     assert kept2 == {2, 3}
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring span dedup (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_corpus(spark):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import duplicated_token_spans
+
+    rows = [
+        # docs 1 & 2 share a 6-token run (3 merged windows at w=4)
+        (1, "alpha beta gamma delta epsilon zeta unique1 tail1 x y"),
+        (2, "head2 alpha beta gamma delta epsilon zeta other2 z w"),
+        # doc 3 repeats its own 5-token phrase back-to-back
+        (3, "rep one two three four rep one two three four end3 pad pad2"),
+        (4, "totally clean document nothing shared here at all ok fine"),
+        (5, "tiny doc"),  # shorter than the window: contributes no rows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicated_token_spans(df, "doc_id", "text", window=4).collect()
+    }
+    return df, spans
+
+
+def test_duplicated_token_spans_cross_doc_and_self_repeat(span_corpus):
+    _, spans = span_corpus
+    # shared run covers tokens [0,6) in doc 1 and [1,7) in doc 2
+    assert spans[1] == (0, 6, 3)
+    assert spans[2] == (1, 7, 3)
+    # self-repeat: duplicated windows at starts {0,1,5,6} merge to [0,10)
+    # (the junction windows occur once and are NOT marked — the merge
+    # bridges them because the marked windows overlap/touch)
+    assert spans[3] == (0, 10, 4)
+    # clean and too-short docs produce no spans at all
+    assert 4 not in spans and 5 not in spans
+
+
+def test_span_dedup_stats_emits_zeros_for_clean_docs(span_corpus):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import span_dedup_stats
+
+    df, _ = span_corpus
+    stats = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["n_spans"])
+        for r in span_dedup_stats(df, "doc_id", "text", window=4).collect()
+    }
+    assert stats[1] == (10, 6, 1)
+    assert stats[3] == (13, 10, 1)
+    assert stats[4] == (10, 0, 0)  # clean doc present, zeroed
+    assert stats[5] == (2, 0, 0)  # too-short doc present, zeroed
+
+
+def test_strip_duplicated_spans_cuts_exactly_the_spans(span_corpus):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import strip_duplicated_spans
+
+    df, _ = span_corpus
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in strip_duplicated_spans(df, "doc_id", "text", window=4).collect()
+    }
+    assert out[1] == "unique1 tail1 x y"
+    assert out[2] == "head2 other2 z w"
+    assert out[3] == "end3 pad pad2"
+    # untouched docs pass through token-identically
+    assert out[4] == "totally clean document nothing shared here at all ok fine"
+    assert out[5] == "tiny doc"
+
+
+def test_span_dedup_hashed_and_exact_keys_agree(span_corpus):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import duplicated_token_spans
+
+    df, _ = span_corpus
+    a = duplicated_token_spans(df, "doc_id", "text", 4, hashed_keys=True)
+    b = duplicated_token_spans(df, "doc_id", "text", 4, hashed_keys=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_span_dedup_min_docs_excludes_self_repeats(span_corpus):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import duplicated_token_spans
+
+    df, _ = span_corpus
+    spans = duplicated_token_spans(
+        df, "doc_id", "text", window=4, min_docs=2
+    ).collect()
+    # doc 3's within-document repeat has n_docs=1 → filtered out
+    assert sorted(r["doc_id"] for r in spans) == [1, 2]
+
+
+def test_token_window_grams_rejects_bad_window(span_corpus):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import token_window_grams
+
+    df, _ = span_corpus
+    with pytest.raises(ValueError, match="window"):
+        token_window_grams(df, "doc_id", "text", 0)
+
+
+def test_contaminated_spans_marks_benchmark_overlap(spark):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import contaminated_spans
+
+    bench = spark.createDataFrame(
+        [(100, "secret bench question alpha beta gamma delta answer")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # tokens 2..10 replicate the full benchmark doc (8 tokens → 2
+            # windows at w=7... w=4: starts 2..6 duplicated)
+            (1, "pre1 pre2 secret bench question alpha beta gamma delta answer post"),
+            (2, "nothing from the benchmark here at all in this one"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in contaminated_spans(corpus, bench, "doc_id", "text", window=4).collect()
+    }
+    assert spans == {1: (2, 10)}
+
+
+def test_contaminated_spans_hashed_and_exact_agree(spark):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import contaminated_spans
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(1, "zero one two three four five six seven"), (2, "a b c d e f g h")],
+        ["doc_id", "text"],
+    )
+    a = contaminated_spans(corpus, bench, "doc_id", "text", 4, hashed_keys=True)
+    b = contaminated_spans(corpus, bench, "doc_id", "text", 4, hashed_keys=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cut_spans_mask_token_replaces_each_span_once(spark):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        contaminated_spans,
+        cut_spans,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "pre alpha beta gamma delta mid alpha beta gamma delta post"),
+            (2, "clean doc stays whole here"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = contaminated_spans(corpus, bench, "doc_id", "text", window=4)
+    masked = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(
+            corpus, spans, "doc_id", "text", mask_token="<|mask|>"
+        ).collect()
+    }
+    assert masked[1] == "pre <|mask|> mid <|mask|> post"
+    assert masked[2] == "clean doc stays whole here"
+    # drop policy: covered tokens vanish entirely
+    dropped = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_spans(corpus, spans, "doc_id", "text").collect()
+    }
+    assert dropped[1] == "pre mid post"

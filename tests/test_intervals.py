@@ -91,3 +91,36 @@ def test_prefix_sum_is_distributed(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
     assert out.where(F.col("k") == 9_999).first()["c"] == 10_000
+
+
+def test_prefix_sums_multi_column_matches_chained_single(spark):
+    from hpc_hd_textreuse_etl_spark.functions.intervals import prefix_sums
+
+    rows = [(i % 17, i % 5, (i * 3) % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    multi = {
+        (r["k"], r["v"], r["w"]): (r["cv"], r["cw"])
+        for r in prefix_sums(df, "k", ["v", "w"], ["cv", "cw"], 8).collect()
+    }
+    single_v = {
+        (r["k"], r["v"], r["w"]): r["cv"]
+        for r in prefix_sum(df, "k", "v", "cv", 8).collect()
+    }
+    single_w = {
+        (r["k"], r["v"], r["w"]): r["cw"]
+        for r in prefix_sum(df, "k", "w", "cw", 8).collect()
+    }
+    assert {k: v[0] for k, v in multi.items()} == single_v
+    assert {k: v[1] for k, v in multi.items()} == single_w
+
+
+def test_prefix_sums_rejects_mismatched_columns(spark):
+    import pytest
+
+    from hpc_hd_textreuse_etl_spark.functions.intervals import prefix_sums
+
+    df = spark.createDataFrame([(1, 2)], ["k", "v"])
+    with pytest.raises(ValueError):
+        prefix_sums(df, "k", ["v"], ["a", "b"])
+    with pytest.raises(ValueError):
+        prefix_sums(df, "k", [], [])

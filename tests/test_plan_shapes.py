@@ -181,3 +181,29 @@ def test_pit_join_is_single_window_no_range_join(spark):
     plan = executed_plan(spark, "orders_pit_status_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contaminated_spans_corpus_side_never_preshuffles(spark):
+    """Span decontamination: benchmark gram keys broadcast into a
+    left-semi join, and the only hash exchanges are the benchmark-side
+    DISTINCT and the doc-keyed island sort — the 100-TB corpus side must
+    reach the island merge without its own pre-join shuffle."""
+    plan = executed_plan(spark, "contaminated_token_spans")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
+
+
+def test_duplicated_spans_hashes_grams_before_exchange(spark):
+    """ExactSubstr dedup: the 64-bit gram key must be projected below
+    every exchange (shuffling raw window strings is the 10-30× shuffle
+    amplification the hashed-keys design exists to avoid), and the
+    default min_docs=1 path must not pay countDistinct's second
+    aggregate exchange."""
+    plan = executed_plan(spark, "duplicated_token_spans")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "gram" not in m.group(1)
+    # exchanges: gram-count agg, (possibly) the count side re-read, the
+    # hits join key, the doc-keyed island sort — but never a partial-
+    # distinct on (k, doc_id), which would add a 5th
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 4
+    assert "distinct" not in plan.lower() or "countDistinct" not in plan
