@@ -79,7 +79,7 @@ DEEP_QUERIES = (
     "pricing_summary", "defrag_piece_mappings", "pair_coverage",
     "minhash_near_duplicates", "interval_coverage", "user_sessions",
     "purchase_funnel", "cdc_latest_events", "decayed_customer_value",
-    "orders_table_diff",
+    "orders_table_diff", "duplicated_token_spans",
 )
 
 #: key columns per table, grouped by the surrogate-key DOMAIN they

@@ -6629,6 +6629,7 @@ _WIN8 = f"""
     SELECT doc_id, span_start, span_end, span_len, n_windows FROM spans
     """,
     tags=("dedup", "W3", "W4", "A3"),
+    bench=True,
 )
 def duplicated_token_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr span dedup: every 8-token window occurring ≥2 times
@@ -6764,6 +6765,7 @@ _SCORED = f"""
     FROM cum, tot
     """,
     tags=("evaluation", "W4", "A-family"),
+    bench=True,
 )
 def quality_score_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-evaluation sweep: the stopword-ratio quality scorer
