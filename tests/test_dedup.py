@@ -332,11 +332,49 @@ def test_span_dedup_min_docs_excludes_self_repeats(span_corpus):
 
 
 def test_token_window_grams_rejects_bad_window(span_corpus):
-    from hpc_hd_textreuse_etl_spark.operators.dedup import token_window_grams
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        token_window_grams,
+        token_window_keys,
+    )
 
     df, _ = span_corpus
     with pytest.raises(ValueError, match="window"):
         token_window_grams(df, "doc_id", "text", 0)
+    with pytest.raises(ValueError, match="window"):
+        token_window_keys(df, "doc_id", "text", 0)
+
+
+def test_span_dedup_count_strategies_agree(span_corpus):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import duplicated_token_spans
+
+    df, _ = span_corpus
+    a = duplicated_token_spans(df, "doc_id", "text", 4, count_strategy="window")
+    b = duplicated_token_spans(
+        df, "doc_id", "text", 4, count_strategy="groupby_join"
+    )
+    got = sorted(map(tuple, a.collect()))
+    assert got == sorted(map(tuple, b.collect()))
+    assert got  # non-trivial corpus: the agreement is over real spans
+
+
+def test_span_dedup_count_strategy_validation(span_corpus):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import duplicated_token_spans
+
+    df, _ = span_corpus
+    with pytest.raises(ValueError, match="count_strategy"):
+        duplicated_token_spans(df, "doc_id", "text", 4, count_strategy="bogus")
+    # a per-partition COUNT cannot express distinct-document support
+    with pytest.raises(ValueError, match="min_docs"):
+        duplicated_token_spans(
+            df, "doc_id", "text", 4, min_docs=2, count_strategy="window"
+        )
+    # auto silently routes min_docs>1 to groupby_join instead
+    assert sorted(
+        r["doc_id"]
+        for r in duplicated_token_spans(
+            df, "doc_id", "text", 4, min_docs=2, count_strategy="auto"
+        ).collect()
+    ) == [1, 2]
 
 
 def test_contaminated_spans_marks_benchmark_overlap(spark):

@@ -194,16 +194,16 @@ def test_contaminated_spans_corpus_side_never_preshuffles(spark):
 
 
 def test_duplicated_spans_hashes_grams_before_exchange(spark):
-    """ExactSubstr dedup: the 64-bit gram key must be projected below
-    every exchange (shuffling raw window strings is the 10-30× shuffle
-    amplification the hashed-keys design exists to avoid), and the
-    default min_docs=1 path must not pay countDistinct's second
-    aggregate exchange."""
+    """ExactSubstr dedup, default (window count-strategy) path: the
+    64-bit window key must be projected below every exchange (shuffling
+    raw window strings is the 10-30× shuffle amplification the
+    hashed-keys design exists to avoid), and the whole query must run
+    as ONE scan with exactly two exchanges — the key-partitioned
+    occurrence-count window and the doc-keyed island sort — with no
+    join back and no countDistinct."""
     plan = executed_plan(spark, "duplicated_token_spans")
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
         assert "gram" not in m.group(1)
-    # exchanges: gram-count agg, (possibly) the count side re-read, the
-    # hits join key, the doc-keyed island sort — but never a partial-
-    # distinct on (k, doc_id), which would add a 5th
-    assert len(re.findall(r"\bExchange hashpartitioning", plan)) <= 4
-    assert "distinct" not in plan.lower() or "countDistinct" not in plan
+    assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
+    assert not re.findall(r"\w*Join\w*", plan)
+    assert "countDistinct" not in plan
