@@ -6646,6 +6646,59 @@ def duplicated_token_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cross_doc_duplicated_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    wins AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+             array_to_string(t[i:i+7], chr(31)) AS gram
+      FROM toks, unnest(range(1, len(t) - 6)) r(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT gram FROM wins
+      GROUP BY gram
+      HAVING count(*) >= 2 AND count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (SELECT doc_id, s, s + 8 AS e FROM wins JOIN dup USING (gram)),
+    marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) < s
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS island_id
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(MIN(s) AS BIGINT) AS span_start,
+           CAST(MAX(e) AS BIGINT) AS span_end,
+           CAST(MAX(e) - MIN(s) AS BIGINT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM islands GROUP BY doc_id, island_id
+    """,
+    tags=("dedup", "A10", "A3"),
+)
+def cross_doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr spans restricted to CROSS-document repeats
+    (``min_docs=2`` — a doc quoting itself is stylistic, not
+    contamination). Routes through the ``groupby_join`` count strategy
+    (a per-key window COUNT cannot express distinct-document support),
+    so this gate covers the strategy the skew-hardened path uses — the
+    default ``window`` strategy is gated by `duplicated_token_spans`."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import duplicated_token_spans
+
+    docs = spark.table("documents")
+    return duplicated_token_spans(docs, "doc_id", "text", window=8, min_docs=2)
+
+
+@query(
     "span_dedup_doc_stats",
     oracle=f"""
     WITH {_WIN8},
