@@ -415,6 +415,40 @@ def test_contaminated_spans_hashed_and_exact_agree(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_contaminated_spans_bloom_strategy_agrees(spark):
+    """The bloom benchmark_strategy must emit the exact broadcast-path
+    output (no false negatives by construction; false positives die in
+    the exact semi-join) — including at an aggressively small bitmap
+    where false positives are guaranteed to occur in the pre-filter."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import contaminated_spans
+
+    bench = spark.createDataFrame(
+        [(100, "secret bench question alpha beta gamma delta answer")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "pre1 pre2 secret bench question alpha beta gamma delta answer post"),
+            (2, "nothing from the benchmark here at all in this one"),
+            (3, "secret bench question alpha trails off differently here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    ref = contaminated_spans(corpus, bench, "doc_id", "text", window=4)
+    for m_bits in (1 << 16, 1 << 6):  # 64 bits: near-saturated filter
+        got = contaminated_spans(
+            corpus, bench, "doc_id", "text", window=4,
+            benchmark_strategy="bloom", bloom_m_bits=m_bits,
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+    with pytest.raises(ValueError, match="benchmark_strategy"):
+        contaminated_spans(
+            corpus, bench, "doc_id", "text", benchmark_strategy="bogus"
+        )
+
+
 def test_cut_spans_mask_token_replaces_each_span_once(spark):
     from hpc_hd_textreuse_etl_spark.operators.dedup import (
         contaminated_spans,

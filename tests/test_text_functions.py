@@ -46,6 +46,39 @@ def test_char_and_token_shingles(spark):
     assert toks == ["a b", "b c", "c d"]
 
 
+def test_char_shingles_regex_matches_lambda_formulation(spark):
+    """char_shingles_of runs as one compiled-regex pass; this pins it
+    element-for-element to the naive per-position substr lambda it
+    replaced, across the edge cases the regex could plausibly break:
+    newlines inside grams ((?s)), surrogate pairs (one code point = one
+    char), texts shorter than n (single short shingle), the empty
+    string, and an exact-length text."""
+    samples = [
+        "hello world",
+        "ab\ncd\nef line",
+        "a",
+        "",
+        "héllo wörld ünïcode",
+        "emoji \U0001f600\U0001f600 pair test",
+        "tabs\tand\nnewlines\r\nmix",
+        "exact",
+        "\n\n\n\n\n\n",
+        "aaaaaaaaaa",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    for n in (2, 5, 8):
+        c = F.col("t")
+        naive = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (n - 1), F.lit(1))),
+            lambda i: c.substr(i, F.lit(n)),
+        )
+        rows = df.select(
+            "t", char_shingles_of("t", n).alias("got"), naive.alias("want")
+        ).collect()
+        for r in rows:
+            assert r["got"] == r["want"], (n, r["t"])
+
+
 def test_lang_guess_custom_profiles(spark):
     profiles = {"x": ("foo", "bar"), "y": ("baz",)}
     df = spark.createDataFrame(
