@@ -46,6 +46,30 @@ def test_char_and_token_shingles(spark):
     assert toks == ["a b", "b c", "c d"]
 
 
+def test_tokens_regex_matches_split_filter_formulation(spark):
+    """tokens() extracts \\S+ runs with one compiled regex; this pins
+    it to the split+filter formulation it replaced across leading /
+    trailing / repeated whitespace, tabs+newlines, empty and blank
+    strings, and a custom (fallback-path) pattern."""
+    from hpc_hd_textreuse_etl_spark.functions.text import tokens
+
+    samples = [" lead", "trail ", "", "   ", "a\tb\nc", "one",
+               "  double  spaced  ", "\r\nmixed\twhite\nspace "]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    c = F.col("t")
+    naive = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    for r in df.select("t", tokens("t").alias("got"), naive.alias("want")).collect():
+        assert r["got"] == r["want"], r["t"]
+    # custom pattern goes through the split+filter fallback unchanged
+    got = (
+        spark.createDataFrame([("a,b,,c",)], "t string")
+        .select(tokens("t", ",").alias("x"))
+        .first()
+        .x
+    )
+    assert got == ["a", "b", "c"]
+
+
 def test_char_shingles_regex_matches_lambda_formulation(spark):
     """char_shingles_of runs as one compiled-regex pass; this pins it
     element-for-element to the naive per-position substr lambda it
