@@ -126,16 +126,18 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def _band_table(
     signatures: DataFrame,
     id_col: str,
-    num_bands: int = 8,
-    rows_per_band: int = 4,
-    hash_family: str = "xxhash64",
+    num_bands: int,
+    rows_per_band: int,
+    hash_family: str,
 ) -> DataFrame:
-    """Banding: documents agreeing on ALL rows of ≥1 band become a
-    candidate pair ``(id_a < id_b)``. The self-join runs per (band,
-    band_hash) bucket — bounded fan-out, no all-pairs comparison."""
+    """``(id, band, band_hash)`` — one row per signature band; the
+    bucketing table both the full self-join and the delta join build
+    their candidate joins on. Pure in-row (k element_at + concat per
+    band), so re-deriving it from a MATERIALIZED signature table is
+    cheap — the point of persisting signatures at production scale."""
 
     def band_hash(b: int) -> Column:
         joined = F.concat_ws(
@@ -149,12 +151,25 @@ def lsh_candidate_pairs(
             return portable_hash64(F.concat(joined, F.lit(f"#{b}")))
         return F.xxhash64(joined, F.lit(b))
 
-    bands = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.posexplode(F.array(*[band_hash(b) for b in range(num_bands)])).alias(
             "band", "band_hash"
         ),
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Banding: documents agreeing on ALL rows of ≥1 band become a
+    candidate pair ``(id_a < id_b)``. The self-join runs per (band,
+    band_hash) bucket — bounded fan-out, no all-pairs comparison."""
+    bands = _band_table(signatures, id_col, num_bands, rows_per_band, hash_family)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -184,6 +199,94 @@ def minhash_near_duplicates(
         df, id_col, text_col, num_hashes, shingle_size, hash_family
     ).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band, hash_family)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / num_hashes,
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+def lsh_candidate_pairs_delta(
+    base_signatures: DataFrame,
+    delta_signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 8,
+    rows_per_band: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Candidate pairs INTRODUCED by a delta of new documents against a
+    corpus whose signatures are already materialized — the daily-ingest
+    dedup pattern. Joins the delta's bands against the (base ∪ delta)
+    band table, so the bucket join's probe side scales with |delta|,
+    not |corpus|²; base-internal pairs (already known from the run that
+    built the base table) are never re-derived. Returns ``(id_a <
+    id_b)`` pairs where at least one side is a delta document,
+    delta-delta pairs included once. Ids must be unique across base ∪
+    delta (re-submitted ids are CDC's job — resolve before calling).
+    Exactly the pairs :func:`lsh_candidate_pairs` on the full corpus
+    would emit restricted to pairs touching the delta (equivalence-
+    tested)."""
+    all_bands = _band_table(
+        base_signatures.unionByName(delta_signatures),
+        id_col, num_bands, rows_per_band, hash_family,
+    ).select(F.col(id_col).alias("__id_all"), "band", "band_hash")
+    new_bands = _band_table(
+        delta_signatures, id_col, num_bands, rows_per_band, hash_family
+    ).select(F.col(id_col).alias("__id_new"), "band", "band_hash")
+    return (
+        new_bands.join(all_bands, ["band", "band_hash"])
+        .filter(F.col("__id_new") != F.col("__id_all"))
+        .select(
+            F.least("__id_new", "__id_all").alias("id_a"),
+            F.greatest("__id_new", "__id_all").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_near_duplicates_delta(
+    base_signatures: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    num_bands: int = 8,
+    threshold: float = 0.8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Incremental MinHash near-dup: signatures for the DELTA documents
+    only, banded against the materialized base signature table, then the
+    usual estimated-Jaccard verify — per-ingest cost is shingling the
+    delta plus one bucket join, never a corpus re-scan. Same output
+    contract as :func:`minhash_near_duplicates`, restricted to pairs
+    with at least one delta side. ``base_signatures`` must come from
+    :func:`minhash_signatures` with the SAME (num_hashes, shingle_size,
+    hash_family) — mixed-parameter tables produce garbage buckets, which
+    is why production pipelines version the signature table by its
+    parameters."""
+    rows_per_band = num_hashes // num_bands
+    delta_sigs = minhash_signatures(
+        delta, id_col, text_col, num_hashes, shingle_size, hash_family
+    ).persist()
+    cands = lsh_candidate_pairs_delta(
+        base_signatures, delta_sigs, id_col, num_bands, rows_per_band, hash_family
+    )
+    sigs = base_signatures.unionByName(delta_sigs)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (

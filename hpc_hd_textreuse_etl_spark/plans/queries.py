@@ -2062,6 +2062,41 @@ def minhash_near_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "minhash_delta_near_duplicates",
+    oracle=f"""
+    SELECT id_a, id_b, est_jaccard FROM (
+      {_minhash_oracle(num_hashes=32, shingle=5, num_bands=8, threshold=0.7)}
+    ) WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    """,
+    tags=("dedup-minhash", "incremental"),
+)
+def minhash_delta_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup — every 5th doc arrives as the ingest
+    DELTA against a base corpus whose signature table is already built
+    (dedup.py minhash_near_duplicates_delta): delta bands probe the
+    (base ∪ delta) band table, base-internal pairs never re-derive. The
+    oracle is the FULL-corpus portable-family pipeline restricted to
+    pairs touching a delta doc — the gate therefore also re-proves the
+    delta path's pair-for-pair equivalence with the batch path at
+    sf0.01, on top of the unit equivalence test."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        minhash_near_duplicates_delta,
+        minhash_signatures,
+    )
+
+    docs = spark.table("documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    base_sigs = minhash_signatures(
+        base, "doc_id", "text", num_hashes=32, hash_family="portable"
+    )
+    return minhash_near_duplicates_delta(
+        base_sigs, delta, "doc_id", "text", num_hashes=32, num_bands=8,
+        threshold=0.7, hash_family="portable",
+    )
+
+
+@query(
     "simhash_near_duplicates",
     oracle=_simhash_oracle(bits=60, max_hamming=8),
     tags=("dedup-simhash",),

@@ -58,6 +58,41 @@ def test_minhash_finds_near_dups_and_skips_distinct(spark, corpus):
     assert not any(5 in p or 6 in p for p in pairs)
 
 
+def test_minhash_delta_matches_full_run_restricted_to_delta(spark, corpus):
+    """The incremental path must emit exactly the full-corpus pairs that
+    touch a delta document — no re-derived base-internal pairs, no
+    double-counted delta-delta pairs, identical est_jaccard values."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        minhash_near_duplicates_delta,
+        minhash_signatures,
+    )
+
+    base_docs = corpus.filter(F.col("doc_id") <= 2)   # the exact-dup pair
+    delta = corpus.filter(F.col("doc_id") > 2)        # near-dups + unrelated
+    base_sigs = minhash_signatures(base_docs, "doc_id", "text", 32)
+    got = sorted(
+        map(
+            tuple,
+            minhash_near_duplicates_delta(
+                base_sigs, delta, "doc_id", "text",
+                num_hashes=32, num_bands=8, threshold=0.5,
+            ).collect(),
+        )
+    )
+    full = minhash_near_duplicates(
+        corpus, "doc_id", "text", num_hashes=32, num_bands=8, threshold=0.5
+    )
+    delta_ids = {r.doc_id for r in delta.select("doc_id").collect()}
+    want = sorted(
+        tuple(r) for r in full.collect()
+        if r.id_a in delta_ids or r.id_b in delta_ids
+    )
+    assert got == want
+    assert got  # non-trivial: delta docs 3/4 pair with base docs 1/2
+    # base-internal pair (1,2) is already known and must NOT reappear
+    assert not any(a == 1 and b == 2 for a, b, _ in got)
+
+
 def test_simhash_properties(spark, corpus):
     sigs = {
         r.doc_id: r.sig
