@@ -199,6 +199,19 @@ def minhash_near_duplicates(
         df, id_col, text_col, num_hashes, shingle_size, hash_family
     ).persist()
     cands = lsh_candidate_pairs(sigs, id_col, num_bands, rows_per_band, hash_family)
+    return _verify_candidates(cands, sigs, id_col, num_hashes, threshold)
+
+
+def _verify_candidates(
+    cands: DataFrame,
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    threshold: float,
+) -> DataFrame:
+    """Estimated-Jaccard verify shared by the batch, delta, and
+    streaming pipelines: join both signature sides onto the candidate
+    pairs, score by signature agreement fraction, keep ≥ threshold."""
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
@@ -287,25 +300,7 @@ def minhash_near_duplicates_delta(
         base_signatures, delta_sigs, id_col, num_bands, rows_per_band, hash_family
     )
     sigs = base_signatures.unionByName(delta_sigs)
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    est = (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            ).cast("double")
-            / num_hashes,
-        )
-    )
-    return est.filter(F.col("est_jaccard") >= threshold).select(
-        "id_a", "id_b", "est_jaccard"
-    )
+    return _verify_candidates(cands, sigs, id_col, num_hashes, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -161,3 +161,83 @@ def read_decayed_counters(
     return out.withColumn(
         out_col, F.col(f"{out_col}_scaled").cast("double") / F.lit(denom)
     )
+
+
+def streaming_minhash_dedup(
+    docs_stream: DataFrame,
+    sigs_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    num_bands: int = 8,
+    threshold: float = 0.8,
+    hash_family: str = "xxhash64",
+    trigger_available_now: bool = True,
+):
+    """Streaming near-duplicate detection at ingest: each micro-batch is
+    the DELTA of ``operators/dedup.minhash_near_duplicates_delta`` —
+    signatures are computed for the batch's documents only and banded
+    against the signature table accumulated from all PRIOR batches, so
+    per-batch cost is shingling the batch plus one bucket join, and the
+    corpus text is never re-scanned.
+
+    Two outputs, both ``batch_id=N``-keyed parquet (the idempotent-sink
+    recipe above): ``sigs_path`` accumulates the signature table,
+    ``pairs_path`` the near-dup pairs each batch introduced. Replay
+    safety needs one extra rule beyond the directory overwrite: the
+    base side reads ``batch_id < N`` ONLY (partition-pruned), so a
+    replayed batch never sees its own failed attempt's signatures and
+    converges to the same pairs. The union of all pair partitions
+    equals the batch pipeline's pairs restricted to cross/within-batch
+    pairs in arrival order — every pair appears exactly once, in the
+    partition of the LATER document's batch.
+    """
+    from pyspark.sql import functions as F
+
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        _verify_candidates,
+        lsh_candidate_pairs_delta,
+        minhash_signatures,
+    )
+
+    rows_per_band = num_hashes // num_bands
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from hpc_hd_textreuse_etl_spark.catalog import path_exists
+
+        delta_sigs = minhash_signatures(
+            batch_df.select(id_col, text_col), id_col, text_col,
+            num_hashes, shingle_size, hash_family,
+        ).persist()
+        if path_exists(spark, sigs_path):
+            base = (
+                spark.read.option("basePath", sigs_path).parquet(sigs_path)
+                .filter(F.col("batch_id") < batch_id)
+                .drop("batch_id")
+            )
+        else:
+            base = delta_sigs.limit(0)
+        cands = lsh_candidate_pairs_delta(
+            base, delta_sigs, id_col, num_bands, rows_per_band, hash_family
+        )
+        pairs = _verify_candidates(
+            cands, base.unionByName(delta_sigs), id_col, num_hashes, threshold
+        )
+        pairs.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(pairs_path, f"batch_id={batch_id}")
+        )
+        delta_sigs.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(sigs_path, f"batch_id={batch_id}")
+        )
+        delta_sigs.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
