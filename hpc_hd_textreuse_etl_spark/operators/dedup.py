@@ -919,6 +919,101 @@ def duplicated_token_spans(
     )
 
 
+def span_dedup_state(
+    df: DataFrame, id_col: str, text_col: str, window: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """The materializable state of incremental ExactSubstr dedup:
+    ``(windows, counts)`` — the hashed window-position table ``(id,
+    start, k)`` and its key-occurrence counts ``(k, n_occurrences)``.
+    Persist both (bucketing by ``k`` makes the delta path's scans
+    prunable); counts are ADDITIVE, so ingests can also maintain them
+    as per-batch partials summed on read (the decayed-counter recipe in
+    streaming/sinks.py)."""
+    w = token_window_keys(df, id_col, text_col, window)
+    counts = w.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    return w, counts
+
+
+def duplicated_token_spans_delta(
+    base_windows: DataFrame,
+    base_counts: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Incremental ExactSubstr: the spans that CHANGE when ``delta``
+    documents join a corpus whose :func:`span_dedup_state` tables are
+    materialized — every span of every delta document, plus the
+    refreshed span set of every base document the delta affected (a
+    base doc is affected iff the delta pushed one of its window keys
+    over ``min_occurrences``, which can create or EXTEND its spans).
+    Callers upsert the output by document id; unaffected base docs'
+    spans are untouched by construction. Same output contract as
+    :func:`duplicated_token_spans`.
+
+    Scale shape (the point of the state tables): every SHUFFLE is
+    delta-proportional — delta windows, the delta-keyed count merge,
+    and the island sort over delta + affected docs. The base tables are
+    only ever SCANNED (twice for ``base_windows``, once for
+    ``base_counts``), each time against a delta-derived build side —
+    never re-aggregated, never self-joined; with the state bucketed by
+    ``k`` those scans partition-prune too. Equivalence with the batch
+    pipeline restricted to changed docs is pinned in tests."""
+    delta_w = token_window_keys(delta, id_col, text_col, window)
+    d_counts = delta_w.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_delta")
+    )
+    # delta-touched keys with their base occurrence count: one scan of
+    # base_counts against the (small) delta key set
+    touched = d_counts.join(base_counts, "k", "left").select(
+        "k",
+        F.coalesce(F.col("n_occurrences"), F.lit(0)).alias("__n_base"),
+        "__n_delta",
+    )
+    touched_dup = touched.filter(
+        F.col("__n_base") + F.col("__n_delta") >= min_occurrences
+    )
+    # keys the delta pushed over the threshold — these mark positions in
+    # BASE documents that were clean (or shorter-spanned) before
+    crossed = touched_dup.filter(F.col("__n_base") < min_occurrences).select("k")
+    delta_marked = delta_w.join(touched_dup.select("k"), "k").select(
+        F.col(id_col), F.col("start")
+    )
+    affected_docs = (
+        base_windows.join(crossed, "k").select(F.col(id_col)).distinct()
+    )
+    affected_pos = base_windows.join(affected_docs, id_col)
+    # a position in an affected doc is marked iff its key was already
+    # duplicated in the base (n >= min) or just crossed; base_counts
+    # joins against the (delta-bounded) affected position set
+    base_dup_n = base_counts.filter(
+        F.col("n_occurrences") >= min_occurrences
+    ).select("k")
+    affected_marked = (
+        affected_pos.join(base_dup_n.unionByName(crossed).distinct(), "k")
+        .select(F.col(id_col), F.col("start"))
+    )
+    hits = delta_marked.unionByName(affected_marked).select(
+        F.col(id_col),
+        F.col("start").cast("long").alias("s"),
+        (F.col("start") + window).cast("long").alias("e"),
+    )
+    from hpc_hd_textreuse_etl_spark.functions.intervals import merge_intervals
+
+    spans = merge_intervals(hits, [id_col], "s", "e", adjacency_gap=0)
+    return spans.select(
+        F.col(id_col),
+        F.col("island_start").alias("span_start"),
+        F.col("island_end").alias("span_end"),
+        (F.col("island_end") - F.col("island_start")).alias("span_len"),
+        F.col("n_rows").cast("long").alias("n_windows"),
+    )
+
+
 def span_dedup_stats(
     df: DataFrame,
     id_col: str,

@@ -6733,6 +6733,102 @@ def cross_doc_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_token_spans(docs, "doc_id", "text", window=8, min_docs=2)
 
 
+#: spans pipeline over an arbitrary docs CTE named ``src`` — the
+#: parameterized twin of _WIN8 for the incremental-span oracle
+def _spans_sql(name: str, src_filter: str) -> str:
+    return f"""
+    {name}_toks AS (
+      SELECT doc_id, {_TOK} AS t FROM documents {src_filter}
+    ),
+    {name}_wins AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+             array_to_string(t[i:i+7], chr(31)) AS gram
+      FROM {name}_toks, unnest(range(1, len(t) - 6)) r(i)
+      WHERE len(t) >= 8
+    ),
+    {name}_dup AS (
+      SELECT gram FROM {name}_wins GROUP BY gram HAVING count(*) >= 2
+    ),
+    {name}_hits AS (
+      SELECT doc_id, s, s + 8 AS e FROM {name}_wins
+      JOIN {name}_dup USING (gram)
+    ),
+    {name}_marked AS (
+      SELECT doc_id, s, e,
+             CASE WHEN COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) < s
+                  THEN 1 ELSE 0 END AS brk
+      FROM {name}_hits
+    ),
+    {name}_islands AS (
+      SELECT doc_id, s, e,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                           ) AS island_id
+      FROM {name}_marked
+    ),
+    {name}_spans AS (
+      SELECT doc_id,
+             CAST(MIN(s) AS BIGINT) AS span_start,
+             CAST(MAX(e) AS BIGINT) AS span_end,
+             CAST(MAX(e) - MIN(s) AS BIGINT) AS span_len,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM {name}_islands GROUP BY doc_id, island_id
+    )
+"""
+
+
+@query(
+    "span_dedup_delta",
+    oracle=f"""
+    WITH {_spans_sql("f", "")},
+    {_spans_sql("b", "WHERE doc_id % 5 <> 0")[5:]},
+    changed AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, span_start, span_end, span_len, n_windows
+        FROM f_spans
+        EXCEPT
+        SELECT doc_id, span_start, span_end, span_len, n_windows
+        FROM b_spans
+      )
+      UNION
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, span_start, span_end, span_len, n_windows
+        FROM b_spans
+        EXCEPT
+        SELECT doc_id, span_start, span_end, span_len, n_windows
+        FROM f_spans
+      )
+    )
+    SELECT f_spans.* FROM f_spans JOIN changed USING (doc_id)
+    """,
+    tags=("dedup", "incremental", "A3"),
+)
+def span_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr — every 5th doc arrives as the ingest
+    delta against materialized span_dedup_state tables; output is the
+    span sets that CHANGED (all delta-doc spans + refreshed spans of
+    affected base docs, span extension included). The oracle derives
+    the changed-doc set independently, as the symmetric difference of
+    the full-corpus and base-only batch pipelines — so the gate proves
+    both that the incremental spans are right AND that the affected-doc
+    detection is exactly complete (a missed or spurious doc
+    hash-mismatches)."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        duplicated_token_spans_delta,
+        span_dedup_state,
+    )
+
+    docs = spark.table("documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    windows, counts = span_dedup_state(base, "doc_id", "text", window=8)
+    return duplicated_token_spans_delta(
+        windows, counts, delta, "doc_id", "text", window=8
+    )
+
+
 @query(
     "span_dedup_doc_stats",
     oracle=f"""

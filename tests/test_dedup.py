@@ -412,7 +412,64 @@ def test_span_dedup_count_strategy_validation(span_corpus):
     ) == [1, 2]
 
 
-def test_contaminated_spans_marks_benchmark_overlap(spark):
+def test_duplicated_token_spans_delta_matches_batch_on_changed_docs(spark):
+    """The incremental path must emit exactly the per-document span sets
+    that CHANGE when the delta arrives: all delta-doc spans, plus
+    refreshed spans for base docs the delta affected — including the
+    hard case where a crossing window EXTENDS an existing base span —
+    and nothing for unaffected base docs. Expected set derived from the
+    batch pipeline, not hand enumeration."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        duplicated_token_spans,
+        duplicated_token_spans_delta,
+        span_dedup_state,
+    )
+
+    base_rows = [
+        # b1/b2 share tokens [0,6) → existing base span; d1 will extend b1's
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta other two"),
+        (3, "a totally clean base document nothing shared anywhere"),
+    ]
+    delta_rows = [
+        # shares b1's tokens [4,8) → crosses window start=4, extends b1
+        (10, "epsilon zeta eta theta trailing words here now"),
+        # self-repeat entirely inside the delta
+        (11, "rep one two three rep one two three end pad"),
+        (12, "clean delta doc with no repeats at all whatsoever"),
+    ]
+    base = spark.createDataFrame(base_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    full = base.unionByName(delta)
+
+    windows, counts = span_dedup_state(base, "doc_id", "text", window=4)
+    got = {
+        r["doc_id"]: set()
+        for r in duplicated_token_spans_delta(
+            windows, counts, delta, "doc_id", "text", window=4
+        ).collect()
+    }
+    for r in duplicated_token_spans_delta(
+        windows, counts, delta, "doc_id", "text", window=4
+    ).collect():
+        got[r["doc_id"]].add(tuple(r)[1:])
+
+    def per_doc(df):
+        out: dict = {}
+        for r in duplicated_token_spans(df, "doc_id", "text", window=4).collect():
+            out.setdefault(r["doc_id"], set()).add(tuple(r)[1:])
+        return out
+
+    full_spans, base_spans = per_doc(full), per_doc(base)
+    changed = {
+        i: s for i, s in full_spans.items() if s != base_spans.get(i, set())
+    }
+    assert got == changed
+    # the specific hard cases actually occurred in this fixture:
+    assert base_spans[1] == {(0, 6, 6, 3)}      # pre-existing span...
+    assert got[1] == {(0, 8, 8, 4)}             # ...EXTENDED by the delta
+    assert 3 not in got and 12 not in got       # untouched docs stay silent
+    assert 11 in got                            # delta-internal repeat found
     from hpc_hd_textreuse_etl_spark.operators.dedup import contaminated_spans
 
     bench = spark.createDataFrame(
