@@ -955,24 +955,32 @@ def duplicated_token_spans_delta(
     spans are untouched by construction. Same output contract as
     :func:`duplicated_token_spans`.
 
+    ``base_counts`` may hold one row per key OR additive PARTIALS
+    (repeated keys — the shape a streaming ingest accumulates,
+    streaming/sinks.py); per-key totals are only ever derived for
+    delta-touched and affected keys, never corpus-wide.
+
     Scale shape (the point of the state tables): every SHUFFLE is
     delta-proportional — delta windows, the delta-keyed count merge,
-    and the island sort over delta + affected docs. The base tables are
-    only ever SCANNED (twice for ``base_windows``, once for
-    ``base_counts``), each time against a delta-derived build side —
-    never re-aggregated, never self-joined; with the state bucketed by
-    ``k`` those scans partition-prune too. Equivalence with the batch
-    pipeline restricted to changed docs is pinned in tests."""
+    the affected-key count merge, and the island sort over delta +
+    affected docs. The base tables are only ever SCANNED (twice for
+    ``base_windows``, twice for ``base_counts``), each time against a
+    delta-derived build side — never re-aggregated corpus-wide, never
+    self-joined; with the state bucketed by ``k`` those scans
+    partition-prune too. Equivalence with the batch pipeline restricted
+    to changed docs is pinned in tests AND at the DuckDB gate
+    (plans/queries.py ``span_dedup_delta``)."""
     delta_w = token_window_keys(delta, id_col, text_col, window)
     d_counts = delta_w.groupBy("k").agg(
         F.count(F.lit(1)).cast("long").alias("__n_delta")
     )
-    # delta-touched keys with their base occurrence count: one scan of
-    # base_counts against the (small) delta key set
-    touched = d_counts.join(base_counts, "k", "left").select(
-        "k",
-        F.coalesce(F.col("n_occurrences"), F.lit(0)).alias("__n_base"),
-        "__n_delta",
+    # delta-touched keys with their base occurrence totals: one scan of
+    # base_counts against the (small) delta key set; the post-join SUM
+    # folds count partials and costs nothing on snapshot-shaped input
+    touched = (
+        d_counts.join(base_counts, "k", "left")
+        .groupBy("k", "__n_delta")
+        .agg(F.coalesce(F.sum("n_occurrences"), F.lit(0)).alias("__n_base"))
     )
     touched_dup = touched.filter(
         F.col("__n_base") + F.col("__n_delta") >= min_occurrences
@@ -988,11 +996,16 @@ def duplicated_token_spans_delta(
     )
     affected_pos = base_windows.join(affected_docs, id_col)
     # a position in an affected doc is marked iff its key was already
-    # duplicated in the base (n >= min) or just crossed; base_counts
-    # joins against the (delta-bounded) affected position set
-    base_dup_n = base_counts.filter(
-        F.col("n_occurrences") >= min_occurrences
-    ).select("k")
+    # duplicated in the base (total n >= min) or just crossed; totals
+    # are derived for the (delta-bounded) affected key set only
+    affected_keys = affected_pos.select("k").distinct()
+    base_dup_n = (
+        base_counts.join(affected_keys, "k")
+        .groupBy("k")
+        .agg(F.sum("n_occurrences").alias("__n"))
+        .filter(F.col("__n") >= min_occurrences)
+        .select("k")
+    )
     affected_marked = (
         affected_pos.join(base_dup_n.unionByName(crossed).distinct(), "k")
         .select(F.col(id_col), F.col("start"))

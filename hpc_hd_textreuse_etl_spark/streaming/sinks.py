@@ -241,3 +241,91 @@ def streaming_minhash_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_span_dedup(
+    docs_stream: DataFrame,
+    state_path: str,
+    spans_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_occurrences: int = 2,
+    trigger_available_now: bool = True,
+):
+    """Streaming ExactSubstr span dedup at ingest: each micro-batch runs
+    ``operators/dedup.duplicated_token_spans_delta`` against the window
+    state accumulated from prior batches, emitting the span sets that
+    batch CHANGED (its own docs' spans, plus refreshed spans of earlier
+    docs it pushed over the occurrence threshold — extension included).
+
+    State is two batch_id-keyed parquet trees under ``state_path``:
+    ``windows/`` (positions) and ``counts/`` (per-batch count PARTIALS
+    — counts are additive, so partials summed on read are exact; the
+    delta operator folds them for touched/affected keys only, never
+    corpus-wide). ``spans_path`` gets one ``batch_id=N`` partition per
+    batch; because marks only ever accumulate, a doc's CURRENT spans
+    are its latest-batch rows — :func:`read_streaming_spans`. Replay
+    safety follows the recipe above: every base read filters
+    ``batch_id < N``, every write overwrites its own partition.
+    """
+    from pyspark.sql import functions as F
+
+    from hpc_hd_textreuse_etl_spark.catalog import path_exists
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        duplicated_token_spans_delta,
+        span_dedup_state,
+    )
+
+    wpath = os.path.join(state_path, "windows")
+    cpath = os.path.join(state_path, "counts")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.select(id_col, text_col).persist()
+        delta_w, delta_c = span_dedup_state(batch_df, id_col, text_col, window)
+        if path_exists(spark, wpath):
+            base_w = (
+                spark.read.option("basePath", wpath).parquet(wpath)
+                .filter(F.col("batch_id") < batch_id)
+                .drop("batch_id")
+            )
+            base_c = (
+                spark.read.option("basePath", cpath).parquet(cpath)
+                .filter(F.col("batch_id") < batch_id)
+                .drop("batch_id")
+            )
+        else:
+            base_w, base_c = delta_w.limit(0), delta_c.limit(0)
+        spans = duplicated_token_spans_delta(
+            base_w, base_c, batch_df, id_col, text_col, window, min_occurrences
+        )
+        spans.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(spans_path, f"batch_id={batch_id}")
+        )
+        delta_w.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(wpath, f"batch_id={batch_id}")
+        )
+        delta_c.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(cpath, f"batch_id={batch_id}")
+        )
+        batch_df.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_streaming_spans(spark, spans_path: str, id_col: str = "doc_id") -> DataFrame:
+    """Current span table maintained by :func:`streaming_span_dedup`:
+    marks only accumulate, so a document's latest batch_id partition
+    holds its complete current span set — keep exactly those rows."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", spans_path).parquet(spans_path)
+    latest = df.groupBy(id_col).agg(F.max("batch_id").alias("batch_id"))
+    return df.join(latest, [id_col, "batch_id"]).drop("batch_id")

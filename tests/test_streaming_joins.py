@@ -138,3 +138,60 @@ def test_streaming_minhash_dedup_matches_batch_and_replays(spark, tmp_path):
     # full replay from a fresh checkpoint: same epoch ids → same
     # batch_id dirs overwritten, prior-batch filter sees the same base
     assert run("ckpt_b") == want
+
+
+def test_streaming_span_dedup_matches_batch_and_replays(spark, tmp_path):
+    """read_streaming_spans after three micro-batches must equal the
+    batch ExactSubstr pipeline over everything ingested — including a
+    base doc whose span EXTENDS in a later batch (latest-partition-wins
+    read) — and a fresh-checkpoint replay must converge."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import duplicated_token_spans
+    from hpc_hd_textreuse_etl_spark.streaming.sinks import (
+        read_streaming_spans,
+        streaming_span_dedup,
+    )
+
+    chunks = [
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta other two")],
+        # extends doc 1's span [0,6) to [0,8) via crossing start=4
+        [(10, "epsilon zeta eta theta trailing words here now"),
+         (12, "clean doc with no repeats at all whatsoever today")],
+        [(11, "rep one two three rep one two three end pad")],
+    ]
+    src = str(tmp_path / "docs")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run(ckpt_name):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_span_dedup(
+            stream,
+            state_path=str(tmp_path / "state"),
+            spans_path=str(tmp_path / "spans"),
+            checkpoint=str(tmp_path / ckpt_name),
+            window=4,
+        )
+        q.awaitTermination()
+        return {
+            tuple(r)
+            for r in read_streaming_spans(spark, str(tmp_path / "spans")).collect()
+        }
+
+    got = run("ckpt_a")
+    all_docs = spark.createDataFrame(
+        [d for c in chunks for d in c], "doc_id long, text string"
+    )
+    want = {
+        tuple(r)
+        for r in duplicated_token_spans(all_docs, "doc_id", "text", window=4).collect()
+    }
+    assert got == want
+    assert (1, 0, 8, 8, 4) in got  # doc 1's span extended across batches
+    assert run("ckpt_b") == want   # fresh-checkpoint replay converges
