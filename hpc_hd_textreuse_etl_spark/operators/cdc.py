@@ -66,7 +66,7 @@ def latest_by_key(
 
         payload_cols = [c for c in df.columns if c not in keys]
         for f in df.schema.fields:
-            if f.name in payload_cols and "map" in f.dataType.typeName():
+            if f.name in payload_cols and "map<" in f.dataType.simpleString():
                 raise ValueError(
                     f"salted latest_by_key cannot order map-typed column "
                     f"{f.name!r}; drop it or use the window path"

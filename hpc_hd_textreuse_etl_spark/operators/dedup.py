@@ -291,7 +291,15 @@ def minhash_near_duplicates_delta(
     :func:`minhash_signatures` with the SAME (num_hashes, shingle_size,
     hash_family) — mixed-parameter tables produce garbage buckets, which
     is why production pipelines version the signature table by its
-    parameters."""
+    parameters.
+
+    Cache lifetime: the delta signatures are ``persist()``-ed here (they
+    feed banding AND the verify join) and, because the result is lazy,
+    CANNOT be unpersisted before the caller materializes it — the caller
+    owns the release. ``streaming/sinks.py`` does exactly that
+    (unpersist after the batch write); loops calling this directly should
+    track and unpersist per ingest (or ``spark.catalog.clearCache()``),
+    or the cached delta blocks accumulate until storage eviction."""
     rows_per_band = num_hashes // num_bands
     delta_sigs = minhash_signatures(
         delta, id_col, text_col, num_hashes, shingle_size, hash_family
@@ -737,9 +745,18 @@ def with_lsh_blocks(
 # Exact repeated-substring span dedup (ExactSubstr)
 # ---------------------------------------------------------------------------
 
-#: unit separator — cannot appear inside a whitespace-split token, so
-#: joined grams collide iff their token sequences are identical
+#: unit separator between length-prefixed tokens. \x1f alone is NOT a
+#: safe delimiter: it is not Java-regex whitespace, so a token may
+#: contain it and different token sequences could join to equal strings
+#: (['a\x1fb','c'] vs ['a','b\x1fc']). Each token is therefore encoded
+#: as "<len>:<token>" before joining — the length prefix makes the
+#: encoding injective, so grams collide iff token sequences are equal.
 _GRAM_SEP = "\x1f"
+
+
+def _len_prefixed(tok: Column) -> Column:
+    """Injective token encoding for raw-gram keys: ``<len>:<token>``."""
+    return F.concat(F.length(tok).cast("string"), F.lit(":"), tok)
 
 
 def token_window_grams(
@@ -769,7 +786,10 @@ def token_window_grams(
         F.size(t) >= window,
         F.transform(
             F.sequence(F.lit(0), F.size(t) - window),
-            lambda i: F.concat_ws(_GRAM_SEP, F.slice(t, i + 1, window)),
+            lambda i: F.concat_ws(
+                _GRAM_SEP,
+                F.transform(F.slice(t, i + 1, window), _len_prefixed),
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return base.select(
@@ -791,8 +811,8 @@ def token_window_keys(
     O(window) string copies per position. Measured ~6.8× cheaper window
     build than hashing ``concat_ws`` gram strings at sf0.1. Equal token
     sequences still map to equal keys by construction; collisions (two
-    levels of 64-bit hashing, still ~n²/2⁶⁴-scale odds) can only
-    over-mark a window as shared, never drop one.
+    levels of 64-bit hashing — expected ~n²/2/2⁶⁴ colliding pairs at n
+    windows) can only over-mark a window as shared, never drop one.
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
@@ -840,8 +860,9 @@ def duplicated_token_spans(
     materializing gram strings (``hashed_keys=True`` →
     :func:`token_window_keys`: per-token hashes, then a hash per slice —
     ~6.8× cheaper build, ~10-30× fewer shuffle bytes than raw
-    ``window``-token strings; collision odds at n windows ~ n²/2⁶⁴ — at
-    10¹² windows, a few percent, and any collision only over-marks a
+    ``window``-token strings; expected colliding pairs at n windows ≈
+    n²/2/2⁶⁴ — at 10¹² windows that is ~2.7×10⁴ colliding PAIRS, i.e. a
+    ~10⁻⁸ fraction of windows touched; each collision only over-marks a
     span, it cannot drop one). ``hashed_keys=False`` keeps raw gram
     strings as keys for exactness audits (and the DuckDB oracle gate
     groups raw grams — the gate passing IS the collision audit at test

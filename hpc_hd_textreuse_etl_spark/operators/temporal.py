@@ -219,7 +219,8 @@ MAX_GAPFILL_CELLS = 50_000_000
 #: so anything outside unsigned unit terms is refused before it reaches
 #: the parser: no expressions, no negatives, no quotes, no semicolons.
 _STEP_PATTERN = re.compile(
-    r"^\s*interval(\s+\d+\s+(?:year|month|week|day|hour|minute|second)s?)+\s*$",
+    r"^\s*interval(\s+\d+\s+(?:year|month|week|day|hour|minute|second"
+    r"|millisecond|microsecond)s?)+\s*$",
     re.IGNORECASE,
 )
 

@@ -6617,7 +6617,8 @@ def customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 #: DuckDB twin of operators/dedup.py token_window_grams at window=8:
-#: 0-based start, end-exclusive spans, \x1f-joined gram strings. The
+#: 0-based start, end-exclusive spans, \x1f-joined length-prefixed
+#: gram strings (injective encoding — see dedup._GRAM_SEP). The
 #: Spark side groups xxhash64(gram); the oracle groups the raw gram —
 #: a value-hash match therefore ALSO audits the hashed path for
 #: collisions at test scale.
@@ -6625,7 +6626,7 @@ _WIN8 = f"""
     toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
     wins AS (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
-             array_to_string(t[i:i+7], chr(31)) AS gram
+             array_to_string(list_transform(t[i:i+7], x -> concat(len(x), ':', x)), chr(31)) AS gram
       FROM toks, unnest(range(1, len(t) - 6)) r(i)
       WHERE len(t) >= 8
     ),
@@ -6686,7 +6687,7 @@ def duplicated_token_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
     wins AS (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
-             array_to_string(t[i:i+7], chr(31)) AS gram
+             array_to_string(list_transform(t[i:i+7], x -> concat(len(x), ':', x)), chr(31)) AS gram
       FROM toks, unnest(range(1, len(t) - 6)) r(i)
       WHERE len(t) >= 8
     ),
@@ -6742,7 +6743,7 @@ def _spans_sql(name: str, src_filter: str) -> str:
     ),
     {name}_wins AS (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
-             array_to_string(t[i:i+7], chr(31)) AS gram
+             array_to_string(list_transform(t[i:i+7], x -> concat(len(x), ':', x)), chr(31)) AS gram
       FROM {name}_toks, unnest(range(1, len(t) - 6)) r(i)
       WHERE len(t) >= 8
     ),
@@ -6862,7 +6863,7 @@ def span_dedup_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
     wins AS (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
-             array_to_string(t[i:i+7], chr(31)) AS gram
+             array_to_string(list_transform(t[i:i+7], x -> concat(len(x), ':', x)), chr(31)) AS gram
       FROM toks, unnest(range(1, len(t) - 6)) r(i)
       WHERE len(t) >= 8
     ),

@@ -310,3 +310,23 @@ def test_scd2_single_exchange_plan(spark):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_latest_rejects_nested_map_columns(spark):
+    """The guard must catch maps NESTED inside arrays/structs too —
+    max(struct(...)) fails on any map at any depth, and the top-level
+    typeName check used to let these through to an opaque analysis
+    error (ADVICE r6)."""
+    import pytest
+
+    arr = spark.createDataFrame(
+        [("a", 1, [{"x": 1}])], "k string, ver int, am array<map<string,int>>"
+    )
+    with pytest.raises(ValueError, match="map"):
+        latest_by_key(arr, ["k"], ["ver"], salted_buckets=4)
+    st = spark.createDataFrame(
+        [("a", 1, ({"x": 1},))],
+        "k string, ver int, sm struct<inner:map<string,int>>",
+    )
+    with pytest.raises(ValueError, match="map"):
+        latest_by_key(st, ["k"], ["ver"], salted_buckets=4)

@@ -572,3 +572,24 @@ def test_cut_spans_mask_token_replaces_each_span_once(spark):
         for r in cut_spans(corpus, spans, "doc_id", "text").collect()
     }
     assert dropped[1] == "pre mid post"
+
+
+def test_raw_gram_keys_immune_to_separator_confusion(spark):
+    """Tokens may CONTAIN \\x1f (it is not Java-regex whitespace), so a
+    bare \\x1f join is not injective: ['a\\x1fb','c'] and
+    ['a','b\\x1fc'] would collide. The length-prefixed encoding
+    (ADVICE r6) must keep such windows distinct — these two docs share
+    no true 2-token window, so the raw-gram path must mark nothing."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        duplicated_token_spans,
+        token_window_grams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\x1fb c"), (2, "a b\x1fc")], "doc_id int, text string"
+    )
+    grams = {r["gram"] for r in token_window_grams(df, "doc_id", "text", 2).collect()}
+    assert len(grams) == 2  # injective: the two windows stay distinct
+    assert duplicated_token_spans(df, "doc_id", "text", 2, hashed_keys=False).count() == 0
+    # and the default hashed path agrees (hashes the token arrays, no strings)
+    assert duplicated_token_spans(df, "doc_id", "text", 2, hashed_keys=True).count() == 0

@@ -453,3 +453,27 @@ def test_gapfill_step_validated_in_both_modes(spark, allow_dense):
         call("interval 0 days")
     # well-formed multi-term literal passes in both modes
     assert call("interval 1 day 0 hours").count() == 8
+
+
+def test_gapfill_subsecond_steps_accepted(spark):
+    """millisecond/microsecond are valid ANSI interval units and were
+    valid before the r6 injection gate — the gate must not reject them
+    (ADVICE r6). 500ms over a 7-day extent would blow the grid guard,
+    so probe the validator directly for width, then run a real
+    sub-second fill on a narrow extent."""
+    from hpc_hd_textreuse_etl_spark.operators.temporal import (
+        _validated_step_micros,
+    )
+
+    df = _gapfill_input(spark)
+    assert _validated_step_micros(df, "interval 500 milliseconds") == 500_000
+    assert _validated_step_micros(df, "interval 250 microseconds") == 250
+    narrow = spark.createDataFrame(
+        [("g1", "2024-01-01 00:00:00.0", 1), ("g1", "2024-01-01 00:00:02.0", 2)],
+        "g string, bucket string, v int",
+    ).select("g", F.col("bucket").cast("timestamp").alias("bucket"), "v")
+    out = gapfill_buckets(
+        narrow, "bucket", ["g"], {"total": F.sum("v")},
+        step="interval 500 milliseconds",
+    )
+    assert out.count() == 5  # 0.0 .. 2.0 inclusive at 500ms
