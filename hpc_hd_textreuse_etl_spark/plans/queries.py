@@ -46,18 +46,46 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     tags: tuple[str, ...] = ()
     bench: bool = False  # include in bench.py headline set
+    #: golden expected-output records for oracle-free queries whose
+    #: output is nonetheless bit-deterministic (seeded CW): maps a
+    #: testdata dir BASENAME (e.g. "sf0.01") to
+    #: {"sha256": golden_value_hash(df), "rows": n}. Gated in pytest
+    #: (tests/test_registry.py) — a semantic change to the operator
+    #: fails the pin instead of sliding under weaker invariants.
+    expected: dict | None = None
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False):
+def golden_value_hash(df: DataFrame) -> tuple[str, int]:
+    """Canonical order-insensitive output hash for golden pins:
+    reorder each row by sorted column name, sort rows, sha256 the
+    reprs. Partitioning/ordering-invariant by construction — only a
+    change in the VALUE SET moves it."""
+    import hashlib
+
+    order = sorted(range(len(df.columns)), key=lambda i: df.columns[i])
+    rows = sorted(tuple(r[i] for i in order) for r in df.collect())
+    m = hashlib.sha256()
+    for r in rows:
+        m.update(repr(r).encode())
+    return m.hexdigest(), len(rows)
+
+
+def query(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+    expected: dict | None = None,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_testdata(spark, sf_dir)
             return fn(spark, sf_dir)
 
-        QUERIES[name] = QuerySpec(name, wrapped, oracle, tags, bench)
+        QUERIES[name] = QuerySpec(name, wrapped, oracle, tags, bench, expected)
         return wrapped
 
     return deco
@@ -1356,7 +1384,26 @@ def connected_components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges, nodes=nodes)
 
 
-@query("chinese_whispers_clusters", oracle=None, tags=("§2.10", "A5", "A6"))
+@query(
+    "chinese_whispers_clusters",
+    oracle=None,
+    tags=("§2.10", "A5", "A6"),
+    expected={
+        # golden pins: CW is bit-deterministic (seeded coins + sorted
+        # folds, operators/clustering.py) — these gate SEMANTIC drift
+        # the two oracle-green invariants (component containment,
+        # intra-edge fraction) cannot see. Regenerate via
+        # plans.queries.golden_value_hash after an INTENDED change.
+        "sf0.001": {
+            "sha256": "0741ac316a0f9dde46d9439f25ba5c8ad5c53373bc74f51f4f2c198cabb85264",
+            "rows": 175,
+        },
+        "sf0.01": {
+            "sha256": "d4baee1354bf5e9617f2506ca627e3b170aba2739d109772edd19ec63c74f2d6",
+            "rows": 1525,
+        },
+    },
+)
 def chinese_whispers_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Chinese-Whispers label propagation on a customer–nation
     bipartite graph (operators/clustering.py). Deterministic row count =

@@ -78,3 +78,26 @@ def test_unknown_dep(spark):
     reg.add("a", deps=["ghost"], builder=lambda spark, ghost: ghost)
     with pytest.raises(KeyError, match="ghost"):
         reg.order(["a"])
+
+
+def test_golden_expected_hashes_pin_oracle_free_queries(spark):
+    """Every QuerySpec carrying an `expected` record is an oracle-free
+    query whose output is nonetheless bit-deterministic — re-run it at
+    each recorded scale and require the exact golden value hash. Today
+    that is chinese_whispers_clusters (seeded coins + sorted folds):
+    semantic drift in the CW loop fails HERE instead of sliding under
+    the two invariant gates (component containment, intra-edge
+    fraction), which only bound it."""
+    from hpc_hd_textreuse_etl_spark.plans.queries import (
+        QUERIES,
+        golden_value_hash,
+    )
+
+    pinned = {n: q for n, q in QUERIES.items() if q.expected}
+    assert "chinese_whispers_clusters" in pinned
+    for name, q in pinned.items():
+        for sf_base, rec in q.expected.items():
+            df = q.builder(spark, f"/root/testdata/{sf_base}")
+            digest, rows = golden_value_hash(df)
+            assert rows == rec["rows"], (name, sf_base, rows)
+            assert digest == rec["sha256"], (name, sf_base, digest)
