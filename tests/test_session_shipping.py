@@ -65,3 +65,21 @@ def test_zip_is_importable_as_sys_path_root():
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "ok"
+
+
+def test_retry_determinism_under_injected_task_failures():
+    """SCALE.md's retry claim, executed: with master local[8,2] every
+    task of the input stage fails its first attempt, and the seeded
+    hash_sample → minhash → chinese_whispers chain must produce
+    bit-identical output vs the no-fault run (fault_injection_script.py;
+    separate process because the shared local[N] session never retries
+    tasks)."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "fault_injection_script.py")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "FAULT-DETERMINISM-OK" in out.stdout
