@@ -141,15 +141,29 @@ def prefix_sums(
     totals = local.groupBy("__pid").agg(
         *[F.sum(v).alias(f"__tot{i}") for i, v in enumerate(value_cols)]
     )
-    w_prior = (
-        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # strictly-prior totals as a broadcast theta-self-join instead of an
+    # unpartitioned Window.orderBy: over the ≤ num_buckets totals rows
+    # the O(B²) nested-loop pairing is trivial, and it keeps the plan
+    # free of the single-partition WindowExec (whose warning is a real
+    # scale alarm everywhere else — no benign trips to teach readers to
+    # ignore). NULL __tot columns cannot occur (sums over the fully
+    # materialized partition), so the left-join coalesce is the empty-
+    # prior-set case only.
+    prior = totals.select(
+        F.col("__pid").alias("__ppid"),
+        *[F.col(f"__tot{i}").alias(f"__ptot{i}") for i in range(len(value_cols))],
     )
-    offsets = totals.select(
-        "__pid",
-        *[
-            F.coalesce(F.sum(f"__tot{i}").over(w_prior), F.lit(0)).alias(f"__off{i}")
-            for i in range(len(value_cols))
-        ],
+    offsets = (
+        totals.join(
+            F.broadcast(prior), F.col("__ppid") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__ptot{i}"), F.lit(0)).alias(f"__off{i}")
+                for i in range(len(value_cols))
+            ]
+        )
     )
     out = local.join(F.broadcast(offsets), "__pid")
     for i, o in enumerate(out_cols):

@@ -405,6 +405,8 @@ def bm25_topk(
     topk = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     from pyspark.sql import Window
 
+    # rank window runs AFTER the limit, over ≤ k rows — benign
+    # single-partition trip (SCALE.md "Unpartitioned windows")
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return topk.withColumn("rank", F.row_number().over(w).cast("int")).select(
         id_col, "rank", "score"

@@ -105,6 +105,10 @@ def funnel_conversion(
     by_stage = funnel_df.groupBy(stage_col).agg(
         F.count(F.lit(1)).alias("n_exact")
     )
+    # unpartitioned windows here run over the per-STAGE table (a
+    # handful of rows, one per funnel stage) — the WindowExec
+    # single-partition warning is benign by construction (SCALE.md
+    # "Unpartitioned windows")
     w_cum = (
         Window.orderBy(F.desc(stage_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -296,6 +296,8 @@ def ivf_index(
         .orderBy("h")
         .limit(n_cells)
         .select(
+            # over ≤ n_cells seed rows (post-limit) — benign single-
+            # partition trip (SCALE.md "Unpartitioned windows")
             F.row_number().over(Window.orderBy("h")).alias("cell_id"),
             F.col("v").alias("centroid"),
         )

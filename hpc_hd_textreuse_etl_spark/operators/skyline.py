@@ -214,6 +214,9 @@ def pareto_frontier_2d(
     s2 = (-F.col(d2)) if flips[1] else F.col(d2)
     work = df.withColumn("__s1", s1).withColumn("__s2", s2)
     grp_min = work.groupBy("__s1").agg(F.min("__s2").alias("__gmin"))
+    # unpartitioned window over the per-group MINIMA table only
+    # (|distinct __s1| rows, never the input) — benign single-
+    # partition trip (SCALE.md "Unpartitioned windows")
     prev = Window.orderBy("__s1").rowsBetween(Window.unboundedPreceding, -1)
     frontier_keys = (
         grp_min.withColumn("__pmin", F.min("__gmin").over(prev))
