@@ -491,8 +491,13 @@ def run(spark, data_dir: str, assets_dir: str, label: str) -> dict:
     total = time.time() - t_total0
 
     # row-count sanity: the invariants a quadratic or broken stage breaks
+    dp = spark.read.parquet(os.path.join(assets_dir, "defrag_pieces.parquet"))
     sanity = {
         "all_stages_nonempty": all(v > 0 for v in rows.values()),
+        # round-7 catch: job-unstable dense ids produced ~0.8% duplicate
+        # defrag piece ids at sf1 (functions/ids.py zip_with_index, fixed)
+        "defrag_piece_ids_unique":
+            dp.select("piece_id").distinct().count() == rows["defrag_pieces"],
         "defrag_never_grows_pieces": rows["defrag_pieces"] <= rows["orig_pieces"],
         "every_defrag_piece_clustered":
             rows["clustered_defrag_pieces"] == rows["defrag_pieces"],
@@ -520,7 +525,12 @@ def run_lazy(spark, data_dir: str) -> dict:
         recipe = reg._recipes[name]
         done[name] = recipe.builder(spark, **{d: done[d] for d in recipe.deps})
     t0 = time.time()
-    counts = {t: done[t].count() for t in TERMINALS}
+    counts = {}
+    for t in TERMINALS:
+        try:
+            counts[t] = done[t].count()
+        except Exception as e:  # record, don't lose the whole artifact
+            counts[t] = f"ERROR: {type(e).__name__}: {str(e)[:200]}"
     wall = time.time() - t0
     return {"wall_s": round(wall, 2), "terminal_rows": counts}
 

@@ -32,8 +32,22 @@ def zip_with_index(df: DataFrame, id_col: str = "id", offset: int = 1) -> DataFr
     adding per-partition cumulative counts (a tiny driver collect +
     broadcast join) yields the exact global ordinal. Two scans of the
     input, zero shuffles of the data itself.
+
+    The input MUST be materialized once and read by both passes: the
+    count job and the label job are separate Spark jobs, and a lazy
+    upstream (sort after distinct, AQE-planned exchanges) is NOT
+    partition-stable across job executions — RangePartitioner re-samples
+    its boundaries per execution, so rows near a boundary can sit in
+    different partitions in the two jobs, which mislabels ordinals
+    (duplicates + gaps). This is not theoretical: the round-7 composed
+    pipeline hit it at 1.28M defrag targets (~0.8% duplicate ids).
+    ``localCheckpoint(eager)`` pins the partitions; it truncates lineage,
+    so a lost block fails the job LOUDLY instead of silently recomputing
+    a different labeling — the correct failure mode for id assignment.
     """
-    tagged = df.withColumn("__mono", F.monotonically_increasing_id())
+    tagged = df.withColumn(
+        "__mono", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     counts = (
         tagged.groupBy(F.shiftright("__mono", 33).alias("__pid"))
         .agg(F.count(F.lit(1)).alias("__n"))

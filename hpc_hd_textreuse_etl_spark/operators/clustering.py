@@ -141,6 +141,16 @@ def chinese_whispers(
     while active_count > 0 and it < max_iter:
         # 1. arg-max vote with deterministic reservoir tie-breaking.
         # Fold over sorted keys so the outcome is partition-independent.
+        # The tie-branch divisor is clamped with greatest(...,1): in any
+        # consistent state the branch is only reachable on a vote tie
+        # with same_count >= 1, but if vote bookkeeping ever desyncs
+        # from the adjacency (seen in round 7's composed-pipeline lazy
+        # plan, where a job-unstable upstream recomputed different
+        # vertex ids per iteration — functions/ids.py zip_with_index,
+        # since fixed), negative vote entries can tie with the initial
+        # accumulator's same_count = -1 and the raw division throws
+        # DIVIDE_BY_ZERO under ANSI. Total expressions keep a
+        # bookkeeping anomaly diagnosable instead of fatal mid-fold.
         pick = f"""
         aggregate(
           array_sort(map_keys(cluster_counts)),
@@ -149,7 +159,7 @@ def chinese_whispers(
             IF(acc.count <= cluster_counts[y],
               IF(acc.count < cluster_counts[y],
                 (y as cluster_id, cluster_counts[y] as count, 1 as same_count),
-                IF({_coin("piece_id", "y", f"int({it})", f"int({seed})")} < 1.0/(acc.same_count + 1),
+                IF({_coin("piece_id", "y", f"int({it})", f"int({seed})")} < 1.0/greatest(acc.same_count + 1, 1),
                   (y as cluster_id, acc.count as count, acc.same_count + 1 as same_count),
                   (acc.cluster_id as cluster_id, acc.count as count, acc.same_count + 1 as same_count))),
               acc),

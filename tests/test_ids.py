@@ -48,3 +48,36 @@ def test_with_int_id_mapping(spark):
         ("a", 1),
         ("b", 2),
     }
+
+
+def test_zip_with_index_stable_under_nondeterministic_upstream(spark):
+    """Round-7 regression: the scale path's two jobs (per-partition
+    counts, then labeling) must read the SAME materialized partitions.
+    Before the localCheckpoint pin, a lazy sort/distinct upstream was
+    re-executed per job with freshly-sampled range boundaries, and rows
+    near a boundary mislabeled (duplicate + missing ordinals — ~0.8% of
+    1.28M defrag targets in the composed-pipeline run). This input's
+    emission ORDER changes on every execution; the assigned ids must
+    still be exactly the sorted ranks, with no duplicates or gaps."""
+    import random
+
+    n = 100_000
+
+    def emit(split, it):
+        rows = [(f"k{i:07d}",) for i in range(split, n, 8)]
+        # a fresh SystemRandom draw per physical execution — any job
+        # re-running this partition sees a different row order
+        random.SystemRandom().shuffle(rows)
+        return iter(rows)
+
+    rdd = spark.sparkContext.parallelize(range(8), 8).mapPartitionsWithIndex(
+        lambda split, it: emit(split, it)
+    )
+    df = spark.createDataFrame(rdd, "val string")
+    out = dense_ids(df, ["val"], "i", use_window=False).collect()
+    assert len(out) == n
+    ids = sorted(r.i for r in out)
+    assert ids == list(range(1, n + 1))  # dense, no dupes, no gaps
+    # and each id is the exact sorted rank of its value
+    by_val = sorted(out, key=lambda r: r.val)
+    assert all(r.i == rank + 1 for rank, r in enumerate(by_val))
