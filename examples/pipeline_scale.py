@@ -471,6 +471,8 @@ def run(spark, data_dir: str, assets_dir: str, label: str) -> dict:
     stages = []
     rows = {}
     t_total0 = time.time()
+    import gc
+
     for name in order:
         sh0 = _stage_totals(spark)
         t0 = time.time()
@@ -479,6 +481,15 @@ def run(spark, data_dir: str, assets_dir: str, label: str) -> dict:
         sh1 = _stage_totals(spark)
         n = done[name].count()
         rows[name] = n
+        # stage-boundary cache hygiene: operators persist intermediates
+        # (e.g. piece_id_mappings' raw table) that are dead once the
+        # stage is snapshotted — in ONE long session running 70 stages
+        # the leaked blocks squeeze storage memory until an iterative
+        # stage (CW) thrashes on eviction/recompute (measured: 506s vs
+        # 146s standalone at sf1). Production stages run as separate
+        # jobs; this is the single-session equivalent.
+        spark.catalog.clearCache()
+        gc.collect()
         stages.append({
             "stage": name,
             "wall_s": round(wall, 2),
