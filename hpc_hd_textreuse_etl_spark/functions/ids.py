@@ -85,6 +85,11 @@ def dense_ids(
         # caller can force either path explicitly.
         use_window = True
     if use_window:
+        # deliberately unpartitioned: a dense GLOBAL ordinal needs a
+        # global order. This path is for DIMENSION-sized inputs only
+        # (its WindowExec single-partition warning is the documented
+        # exception in SCALE.md "Unpartitioned windows"); fact-scale
+        # callers pass use_window=False for the parallel zip path.
         w = Window.orderBy(*[F.col(c) for c in order_by])
         return df.withColumn(id_col, F.row_number().over(w))
     return zip_with_index(df.orderBy(*order_by), id_col=id_col)
