@@ -80,11 +80,24 @@ class Registry:
         base_dir: str,
         targets: Sequence[str] | None = None,
         overwrite: bool = False,
+        clear_cache_per_asset: bool = False,
     ) -> dict[str, DataFrame]:
         """Materialize the closure of ``targets`` under ``base_dir``.
 
         Existing snapshots are reused unless ``overwrite`` (builders of
-        satisfied assets never even construct their plan)."""
+        satisfied assets never even construct their plan).
+
+        ``clear_cache_per_asset=True`` clears the session cache after
+        each snapshot: builders may persist intermediates internally
+        (defrag's raw mapping table, minhash signatures) that are DEAD
+        once the asset is parquet-backed, and in one long session
+        running a large DAG the leaked blocks squeeze storage memory
+        until an iterative stage thrashes on eviction — measured in the
+        round-7 composed-pipeline run as CW at 506 s vs 146 s clean.
+        Safe because every subsequent stage reads its deps from the
+        snapshot, never from a live cached plan. Off by default only
+        for single-asset / interactive use where the caller may still
+        hold cached frames of their own."""
         done: dict[str, DataFrame] = {}
         for name in self.order(targets):
             path = table_path(base_dir, name)
@@ -95,4 +108,8 @@ class Registry:
             recipe = self._recipes[name]
             df = recipe.builder(spark, **{d: done[d] for d in recipe.deps})
             done[name] = materialise(spark, df, path, name=name)
+            if clear_cache_per_asset:
+                # only drops builders' internal persists — done[name]
+                # and the registered view already read the snapshot
+                spark.catalog.clearCache()
         return done

@@ -101,3 +101,42 @@ def test_golden_expected_hashes_pin_oracle_free_queries(spark):
             digest, rows = golden_value_hash(df)
             assert rows == rec["rows"], (name, sf_base, rows)
             assert digest == rec["sha256"], (name, sf_base, digest)
+
+
+def test_composed_pipeline_harness_tiny(spark, tmp_path, monkeypatch):
+    """The composed-DAG harness (examples/pipeline_scale.py) caught two
+    real bugs in round 7 (job-unstable dense ids, CW cache thrash) —
+    keep its wiring itself green: generate a tiny reference-shaped
+    corpus, materialize the full 35-asset DAG through the registry with
+    per-asset cache hygiene, and require every sanity invariant."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "pipeline_scale",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "examples", "pipeline_scale.py",
+        ),
+    )
+    ps = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ps)
+
+    data_dir = str(tmp_path / "corpus")
+    ps.generate(spark, data_dir, n_docs=120, n_hits=4000)
+    reg = ps.build_registry(spark, data_dir)
+    done = reg.materialise(
+        spark, str(tmp_path / "assets"), list(ps.TERMINALS),
+        clear_cache_per_asset=True,
+    )
+    rows = {name: df.count() for name, df in done.items()}
+    assert all(v > 0 for v in rows.values()), {
+        k: v for k, v in rows.items() if v == 0
+    }
+    assert rows["defrag_pieces"] <= rows["orig_pieces"]
+    assert rows["clustered_defrag_pieces"] == rows["defrag_pieces"]
+    dp = done["defrag_pieces"]
+    assert dp.select("piece_id").distinct().count() == rows["defrag_pieces"]
+    # resume-if-absent still holds through the composed registry
+    again = reg.materialise(spark, str(tmp_path / "assets"), ["coverages"])
+    assert again["coverages"].count() == rows["coverages"]
