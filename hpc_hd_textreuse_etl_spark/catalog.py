@@ -186,6 +186,14 @@ def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(hsrc, hdst))
 
 
+def touch_path(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file (overwriting), e.g. a completion
+    marker owned by a multi-step maintenance procedure. Hadoop
+    ``FileSystem.create`` + close — works on local FS, HDFS, S3A alike."""
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.create(hpath, True).close()
+
+
 # ---------------------------------------------------------------------------
 # Materialization (write-once snapshot semantics)
 # ---------------------------------------------------------------------------
@@ -197,10 +205,21 @@ def materialise(
     path: str,
     name: str | None = None,
     partition_by: list[str] | None = None,
+    target_files: int | None = None,
 ) -> DataFrame:
     """Write parquet snapshot, read back, register. Downstream consumers
     see on-disk data (lineage truncation), matching the reference's
-    immutable-snapshot contract (``spark_utils.py:113-122``)."""
+    immutable-snapshot contract (``spark_utils.py:113-122``).
+
+    ``target_files`` bounds the snapshot's file count via ``coalesce``
+    (no shuffle — it narrows the final stage; write parallelism drops to
+    ``target_files`` tasks, which is the point: a 35-stage DAG writing
+    default-shuffle-partition files per snapshot decays into a
+    small-files/listing problem, the batch twin of what streaming state
+    compaction fixes). Leave None for large assets where write
+    parallelism matters more than file count."""
+    if target_files is not None:
+        df = df.coalesce(target_files)
     writer = df.write.mode("overwrite").option("compression", "zstd")
     if partition_by:
         writer = writer.partitionBy(*partition_by)

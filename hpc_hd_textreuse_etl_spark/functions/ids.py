@@ -22,6 +22,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+    tracked_local_checkpoint,
+)
+
+
 def zip_with_index(df: DataFrame, id_col: str = "id", offset: int = 1) -> DataFrame:
     """Prepend a dense LongType ordinal preserving current row order.
 
@@ -44,10 +49,16 @@ def zip_with_index(df: DataFrame, id_col: str = "id", offset: int = 1) -> DataFr
     ``localCheckpoint(eager)`` pins the partitions; it truncates lineage,
     so a lost block fails the job LOUDLY instead of silently recomputing
     a different labeling — the correct failure mode for id assignment.
+
+    The pinned blocks are TRACKED (functions/checkpoints.py): RDD-level
+    checkpoint storage is invisible to ``spark.catalog.clearCache()``,
+    so after the labeled output is materialized, call
+    ``release_local_checkpoints()`` (the registry's per-asset hygiene
+    does this) or the copy stays resident for the session.
     """
-    tagged = df.withColumn(
-        "__mono", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
+    tagged = tracked_local_checkpoint(
+        df.withColumn("__mono", F.monotonically_increasing_id())
+    )
     counts = (
         tagged.groupBy(F.shiftright("__mono", 33).alias("__pid"))
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -69,21 +80,44 @@ def zip_with_index(df: DataFrame, id_col: str = "id", offset: int = 1) -> DataFr
     return out.select(id_col, *df.columns)
 
 
+#: auto-strategy threshold: inputs whose Catalyst size estimate exceeds
+#: this go through the parallel zip path; a global single-task window
+#: sort is only acceptable for dimension-sized data
+WINDOW_MAX_BYTES = 256 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the optimized plan (bytes), or None
+    if it can't be read. File sources propagate real sizes through
+    filters/projections; plans with no statistics report Long.MaxValue —
+    which the auto-strategy treats as 'too big', the scale-safe
+    direction."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
 def dense_ids(
     df: DataFrame,
     order_by: list[str],
     id_col: str = "id",
     use_window: bool | None = None,
+    window_max_bytes: int = WINDOW_MAX_BYTES,
 ) -> DataFrame:
     """Assign dense ids 1..N ordered by ``order_by`` over the given rows.
 
-    ``use_window=None`` auto-picks: window for small inputs, sorted
-    zipWithIndex for large (see module docstring).
+    ``use_window=None`` auto-picks from Catalyst's plan-size estimate
+    (:func:`plan_size_bytes`): window only when the input is provably
+    dimension-sized (estimate ≤ ``window_max_bytes``), the parallel
+    sorted-zipWithIndex path otherwise — including when no estimate
+    exists, so "unknown" can never silently become a single-task global
+    window over a fact table. Both paths produce identical ids
+    (strategy-agreement tested); the knob is purely physical.
     """
     if use_window is None:
-        # cheap upper-bound heuristic without triggering a count job:
-        # caller can force either path explicitly.
-        use_window = True
+        size = plan_size_bytes(df)
+        use_window = size is not None and size <= window_max_bytes
     if use_window:
         # deliberately unpartitioned: a dense GLOBAL ordinal needs a
         # global order. This path is for DIMENSION-sized inputs only

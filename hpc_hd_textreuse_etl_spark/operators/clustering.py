@@ -87,9 +87,10 @@ def chinese_whispers(
     checkpoint: str | None = None,
     resume: bool = False,
     verbose: bool = False,
+    tie_freeze: int | None = 5,
 ) -> tuple[DataFrame, int]:
     """Run the loop; returns ``(state, iterations)`` where state has
-    ``(piece_id, cluster_id, cluster_counts, active)``.
+    ``(piece_id, cluster_id, cluster_counts, active, stale)``.
 
     ``adj`` must be an adjacency list (see :func:`adjacency_list`).
 
@@ -99,6 +100,23 @@ def chinese_whispers(
     and assets/README.md:250-251). Coins are keyed on the absolute
     iteration number, so a resumed run follows the identical trajectory
     an uninterrupted run would have taken.
+
+    ``tie_freeze`` (round-8 convergence fix): in the reference, a vertex
+    whose arg-max is TIED stays active forever — on tie-rich graphs the
+    loop never converges and ``max_iter`` full iterations are always
+    paid (reference cap at chinese_label_propagation.py:105; measured in
+    the round-7 composed pipeline as CW consuming ~47% of total wall).
+    A tied vertex whose vote map has not changed for ``tie_freeze``
+    consecutive iterations is FROZEN: with a static map, its remaining
+    moves are a pure coin walk among equal-vote labels — zero
+    information, unbounded churn (each flip re-activates neighbors,
+    whose deltas can re-activate it, forever). Freezing keeps its
+    current label; any later vote-map change (a neighbor genuinely
+    moving) resets the staleness counter and re-activates it, so only
+    provably-stagnant ties are cut. ``tie_freeze=None`` restores the
+    reference's never-converge behavior. Determinism is unchanged: the
+    trajectory is identical to the unfrozen run until the first freeze
+    triggers, and the freeze rule itself is deterministic.
     """
     spark = adj.sparkSession
     if checkpoint is None:
@@ -134,7 +152,8 @@ def chinese_whispers(
             )
             .withColumn("cluster_id", F.col("piece_id"))
             .withColumn("active", F.lit(True))
-            .select("piece_id", "cluster_id", "cluster_counts", "active")
+            .withColumn("stale", F.lit(0))
+            .select("piece_id", "cluster_id", "cluster_counts", "active", "stale")
         )
         state = _truncate_lineage(spark, state, checkpoint, 0)
     active_count = state.filter("active").count()
@@ -236,11 +255,26 @@ def chinese_whispers(
                 ),
             )
             .withColumn(
+                "stale",
+                # consecutive iterations with NO vote-map change; any
+                # arriving delta resets it (and re-activates, below)
+                F.when(F.col("count_updates").isNotNull(), F.lit(0)).otherwise(
+                    F.col("stale") + 1
+                ),
+            )
+            .withColumn(
                 "active",
-                (F.coalesce(F.col("tied"), F.lit(False)))
+                (
+                    F.coalesce(F.col("tied"), F.lit(False))
+                    & (
+                        F.lit(True)
+                        if tie_freeze is None
+                        else F.col("stale") < F.lit(tie_freeze)
+                    )
+                )
                 | F.col("count_updates").isNotNull(),
             )
-            .select("piece_id", "cluster_id", "cluster_counts", "active")
+            .select("piece_id", "cluster_id", "cluster_counts", "active", "stale")
         )
         it += 1
         state = _truncate_lineage(spark, state, checkpoint, it)
@@ -281,6 +315,12 @@ def _truncate_lineage(
 
 def _read_checkpoint(spark: SparkSession, checkpoint: str, it: int) -> DataFrame:
     # partition columns come back as strings; restore the boolean
-    return spark.read.parquet(f"{checkpoint}/clusters_counts_{it % 2}").withColumn(
+    df = spark.read.parquet(f"{checkpoint}/clusters_counts_{it % 2}").withColumn(
         "active", F.col("active") == "true"
     )
+    if "stale" not in df.columns:
+        # resume from a pre-round-8 checkpoint (no staleness column):
+        # start counting from zero — conservative (delays freezes, never
+        # forces one early)
+        df = df.withColumn("stale", F.lit(0))
+    return df

@@ -281,6 +281,7 @@ def minhash_near_duplicates_delta(
     num_bands: int = 8,
     threshold: float = 0.8,
     hash_family: str = "xxhash64",
+    eager: bool = True,
 ) -> DataFrame:
     """Incremental MinHash near-dup: signatures for the DELTA documents
     only, banded against the materialized base signature table, then the
@@ -293,22 +294,38 @@ def minhash_near_duplicates_delta(
     is why production pipelines version the signature table by its
     parameters.
 
-    Cache lifetime: the delta signatures are ``persist()``-ed here (they
-    feed banding AND the verify join) and, because the result is lazy,
-    CANNOT be unpersisted before the caller materializes it — the caller
-    owns the release. ``streaming/sinks.py`` does exactly that
-    (unpersist after the batch write); loops calling this directly should
-    track and unpersist per ingest (or ``spark.catalog.clearCache()``),
-    or the cached delta blocks accumulate until storage eviction."""
+    Cache lifetime (round-8 API fix — the delta signatures feed banding
+    AND the verify join, so they must be pinned once): with the default
+    ``eager=True`` the pairs are computed HERE and returned as a small
+    locally-checkpointed result, and the large delta-signature blocks
+    are released before returning — no big block outlives the call. The
+    small result pin is tracked; ``release_local_checkpoints()`` (or the
+    registry's per-asset hygiene) frees it after the caller materializes
+    downstream. ``eager=False`` keeps the old lazy plan for callers that
+    compose further (predicate pushdown into the verify join); then the
+    delta-signature checkpoint stays tracked until the same release
+    hook, instead of leaking as an untracked ``persist()``."""
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
+
     rows_per_band = num_hashes // num_bands
-    delta_sigs = minhash_signatures(
-        delta, id_col, text_col, num_hashes, shingle_size, hash_family
-    ).persist()
+    delta_sigs = tracked_local_checkpoint(
+        minhash_signatures(
+            delta, id_col, text_col, num_hashes, shingle_size, hash_family
+        )
+    )
     cands = lsh_candidate_pairs_delta(
         base_signatures, delta_sigs, id_col, num_bands, rows_per_band, hash_family
     )
     sigs = base_signatures.unionByName(delta_sigs)
-    return _verify_candidates(cands, sigs, id_col, num_hashes, threshold)
+    pairs = _verify_candidates(cands, sigs, id_col, num_hashes, threshold)
+    if not eager:
+        return pairs
+    pairs = tracked_local_checkpoint(pairs)
+    release_checkpoint(delta_sigs)
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -60,13 +60,17 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def golden_value_hash(df: DataFrame) -> tuple[str, int]:
     """Canonical order-insensitive output hash for golden pins:
-    reorder each row by sorted column name, sort rows, sha256 the
-    reprs. Partitioning/ordering-invariant by construction — only a
-    change in the VALUE SET moves it."""
+    reorder each row by sorted column name, sort rows BY REPR, sha256
+    the reprs. Partitioning/ordering-invariant by construction — only a
+    change in the VALUE SET moves it. The sort key is ``repr`` (a total
+    order over mixed/None values) rather than the raw tuples: tuple
+    comparison raises TypeError on a NULL next to a non-NULL in the same
+    column, which would make the pin mechanism unusable for nullable
+    outputs instead of failing with a clean hash mismatch."""
     import hashlib
 
     order = sorted(range(len(df.columns)), key=lambda i: df.columns[i])
-    rows = sorted(tuple(r[i] for i in order) for r in df.collect())
+    rows = sorted((tuple(r[i] for i in order) for r in df.collect()), key=repr)
     m = hashlib.sha256()
     for r in rows:
         m.update(repr(r).encode())
@@ -1394,12 +1398,16 @@ def connected_components_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the two oracle-green invariants (component containment,
         # intra-edge fraction) cannot see. Regenerate via
         # plans.queries.golden_value_hash after an INTENDED change.
+        # Re-pinned in round 8 (intended, twice over): golden_value_hash
+        # now sorts rows by repr (NULL-safe total order), and the CW
+        # default gained tie-freeze convergence
+        # (operators/clustering.py tie_freeze=5).
         "sf0.001": {
-            "sha256": "0741ac316a0f9dde46d9439f25ba5c8ad5c53373bc74f51f4f2c198cabb85264",
+            "sha256": "12ed6569a0257ae46ec6954e75a835bd805c244f6841f6e69b64249b245851fb",
             "rows": 175,
         },
         "sf0.01": {
-            "sha256": "d4baee1354bf5e9617f2506ca627e3b170aba2739d109772edd19ec63c74f2d6",
+            "sha256": "154285d63f7de46e61a6698469fa5ef9f925f61da5dcf8a6e756bd162c2be500",
             "rows": 1525,
         },
     },

@@ -29,6 +29,9 @@ class Recipe:
     name: str
     deps: tuple[str, ...]
     builder: Callable[..., DataFrame]  # (spark, **dep_dfs) -> DataFrame
+    #: bound on the snapshot's parquet file count (catalog.materialise
+    #: target_files); None defers to the materialise call's default
+    target_files: int | None = None
 
 
 class CycleError(ValueError):
@@ -39,14 +42,20 @@ class Registry:
     def __init__(self) -> None:
         self._recipes: dict[str, Recipe] = {}
 
-    def add(self, name: str, deps: Sequence[str] = (), builder: Callable[..., DataFrame] | None = None):
+    def add(
+        self,
+        name: str,
+        deps: Sequence[str] = (),
+        builder: Callable[..., DataFrame] | None = None,
+        target_files: int | None = None,
+    ):
         """Register a recipe; usable directly or as a decorator."""
         if builder is not None:
-            self._recipes[name] = Recipe(name, tuple(deps), builder)
+            self._recipes[name] = Recipe(name, tuple(deps), builder, target_files)
             return builder
 
         def deco(fn: Callable[..., DataFrame]):
-            self._recipes[name] = Recipe(name, tuple(deps), fn)
+            self._recipes[name] = Recipe(name, tuple(deps), fn, target_files)
             return fn
 
         return deco
@@ -81,11 +90,17 @@ class Registry:
         targets: Sequence[str] | None = None,
         overwrite: bool = False,
         clear_cache_per_asset: bool = False,
+        default_target_files: int | None = None,
     ) -> dict[str, DataFrame]:
         """Materialize the closure of ``targets`` under ``base_dir``.
 
         Existing snapshots are reused unless ``overwrite`` (builders of
         satisfied assets never even construct their plan).
+
+        ``default_target_files`` bounds each snapshot's parquet file
+        count (small-files hygiene across a many-stage DAG — see
+        catalog.materialise); a recipe's own ``target_files`` overrides
+        it per asset.
 
         ``clear_cache_per_asset=True`` clears the session cache after
         each snapshot: builders may persist intermediates internally
@@ -94,10 +109,19 @@ class Registry:
         running a large DAG the leaked blocks squeeze storage memory
         until an iterative stage thrashes on eviction — measured in the
         round-7 composed-pipeline run as CW at 506 s vs 146 s clean.
+        It ALSO releases tracked localCheckpoint blocks
+        (functions/checkpoints.py): RDD-level checkpoint storage —
+        dense-id input pins, delta-minhash signature pins — is invisible
+        to ``clearCache()``, the blind spot the round-8 ADVICE named.
         Safe because every subsequent stage reads its deps from the
-        snapshot, never from a live cached plan. Off by default only
-        for single-asset / interactive use where the caller may still
-        hold cached frames of their own."""
+        snapshot, never from a live cached plan or checkpoint. Off by
+        default only for single-asset / interactive use where the caller
+        may still hold cached frames (or un-materialized checkpointed
+        plans) of their own."""
+        from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+            release_local_checkpoints,
+        )
+
         done: dict[str, DataFrame] = {}
         for name in self.order(targets):
             path = table_path(base_dir, name)
@@ -107,9 +131,15 @@ class Registry:
                 continue
             recipe = self._recipes[name]
             df = recipe.builder(spark, **{d: done[d] for d in recipe.deps})
-            done[name] = materialise(spark, df, path, name=name)
+            tf = (
+                recipe.target_files
+                if recipe.target_files is not None
+                else default_target_files
+            )
+            done[name] = materialise(spark, df, path, name=name, target_files=tf)
             if clear_cache_per_asset:
-                # only drops builders' internal persists — done[name]
-                # and the registered view already read the snapshot
+                # only drops builders' internal persists/checkpoints —
+                # done[name] and the registered view read the snapshot
                 spark.catalog.clearCache()
+                release_local_checkpoints()
         return done

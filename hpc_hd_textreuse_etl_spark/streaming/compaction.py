@@ -31,18 +31,28 @@ STOPPED — it is maintenance, like VACUUM):
 
 1. consolidated rows are written to ``_compacting_<upto>`` — the
    underscore prefix hides the directory from Spark/Hadoop file listing,
-   so a half-written temp is invisible to any reader; Spark's own
-   ``_SUCCESS`` marker inside it records write completion
+   so a half-written temp is invisible to any reader; a compaction-OWNED
+   marker file (``_COMPACTION_COMPLETE``) is then written into the temp
+   to record write completion. The marker is ours, not Spark's
+   ``_SUCCESS``: a job configured with
+   ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` (or a
+   committer that skips markers) would otherwise make every complete
+   temp look incomplete and recovery would discard the only surviving
+   copy of the compacted rows.
 2. commit: delete each ``batch_id=i`` (i < upto), then rename the temp
-   to ``batch_id=<upto-1>``
+   to ``batch_id=<upto-1>``. Every delete and the rename are CHECKED —
+   Hadoop ``FileSystem`` reports failure by returning false, not by
+   raising, and an unchecked false rename here would leave the visible
+   tree empty while compaction "succeeds".
 
 A crash during step 1 leaves the original partitions untouched plus an
-incomplete hidden temp (no ``_SUCCESS``) — :func:`recover_compaction`
-deletes it. A crash during step 2 leaves a COMPLETE hidden temp —
-recovery finishes the deletes and the rename. Both sinks' read paths see
-either the fully-old or fully-new layout around the one non-atomic
-window in step 2, which the stopped-stream precondition makes
-unobservable.
+incomplete hidden temp (no marker) — :func:`recover_compaction` deletes
+it (refusing if partitions below ``upto`` are already missing, which
+would mean the temp is the only surviving copy). A crash during step 2
+leaves a COMPLETE hidden temp — recovery finishes the deletes and the
+rename. Both sinks' read paths see either the fully-old or fully-new
+layout around the one non-atomic window in step 2, which the
+stopped-stream precondition makes unobservable.
 """
 
 from __future__ import annotations
@@ -58,10 +68,29 @@ from hpc_hd_textreuse_etl_spark.catalog import (
     delete_path,
     path_exists,
     rename_path,
+    touch_path,
 )
 
 _BATCH_DIR = re.compile(r"^batch_id=(\d+)$")
 _TMP_DIR = re.compile(r"^_compacting_(\d+)$")
+#: compaction-owned completion marker inside the hidden temp — deliberately
+#: NOT Spark's ``_SUCCESS`` (absent under marksuccessfuljobs=false)
+_COMPLETE_MARKER = "_COMPACTION_COMPLETE"
+
+
+def _delete_checked(spark: SparkSession, path: str) -> None:
+    """Delete, raising on a REPORTED failure (Hadoop returns false instead
+    of raising). A path that doesn't exist is fine — the work is done."""
+    if path_exists(spark, path) and not delete_path(spark, path):
+        raise IOError(f"delete of {path} failed — compaction commit aborted")
+
+
+def _rename_checked(spark: SparkSession, src: str, dst: str) -> None:
+    if not rename_path(spark, src, dst):
+        raise IOError(
+            f"rename {src} -> {dst} failed — the consolidated state is still "
+            f"in the hidden temp; rerun recover_compaction after fixing the FS"
+        )
 
 
 def _list_names(spark: SparkSession, path: str) -> list[str]:
@@ -95,11 +124,17 @@ def last_committed_batch(spark: SparkSession, checkpoint: str) -> int | None:
 def recover_compaction(spark: SparkSession, path: str) -> bool:
     """Finish (or discard) an interrupted :func:`compact_state`.
 
-    A complete hidden temp (``_compacting_<N>`` containing Spark's
-    ``_SUCCESS``) means the consolidated rows are all on disk — redo the
-    commit: delete remaining ``batch_id=i`` (i < N), rename the temp in.
-    An incomplete temp is discarded; the original partitions are still
-    intact. Returns True if a commit was completed."""
+    A complete hidden temp (``_compacting_<N>`` containing the
+    compaction-owned ``_COMPACTION_COMPLETE`` marker) means the
+    consolidated rows are all on disk — redo the commit: delete remaining
+    ``batch_id=i`` (i < N), rename the temp in. An incomplete temp is
+    discarded ONLY while the original partitions are provably still
+    intact: compact_state never starts deleting originals before the
+    marker lands, so an unmarked temp next to missing originals is an
+    inconsistency (e.g. manual deletion, or a marker write swallowed by
+    the FS) where discarding the temp could destroy the only surviving
+    copy — recovery refuses with an error instead. Returns True if a
+    commit was completed."""
     committed = False
     for name in _list_names(spark, path):
         m = _TMP_DIR.match(name)
@@ -107,14 +142,27 @@ def recover_compaction(spark: SparkSession, path: str) -> bool:
             continue
         upto = int(m.group(1))
         tmp = os.path.join(path, name)
-        if path_exists(spark, os.path.join(tmp, "_SUCCESS")):
+        if path_exists(spark, os.path.join(tmp, _COMPLETE_MARKER)):
             for i in batch_ids(spark, path):
                 if i < upto:
-                    delete_path(spark, os.path.join(path, f"batch_id={i}"))
-            rename_path(spark, tmp, os.path.join(path, f"batch_id={upto - 1}"))
+                    _delete_checked(spark, os.path.join(path, f"batch_id={i}"))
+            _rename_checked(
+                spark, tmp, os.path.join(path, f"batch_id={upto - 1}")
+            )
             committed = True
         else:
-            delete_path(spark, tmp)
+            # a compaction merges >= 2 partitions below upto, and deletes
+            # only start after the marker is written — so an unmarked temp
+            # with < 2 surviving originals below upto means originals were
+            # lost some other way; the temp may be the only copy left
+            below = [i for i in batch_ids(spark, path) if i < upto]
+            if len(below) < 2:
+                raise IOError(
+                    f"refusing to discard incomplete compaction temp {tmp}: "
+                    f"only {len(below)} batch_id partitions below {upto} "
+                    f"survive — the temp may hold the only copy of the state"
+                )
+            _delete_checked(spark, tmp)
     return committed
 
 
@@ -159,11 +207,12 @@ def compact_state(
     if "batch_id" in df.columns:
         raise ValueError("fold must drop/exclude the batch_id column")
     tmp = os.path.join(path, f"_compacting_{upto_batch}")
-    delete_path(spark, tmp)
+    _delete_checked(spark, tmp)
     df.write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    touch_path(spark, os.path.join(tmp, _COMPLETE_MARKER))
     for i in ids:
-        delete_path(spark, os.path.join(path, f"batch_id={i}"))
-    rename_path(spark, tmp, os.path.join(path, f"batch_id={upto_batch - 1}"))
+        _delete_checked(spark, os.path.join(path, f"batch_id={i}"))
+    _rename_checked(spark, tmp, os.path.join(path, f"batch_id={upto_batch - 1}"))
     return len(ids)
 
 

@@ -176,6 +176,7 @@ def streaming_minhash_dedup(
     threshold: float = 0.8,
     hash_family: str = "xxhash64",
     trigger_available_now: bool = True,
+    compact_every_n_batches: int | None = None,
 ):
     """Streaming near-duplicate detection at ingest: each micro-batch is
     the DELTA of ``operators/dedup.minhash_near_duplicates_delta`` —
@@ -194,6 +195,17 @@ def streaming_minhash_dedup(
     equals the batch pipeline's pairs restricted to cross/within-batch
     pairs in arrival order — every pair appears exactly once, in the
     partition of the LATER document's batch.
+
+    ``compact_every_n_batches=N`` (opt-in) keeps the state trees'
+    partition counts bounded WITHOUT a separate maintenance window:
+    after every Nth batch's writes, the sink folds all partitions below
+    the last COMMITTED batch (``upto_batch = batch_id - 1``, which the
+    compaction's committed-frontier guard accepts by construction) into
+    one. Runs after this batch's base reads and writes complete, so the
+    in-flight batch never observes a half-compacted tree; a replay of
+    this batch reads a strictly-lower batch_id range — content-identical
+    through the consolidated partition (tested). At most ``N + 2`` live
+    partitions per tree at any time instead of one per batch forever.
     """
     from pyspark.sql import functions as F
 
@@ -234,6 +246,19 @@ def streaming_minhash_dedup(
             os.path.join(sigs_path, f"batch_id={batch_id}")
         )
         delta_sigs.unpersist()
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            from hpc_hd_textreuse_etl_spark.streaming.compaction import (
+                compact_minhash_state,
+            )
+
+            compact_minhash_state(
+                spark, sigs_path, pairs_path,
+                upto_batch=batch_id - 1, checkpoint=checkpoint,
+            )
 
     writer = docs_stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
@@ -253,6 +278,7 @@ def streaming_span_dedup(
     window: int = 8,
     min_occurrences: int = 2,
     trigger_available_now: bool = True,
+    compact_every_n_batches: int | None = None,
 ):
     """Streaming ExactSubstr span dedup at ingest: each micro-batch runs
     ``operators/dedup.duplicated_token_spans_delta`` against the window
@@ -269,6 +295,14 @@ def streaming_span_dedup(
     are its latest-batch rows — :func:`read_streaming_spans`. Replay
     safety follows the recipe above: every base read filters
     ``batch_id < N``, every write overwrites its own partition.
+
+    ``compact_every_n_batches=N`` (opt-in): same bounded-partition
+    policy as ``streaming_minhash_dedup`` — after every Nth batch's
+    writes, fold the window/count state trees (counts are additive
+    partials → one row per key) and the span output tree
+    (latest-batch-wins fold) below the committed frontier. Long-soak
+    tested: partition counts stay bounded while replay convergence and
+    read-back equality hold.
     """
     from pyspark.sql import functions as F
 
@@ -311,6 +345,23 @@ def streaming_span_dedup(
             os.path.join(cpath, f"batch_id={batch_id}")
         )
         batch_df.unpersist()
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            from hpc_hd_textreuse_etl_spark.streaming.compaction import (
+                compact_span_state,
+                compact_streaming_spans,
+            )
+
+            compact_span_state(
+                spark, state_path, upto_batch=batch_id - 1, checkpoint=checkpoint
+            )
+            compact_streaming_spans(
+                spark, spans_path, id_col=id_col,
+                upto_batch=batch_id - 1, checkpoint=checkpoint,
+            )
 
     writer = docs_stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -62,6 +62,33 @@ def test_resume_matches_uninterrupted_run(spark, tmp_path):
     assert resumed_iters == straight_iters
 
 
+def test_tie_freeze_converges_where_reference_semantics_never_do(spark):
+    """Round-8 convergence fix: a bridge vertex tied between two stable
+    equal cliques votes 1-1 forever — under the reference's semantics
+    (tie_freeze=None) it stays active and the loop always pays max_iter
+    (measured here: still-active vertices at the cap). With the default
+    tie-freeze, vertices whose vote map is static for k iterations are
+    frozen and the loop terminates by CONVERGENCE, with the same
+    clique structure."""
+    edges = _clique(range(1, 6)) + _clique(range(10, 15)) + [(5, 20), (10, 20)]
+    df = spark.createDataFrame(edges, "piece1_id long, piece2_id long")
+
+    state_ref, iters_ref = chinese_whispers(
+        adjacency_list(df), max_iter=20, seed=42, tie_freeze=None
+    )
+    assert iters_ref == 20  # capped, not converged
+    assert state_ref.filter("active").count() > 0  # ties still churning
+
+    state, iters = chinese_whispers(adjacency_list(df), max_iter=20, seed=42)
+    assert iters < 20  # converged before the cap
+    assert state.filter("active").count() == 0
+    clusters = {r.piece_id: r.cluster_id for r in clustered_pieces(state).collect()}
+    assert len({clusters[n] for n in range(1, 6)}) == 1
+    assert len({clusters[n] for n in range(10, 15)}) == 1
+    assert clusters[1] != clusters[10]
+    assert clusters[20] in (clusters[1], clusters[10])
+
+
 def test_seeded_runs_reproduce(spark):
     edges = _clique(range(1, 6)) + [(5, 6), (6, 7)] + _clique(range(7, 12))
     c1, _ = _run(spark, edges, max_iter=30, seed=7)

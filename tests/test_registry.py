@@ -80,6 +80,41 @@ def test_unknown_dep(spark):
         reg.order(["a"])
 
 
+def test_target_files_bounds_snapshot_file_count(spark, tmp_path):
+    """Round-8 small-files hygiene: a registry default (and per-recipe
+    override) must bound each snapshot's parquet file count via a
+    shuffle-free coalesce."""
+    import glob
+
+    reg = Registry()
+    reg.add(
+        "wide",
+        builder=lambda spark: spark.range(0, 10_000, 1, 16).withColumnRenamed(
+            "id", "x"
+        ),
+    )
+    reg.add(
+        "pinned",
+        deps=["wide"],
+        builder=lambda spark, wide: wide.select((F.col("x") + 1).alias("y")),
+        target_files=1,
+    )
+    out = reg.materialise(
+        spark, str(tmp_path), ["pinned"], default_target_files=4
+    )
+    assert out["pinned"].count() == 10_000
+
+    def nfiles(name):
+        return len(glob.glob(str(tmp_path / f"{name}.parquet" / "*.parquet")))
+
+    assert nfiles("wide") <= 4       # registry default applied
+    assert nfiles("pinned") == 1     # per-recipe override wins
+    # and without any default the write keeps its natural parallelism
+    reg.add("loose", builder=lambda spark: spark.range(0, 100, 1, 8))
+    reg.materialise(spark, str(tmp_path), ["loose"])
+    assert nfiles("loose") == 8
+
+
 def test_golden_expected_hashes_pin_oracle_free_queries(spark):
     """Every QuerySpec carrying an `expected` record is an oracle-free
     query whose output is nonetheless bit-deterministic — re-run it at
@@ -101,6 +136,27 @@ def test_golden_expected_hashes_pin_oracle_free_queries(spark):
             digest, rows = golden_value_hash(df)
             assert rows == rec["rows"], (name, sf_base, rows)
             assert digest == rec["sha256"], (name, sf_base, digest)
+
+
+def test_golden_value_hash_handles_nulls_and_ignores_order(spark):
+    """The pin hash must (a) be usable on NULL-bearing nullable outputs —
+    Python 3 tuple sort raises TypeError comparing None with non-None,
+    so the sort key is repr — and (b) stay invariant under row order and
+    column order, moving only when the value set changes."""
+    from hpc_hd_textreuse_etl_spark.plans.queries import golden_value_hash
+
+    rows = [(1, None), (None, "b"), (2, "a")]
+    df = spark.createDataFrame(rows, "x int, y string")
+    digest, n = golden_value_hash(df)  # must not raise on the None mix
+    assert n == 3
+    shuffled = spark.createDataFrame(
+        [rows[2], rows[0], rows[1]], "x int, y string"
+    ).select("y", "x")
+    assert golden_value_hash(shuffled) == (digest, 3)
+    changed = spark.createDataFrame(
+        [(1, None), (None, "b"), (2, "CHANGED")], "x int, y string"
+    )
+    assert golden_value_hash(changed)[0] != digest
 
 
 def test_composed_pipeline_harness_tiny(spark, tmp_path, monkeypatch):
