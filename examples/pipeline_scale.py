@@ -71,6 +71,13 @@ from pyspark.sql import functions as F  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1_DIR = os.path.join(REPO, "scale_data", "pipeline_sf1")
 SF05_DIR = os.path.join(REPO, "scale_data", "pipeline_sf05")
+SF2_DIR = os.path.join(REPO, "scale_data", "pipeline_sf2")
+
+#: small-files hygiene for the composed run (catalog.materialise
+#: target_files): 70 snapshots × default shuffle partitions would write
+#: thousands of tiny files; 8 bounds listing cost while keeping write
+#: parallelism for the data sizes of these rungs. Recorded per stage.
+TARGET_FILES = 8
 
 HIT_SCHEMA = (
     "text1_id string, text2_id string, text1_text_start int, text1_text_end int, "
@@ -308,12 +315,14 @@ def _stage_totals(spark) -> tuple[int, int]:
     )
 
 
-def build_registry(spark, data_dir: str):
+def build_registry(spark, data_dir: str, cw_stats: dict | None = None):
     """The full reference DAG as registry recipes over the generated
     corpus. Tuple-returning metadata builders appear as two recipes;
     the second recomputes the (cheap, dim-sized) shared subtree from
     the same materialized deps rather than inventing a tuple-asset
-    mechanism."""
+    mechanism. ``cw_stats`` (optional dict) receives the CW loop's
+    iteration count / converged flag (round-8 item: the tie-freeze fix
+    must show the composed CW stage converging before the cap)."""
     from hpc_hd_textreuse_etl_spark.operators import defrag as D
     from hpc_hd_textreuse_etl_spark.plans import metadata as M
     from hpc_hd_textreuse_etl_spark.plans import textreuse as TR
@@ -356,7 +365,8 @@ def build_registry(spark, data_dir: str):
             builder=lambda s, orig_textreuses, piece_id_mappings: D.defrag_textreuses(
                 orig_textreuses.select("piece1_id", "piece2_id"), piece_id_mappings))
     reg.add("clustered_defrag_pieces", deps=["defrag_textreuses"],
-            builder=lambda s, defrag_textreuses: TR.cluster_pieces(defrag_textreuses, max_iter=20))
+            builder=lambda s, defrag_textreuses: TR.cluster_pieces(
+                defrag_textreuses, max_iter=20, stats=cw_stats))
 
     # --- metadata layer ---------------------------------------------------
     reg.add("manifestation_ids", deps=["ecco_core", "eebo_core", "newspapers_core"],
@@ -466,7 +476,8 @@ TERMINALS = (
 
 
 def run(spark, data_dir: str, assets_dir: str, label: str) -> dict:
-    reg = build_registry(spark, data_dir)
+    cw_stats: dict = {}
+    reg = build_registry(spark, data_dir, cw_stats=cw_stats)
     order = reg.order(TERMINALS)
     stages = []
     rows = {}
@@ -476,19 +487,31 @@ def run(spark, data_dir: str, assets_dir: str, label: str) -> dict:
     for name in order:
         sh0 = _stage_totals(spark)
         t0 = time.time()
-        done = reg.materialise(spark, assets_dir, [name])
+        done = reg.materialise(
+            spark, assets_dir, [name], default_target_files=TARGET_FILES
+        )
         wall = time.time() - t0
         sh1 = _stage_totals(spark)
         n = done[name].count()
         rows[name] = n
+        n_files = len(
+            glob.glob(os.path.join(assets_dir, f"{name}.parquet", "*.parquet"))
+        )
         # stage-boundary cache hygiene: operators persist intermediates
         # (e.g. piece_id_mappings' raw table) that are dead once the
         # stage is snapshotted — in ONE long session running 70 stages
         # the leaked blocks squeeze storage memory until an iterative
         # stage (CW) thrashes on eviction/recompute (measured: 506s vs
         # 146s standalone at sf1). Production stages run as separate
-        # jobs; this is the single-session equivalent.
+        # jobs; this is the single-session equivalent. clearCache does
+        # NOT free RDD-level localCheckpoint blocks (dense-id pins) —
+        # those need the round-8 tracked release.
+        from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+            release_local_checkpoints,
+        )
+
         spark.catalog.clearCache()
+        release_local_checkpoints()
         gc.collect()
         stages.append({
             "stage": name,
@@ -496,6 +519,7 @@ def run(spark, data_dir: str, assets_dir: str, label: str) -> dict:
             "shuffle_read_mb": round((sh1[0] - sh0[0]) / 1e6, 2),
             "shuffle_write_mb": round((sh1[1] - sh0[1]) / 1e6, 2),
             "rows": n,
+            "files": n_files,
         })
         print(f"[{label}] {name}: {wall:.1f}s, {n} rows, "
               f"shuffle_w {(sh1[1] - sh0[1]) / 1e6:.1f} MB", flush=True)
@@ -521,7 +545,56 @@ def run(spark, data_dir: str, assets_dir: str, label: str) -> dict:
         if not ok:
             print(f"[{label}] SANITY FAIL: {k}", flush=True)
     return {"label": label, "total_wall_s": round(total, 2),
+            "cw": dict(cw_stats),
+            "max_files_per_snapshot": max(s["files"] for s in stages),
             "stages": stages, "sanity": sanity}
+
+
+def cw_probe(spark, data_dir: str, max_iter: int = 250) -> dict:
+    """Round-8 convergence evidence: run the CW stage alone on the sf1
+    corpus's materialized defrag_textreuses with a generous cap, under
+    both semantics — reference (tie_freeze=None, the never-converge
+    behavior) sampled for its activity plateau, and the default
+    tie-freeze, run to convergence. Records iterations, wall, and the
+    active-vertex trajectory sampled every 10 iterations."""
+    import time as _time
+
+    from hpc_hd_textreuse_etl_spark.operators.clustering import (
+        adjacency_list,
+        chinese_whispers,
+    )
+
+    edges = spark.read.parquet(
+        os.path.join(data_dir, "assets", "defrag_textreuses.parquet")
+    )
+    out = {}
+    # reference semantics: activity does not decay (tied vertices churn
+    # forever) — sample the plateau at 40 iterations. tie-freeze turns
+    # the active set into geometric decay (~0.9×/iter measured), but
+    # mutually-adjacent tied groups reset each other's staleness, so the
+    # exact-zero tail costs hundreds of iterations for a vanishing
+    # vertex fraction — terminate that leg with the 0.1% activity floor.
+    for label, tf, cap, floor in (
+        ("reference_semantics", None, 40, 0),
+        ("tie_freeze_with_floor", 5, max_iter, 0.001),
+    ):
+        adj = adjacency_list(edges)
+        t0 = _time.time()
+        state, iters = chinese_whispers(
+            adj, max_iter=cap, seed=42, tie_freeze=tf, min_active=floor
+        )
+        wall = _time.time() - t0
+        out[label] = {
+            "max_iter": cap,
+            "min_active": floor,
+            "iterations": iters,
+            "converged": iters < cap,
+            "still_active": state.filter("active").count(),
+            "n_vertices": state.count(),
+            "wall_s": round(wall, 1),
+        }
+        spark.catalog.clearCache()
+    return out
 
 
 def run_lazy(spark, data_dir: str) -> dict:
@@ -550,8 +623,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--generate", action="store_true")
     ap.add_argument("--generate-half", action="store_true")
+    ap.add_argument("--generate-sf2", action="store_true")
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--compare-lazy", action="store_true")
+    ap.add_argument(
+        "--cw-probe", action="store_true",
+        help="standalone CW convergence probe on the sf1 corpus; merges "
+             "a cw_probe record into the existing PIPELINE_SCALE.json",
+    )
     ap.add_argument("--docs", type=int, default=30_000)
     ap.add_argument("--hits", type=int, default=3_000_000)
     ap.add_argument("--out", default=os.path.join(REPO, "PIPELINE_SCALE.json"))
@@ -570,32 +649,74 @@ def main() -> None:
         generate(spark, SF1_DIR, args.docs, args.hits)
     if args.generate_half:
         generate(spark, SF05_DIR, args.docs // 2, args.hits // 2)
+    if args.generate_sf2:
+        generate(spark, SF2_DIR, args.docs * 2, args.hits * 2)
     if args.run:
         result = {
             "generated": {"sf1": {"docs": args.docs, "hits": args.hits},
-                          "sf0.5": {"docs": args.docs // 2, "hits": args.hits // 2}},
+                          "sf0.5": {"docs": args.docs // 2, "hits": args.hits // 2},
+                          "sf2": {"docs": args.docs * 2, "hits": args.hits * 2}},
             "master": f"local[{cpus}]",
+            "target_files_per_snapshot": TARGET_FILES,
             "loadavg_pre": list(os.getloadavg()),
         }
         runs = []
-        for data_dir, label in ((SF05_DIR, "sf0.5"), (SF1_DIR, "sf1")):
+        rung_scale = {}
+        for data_dir, label, scale in (
+            (SF05_DIR, "sf0.5", 0.5), (SF1_DIR, "sf1", 1.0), (SF2_DIR, "sf2", 2.0)
+        ):
             if not os.path.exists(data_dir):
                 continue
             assets_dir = os.path.join(data_dir, "assets")
             if os.path.exists(assets_dir):
                 shutil.rmtree(assets_dir)
             runs.append(run(spark, data_dir, assets_dir, label))
+            rung_scale[label] = scale
         result["runs"] = runs
-        if len(runs) == 2:
-            a = {s["stage"]: s for s in runs[0]["stages"]}
-            result["stage_growth_2x_data"] = {
-                s["stage"]: round(s["wall_s"] / max(a[s["stage"]]["wall_s"], 0.05), 2)
-                for s in runs[1]["stages"]
+        if len(runs) >= 2:
+            # per-stage scaling exponent: least-squares slope of
+            # log(wall) on log(scale) over all measured rungs; noise
+            # floor 0.05 s. Only stages >= 1 s at the largest rung are
+            # candidates for "worst" (sub-second stages are jitter).
+            import math
+
+            by_stage: dict[str, list[tuple[float, float]]] = {}
+            for r in runs:
+                sc = rung_scale[r["label"]]
+                for s in r["stages"]:
+                    by_stage.setdefault(s["stage"], []).append(
+                        (math.log(sc), math.log(max(s["wall_s"], 0.05)))
+                    )
+            exps = {}
+            for stage, pts in by_stage.items():
+                if len(pts) < 2:
+                    continue
+                mx = sum(x for x, _ in pts) / len(pts)
+                my = sum(y for _, y in pts) / len(pts)
+                denom = sum((x - mx) ** 2 for x, _ in pts)
+                exps[stage] = round(
+                    sum((x - mx) * (y - my) for x, y in pts) / denom, 2
+                )
+            result["stage_exponents"] = exps
+            big_last = {
+                s["stage"] for s in runs[-1]["stages"] if s["wall_s"] >= 1.0
             }
+            worst = max(
+                ((st, e) for st, e in exps.items() if st in big_last),
+                key=lambda kv: kv[1],
+                default=None,
+            )
+            if worst:
+                result["worst_stage_exponent"] = {
+                    "stage": worst[0], "exponent": worst[1]
+                }
         if args.compare_lazy:
             lazy = run_lazy(spark, SF1_DIR)
             result["lazy_end_to_end"] = lazy
-            mat_total = runs[-1]["total_wall_s"] if runs else None
+            # compare like with like: the lazy pass runs the sf1 corpus
+            mat_total = next(
+                (r["total_wall_s"] for r in runs if r["label"] == "sf1"), None
+            )
             if mat_total:
                 result["materialization_overhead_ratio"] = round(
                     mat_total / lazy["wall_s"], 2
@@ -604,6 +725,13 @@ def main() -> None:
         with open(args.out, "w") as fh:
             json.dump(result, fh, indent=1)
         print(f"wrote {args.out}", flush=True)
+    if args.cw_probe:
+        probe = cw_probe(spark, SF1_DIR)
+        merged = json.load(open(args.out)) if os.path.exists(args.out) else {}
+        merged["cw_probe"] = probe
+        with open(args.out, "w") as fh:
+            json.dump(merged, fh, indent=1)
+        print(f"cw_probe merged into {args.out}: {probe}", flush=True)
     spark.stop()
 
 

@@ -58,6 +58,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+    tracked_local_checkpoint,
+)
 from hpc_hd_textreuse_etl_spark.functions.text import tokens
 
 
@@ -148,7 +151,10 @@ def bpe_train(
             .select("__id", "__t")
         )
         if checkpoint:
-            corpus = corpus.localCheckpoint(eager=False)
+            # tracked (functions/checkpoints.py): round blocks pin until
+            # the caller's release point — eager release here is unsafe
+            # because each lazy checkpoint reads its predecessor's blocks
+            corpus = tracked_local_checkpoint(corpus, eager=False)
     merges = merge_tables[0]
     for t in merge_tables[1:]:
         merges = merges.unionAll(t)
@@ -191,7 +197,7 @@ def bpe_segment(
             "__bw2", F.lit(w2)
         ).withColumn("__t", _merge_stream(sep)).select("__id", "__t")
         if checkpoint_every and i % checkpoint_every == 0 and i < len(ranked):
-            corpus = corpus.localCheckpoint(eager=False)
+            corpus = tracked_local_checkpoint(corpus, eager=False)
     return corpus.select(
         F.col("__id").alias(id_col), F.col("__t").alias(text_col)
     )

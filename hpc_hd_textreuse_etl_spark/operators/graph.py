@@ -558,6 +558,12 @@ def kcore(
         .where(F.col("x") != F.col("y"))
         .distinct()
     )
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
+
+    prev = None
     for _ in range(rounds):
         deg = (
             e.select(F.col("x").alias("node"))
@@ -569,7 +575,17 @@ def kcore(
         e = e.join(
             keep.withColumnRenamed("node", "x"), "x", "left_semi"
         ).join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
-        e = e.checkpoint() if use_reliable_checkpoint else e.localCheckpoint()
+        if use_reliable_checkpoint:
+            e = e.checkpoint()
+        else:
+            # tracked + eager: the new round's blocks are materialized
+            # before the superseded round's are released, so the shrinking
+            # edge set pins at most ONE round at a time (the final round's
+            # pin is freed by the caller's release hygiene point)
+            e = tracked_local_checkpoint(e)
+            if prev is not None:
+                release_checkpoint(prev)
+            prev = e
     deg = (
         e.select(F.col("x").alias("node"))
         .unionAll(e.select(F.col("y").alias("node")))

@@ -138,9 +138,17 @@ def pareto_frontier(
 
     # materialize once: the count guard, and both sides of the verify
     # join, reuse the checkpointed candidates instead of re-running the
-    # phase-1 scan (MEMORY_AND_DISK, so oversized sets spill not OOM)
-    candidates = df.mapInPandas(local_prune, schema=schema).localCheckpoint(
-        eager=True
+    # phase-1 scan (MEMORY_AND_DISK, so oversized sets spill not OOM).
+    # Checkpoints are TRACKED (functions/checkpoints.py): superseded
+    # contraction rounds release immediately; the surviving pin is freed
+    # by the caller's release_local_checkpoints() hygiene point.
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
+
+    candidates = tracked_local_checkpoint(
+        df.mapInPandas(local_prune, schema=schema)
     )
 
     n = candidates.count()
@@ -152,11 +160,11 @@ def pareto_frontier(
             # one partition ⟹ the local prune was global ⟹ exact
             return candidates
         target = max(1, n_parts // 8)
-        candidates = (
-            candidates.repartition(target)
-            .mapInPandas(local_prune, schema=schema)
-            .localCheckpoint(eager=True)
+        contracted = tracked_local_checkpoint(
+            candidates.repartition(target).mapInPandas(local_prune, schema=schema)
         )
+        release_checkpoint(candidates)  # superseded round's blocks are dead
+        candidates = contracted
         n = candidates.count()
         if candidates.rdd.getNumPartitions() <= 1:
             return candidates

@@ -258,9 +258,20 @@ def coverages(
 # ---------------------------------------------------------------------------
 
 
-def cluster_pieces(defrag_textreuses: DataFrame, max_iter: int = 50, seed: int = 42) -> DataFrame:
+def cluster_pieces(
+    defrag_textreuses: DataFrame,
+    max_iter: int = 50,
+    seed: int = 42,
+    stats: dict | None = None,
+) -> DataFrame:
+    """``stats`` (optional out-param) records ``iterations`` and
+    ``converged`` so composed-pipeline harnesses can report whether the
+    CW loop terminated by convergence or by cap."""
     adj = C.adjacency_list(defrag_textreuses)
-    state, _ = C.chinese_whispers(adj, max_iter=max_iter, seed=seed)
+    state, iters = C.chinese_whispers(adj, max_iter=max_iter, seed=seed)
+    if stats is not None:
+        stats["iterations"] = iters
+        stats["converged"] = iters < max_iter
     return C.clustered_pieces(state)
 
 

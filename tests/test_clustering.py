@@ -89,6 +89,25 @@ def test_tie_freeze_converges_where_reference_semantics_never_do(spark):
     assert clusters[20] in (clusters[1], clusters[10])
 
 
+def test_min_active_floor_terminates_early(spark):
+    """The activity floor stops the loop once the active count is within
+    the floor — iteration 0 when the floor exceeds the vertex count, and
+    earlier-than-exact convergence for a fractional floor — while exact
+    semantics (floor 0) still run to zero active."""
+    edges = _clique(range(1, 6)) + _clique(range(10, 15))
+    df = spark.createDataFrame(edges, "piece1_id long, piece2_id long")
+
+    state, iters = chinese_whispers(adjacency_list(df), max_iter=30, min_active=100)
+    assert iters == 0  # floor above vertex count: nothing to do
+
+    _, exact_iters = chinese_whispers(adjacency_list(df), max_iter=30)
+    _, floored_iters = chinese_whispers(
+        adjacency_list(df), max_iter=30, min_active=0.5
+    )
+    assert floored_iters <= exact_iters
+    assert exact_iters < 30  # exact semantics unchanged: converges to 0
+
+
 def test_seeded_runs_reproduce(spark):
     edges = _clique(range(1, 6)) + [(5, 6), (6, 7)] + _clique(range(7, 12))
     c1, _ = _run(spark, edges, max_iter=30, seed=7)
