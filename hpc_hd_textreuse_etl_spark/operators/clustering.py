@@ -39,7 +39,7 @@ past 512M active vertices; we defer to AQE + an explicit knob).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 _COIN = "(pmod(xxhash64({args}), 1000000000) / 1000000000.0)"
@@ -89,6 +89,7 @@ def chinese_whispers(
     verbose: bool = False,
     tie_freeze: int | None = 5,
     min_active: int | float = 0,
+    materialize_adjacency: bool = True,
 ) -> tuple[DataFrame, int]:
     """Run the loop; returns ``(state, iterations)`` where state has
     ``(piece_id, cluster_id, cluster_counts, active, stale)``.
@@ -145,11 +146,32 @@ def chinese_whispers(
 
     from hpc_hd_textreuse_etl_spark.catalog import path_exists
 
+    if materialize_adjacency:
+        # The per-iteration ``changed.join(adj)`` is a SEPARATE Spark
+        # action each iteration, and Spark does not reuse shuffle output
+        # across actions — a lazy adjacency plan (explode + groupBy +
+        # collect_list over every edge) would be recomputed max_iter
+        # times. One durable snapshot makes each iteration's join read a
+        # plain parquet scan instead. Callers that pass an ALREADY
+        # materialized adjacency — a bucketed table from
+        # :func:`write_bucketed_adjacency` (whose bucket metadata a
+        # parquet round-trip would destroy, reintroducing the join
+        # shuffle) or a pre-persisted frame — should pass
+        # ``materialize_adjacency=False``.
+        adj_path = f"{checkpoint}/adjacency"
+        if not (resume and path_exists(spark, adj_path)):
+            adj.write.mode("overwrite").option("compression", "zstd").parquet(
+                adj_path
+            )
+        adj = spark.read.parquet(adj_path)
+
     meta_path = f"{checkpoint}/clp_meta"
     it = 0
     if resume and path_exists(spark, meta_path):
         it = spark.read.parquet(meta_path).first()["iter"]
         state = _read_checkpoint(spark, checkpoint, it)
+        active_count = state.filter("active").count()
+        total_count = state.count()
     else:
         # Initial votes: one per neighbor occurrence. Parallel edges (a
         # pair surviving defrag in both directions) are summed into one
@@ -169,11 +191,12 @@ def chinese_whispers(
             .withColumn("stale", F.lit(0))
             .select("piece_id", "cluster_id", "cluster_counts", "active", "stale")
         )
-        state = _truncate_lineage(spark, state, checkpoint, 0)
-    active_count = state.filter("active").count()
+        state, active_count, total_count = _truncate_lineage(
+            spark, state, checkpoint, 0
+        )
     floor = min_active
     if isinstance(min_active, float) and 0 < min_active < 1:
-        floor = int(min_active * state.count())
+        floor = int(min_active * total_count)
     while active_count > floor and it < max_iter:
         # 1. arg-max vote with deterministic reservoir tie-breaking.
         # Fold over sorted keys so the outcome is partition-independent.
@@ -250,16 +273,23 @@ def chinese_whispers(
             )
         )
 
-        # 3. merge deltas + recompute active
+        # 3. merge deltas + recompute active. The two per-vertex event
+        # streams (an active vertex's own pick, the deltas its neighbors
+        # pushed) are both active-proportional while the state is
+        # corpus-proportional — pre-merging them costs one SMALL outer
+        # join but halves the number of big-side joins per iteration
+        # (one shuffle/broadcast of the full state instead of two).
+        events = updates.select(
+            "piece_id", "do_update", "new_cluster_id", "tied"
+        ).join(deltas, "piece_id", "full")
         state = (
-            state.join(updates.select("piece_id", "do_update", "new_cluster_id", "tied"), "piece_id", "left")
+            state.join(events, "piece_id", "left")
             .withColumn(
                 "cluster_id",
                 F.when(F.col("do_update") == True, F.col("new_cluster_id")).otherwise(  # noqa: E712
                     F.col("cluster_id")
                 ),
             )
-            .join(deltas, "piece_id", "left")
             .withColumn(
                 "cluster_counts",
                 F.expr(
@@ -294,12 +324,13 @@ def chinese_whispers(
             .select("piece_id", "cluster_id", "cluster_counts", "active", "stale")
         )
         it += 1
-        state = _truncate_lineage(spark, state, checkpoint, it)
+        state, active_count, total_count = _truncate_lineage(
+            spark, state, checkpoint, it
+        )
         spark.createDataFrame([(it,)], "iter int").write.mode("overwrite").parquet(
             meta_path
         )
         updates.unpersist()
-        active_count = state.filter("active").count()
         if verbose:
             import time
 
@@ -319,15 +350,33 @@ def clustered_pieces(state: DataFrame) -> DataFrame:
 
 def _truncate_lineage(
     spark: SparkSession, df: DataFrame, checkpoint: str, it: int
-) -> DataFrame:
+) -> tuple[DataFrame, int, int]:
     """Stop the iterative plan (and physical recomputation chain) from
     growing: parquet round-trip on alternating paths, the durable /
-    resumable pattern of the reference (``:189-197``)."""
+    resumable pattern of the reference (``:189-197``).
+
+    Returns ``(reread_state, active_count, total_count)``. The counts
+    ride along on the write job via ``observe`` — the loop's convergence
+    check needs them every iteration, and a separate
+    ``filter("active").count()`` would schedule one extra job per
+    iteration re-reading the parquet just written.
+    """
     path = f"{checkpoint}/clusters_counts_{it % 2}"
+    obs = Observation()
+    df = df.observe(
+        obs,
+        F.sum(F.col("active").cast("long")).alias("active"),
+        F.count(F.lit(1)).alias("rows"),
+    )
     df.write.mode("overwrite").option("compression", "zstd").partitionBy(
         "active"
     ).parquet(path)
-    return _read_checkpoint(spark, checkpoint, it)
+    got = obs.get
+    return (
+        _read_checkpoint(spark, checkpoint, it),
+        int(got["active"] or 0),
+        int(got["rows"]),
+    )
 
 
 def _read_checkpoint(spark: SparkSession, checkpoint: str, it: int) -> DataFrame:
