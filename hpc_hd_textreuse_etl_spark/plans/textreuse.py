@@ -263,12 +263,20 @@ def cluster_pieces(
     max_iter: int = 50,
     seed: int = 42,
     stats: dict | None = None,
+    tie_freeze: int | None = 5,
+    min_active: int | float = 0,
 ) -> DataFrame:
     """``stats`` (optional out-param) records ``iterations`` and
     ``converged`` so composed-pipeline harnesses can report whether the
-    CW loop terminated by convergence or by cap."""
+    CW loop terminated by convergence or by cap. ``tie_freeze`` /
+    ``min_active`` pass through to :func:`chinese_whispers` — the
+    convergence knobs (tie-cycle freeze, activity floor) production
+    callers need on tie-rich corpora."""
     adj = C.adjacency_list(defrag_textreuses)
-    state, iters = C.chinese_whispers(adj, max_iter=max_iter, seed=seed)
+    state, iters = C.chinese_whispers(
+        adj, max_iter=max_iter, seed=seed,
+        tie_freeze=tie_freeze, min_active=min_active,
+    )
     if stats is not None:
         stats["iterations"] = iters
         stats["converged"] = iters < max_iter

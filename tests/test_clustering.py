@@ -113,3 +113,17 @@ def test_seeded_runs_reproduce(spark):
     c1, _ = _run(spark, edges, max_iter=30, seed=7)
     c2, _ = _run(spark, edges, max_iter=30, seed=7)
     assert c1 == c2
+
+
+def test_adjacency_materialization_is_trajectory_neutral(spark):
+    """materialize_adjacency is a PHYSICAL knob (one durable adjacency
+    snapshot vs recomputing the lazy plan every iteration): both settings
+    must walk the identical seeded trajectory — same clusters, same
+    iteration count."""
+    edges = _clique(range(1, 7)) + _clique(range(10, 16)) + [(6, 10), (3, 12)]
+    c_mat, it_mat = _run(spark, edges, max_iter=30, seed=11)
+    c_lazy, it_lazy = _run(
+        spark, edges, max_iter=30, seed=11, materialize_adjacency=False
+    )
+    assert c_mat == c_lazy
+    assert it_mat == it_lazy
