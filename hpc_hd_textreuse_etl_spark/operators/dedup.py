@@ -668,6 +668,76 @@ def drop_near_duplicates(
     return df.join(keepers, id_col, "left_semi")
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    lloyd_iters: int = 2,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+    keep: str = "low_centroid_sim",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cells as dedup blocks, within-cell cosine >= ``threshold`` pairs,
+    transitive groups, one keeper per group.
+
+    Returns ``(id, cell_id, centroid_sim, canonical_id, is_canonical)``
+    covering every corpus row. This is the CLUSTER-blocked sibling of
+    the LSH-blocked :func:`embedding_near_duplicates` path: clustering
+    blocks catch semantic duplicates whose embeddings sit near each
+    other but hash into different LSH buckets, at the cost of training
+    the coarse quantizer (``ivf_index`` — seeded init + Lloyd rounds,
+    all DataFrame ops).
+
+    ``keep="low_centroid_sim"`` implements the SemDeDup keeper policy —
+    within each duplicate group keep the example FARTHEST from its
+    cluster centroid (lowest cosine to centroid), which the paper found
+    preserves diversity; ``keep="min_id"`` keeps the smallest id
+    (engine-reproducible without the extra ranking join).
+
+    At 100 TB: the within-cell pair join is an equi-join on ``cell_id``
+    (never a cartesian product — same contract as
+    :func:`embedding_near_duplicates`), so the pair cost is
+    ``Σ |cell|²`` and ``n_cells`` is the knob that bounds it
+    (``n_cells ≈ corpus / target_cell_size``, the paper's regime);
+    centroids broadcast (``n_cells`` rows); the group resolution runs
+    over the pair graph, which is orders of magnitude smaller than the
+    corpus — pass ``checkpoint_dir`` at scale for the star-contraction
+    rounds. ``hash_family="portable"`` makes the whole pipeline (init
+    sample, Lloyd means, assignments, pairs, keepers) bit-reproducible
+    in the DuckDB oracle (plans/queries.py ``semantic_dedup_verdicts``).
+    """
+    from hpc_hd_textreuse_etl_spark.operators.similarity import ivf_index
+
+    if keep not in ("low_centroid_sim", "min_id"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    centroids, assignments = ivf_index(
+        corpus, id_col, vec_col, n_cells, lloyd_iters, seed,
+        hash_family=hash_family,
+    )
+    blocked = corpus.select(id_col, vec_col).join(assignments, id_col)
+    pairs = embedding_near_duplicates(
+        blocked, id_col, vec_col, threshold, block_cols=("cell_id",)
+    )
+    scored = blocked.join(F.broadcast(centroids), "cell_id").select(
+        id_col,
+        "cell_id",
+        cosine(F.col(vec_col), F.col("centroid")).alias("centroid_sim"),
+    )
+    order_by = (
+        [F.asc("centroid_sim")] if keep == "low_centroid_sim" else None
+    )
+    verdict = resolve_duplicates(
+        scored, id_col, pairs, order_by=order_by, checkpoint_dir=checkpoint_dir
+    )
+    return scored.join(verdict, id_col).select(
+        id_col, "cell_id", "centroid_sim", "canonical_id", "is_canonical"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap vs an eval set)
 # ---------------------------------------------------------------------------

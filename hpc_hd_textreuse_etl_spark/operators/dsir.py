@@ -1,0 +1,149 @@
+"""DSIR-style data selection via importance resampling.
+
+Data Selection with Importance Resampling (Xie et al., NeurIPS 2023)
+scores every raw-corpus document by how target-like it is under two
+cheap hashed bag-of-n-grams language models, then resamples the corpus
+with probability proportional to the importance weight
+``w(x) = p_target(x) / p_raw(x)``. This module is the Spark-first
+realization; the reference engine has no counterpart (beyond-parity,
+like operators/sampling.py and operators/corpus_stats.py).
+
+Pipeline shape (everything Catalyst, zero Python UDFs):
+
+1. :func:`hashed_ngram_counts` — word unigrams + bigrams hashed into
+   ``num_buckets`` feature buckets; one explode + one ``(id, bucket)``
+   aggregation. The gram strings die inside the stage — only 8-byte
+   bucket ids shuffle.
+2. :func:`dsir_log_weights` — add-alpha smoothed bucket models for the
+   target and raw corpora (each at most ``num_buckets`` rows, so the
+   log-ratio model BROADCASTS no matter how big the corpora are), then
+   one broadcast join + one per-document aggregation:
+   ``log w(d) = Σ_b c_b(d) · (log p_t(b) − log p_r(b))``.
+3. ``gumbel_topk_sample`` (operators/sampling.py) — resample top-k in
+   the LOG domain: ``exp(log w)`` of a long document under- or
+   overflows doubles, the Gumbel-trick priority ``log w + g`` never
+   does.
+
+At 100 TB: two data-proportional shuffles total (gram→bucket counts,
+per-doc weight sum), both carrying (id, bucket, count) triples; the
+models are bounded by ``num_buckets`` (a config, not the data) and move
+as one broadcast; the resample is a ``TakeOrderedAndProject`` (per-task
+k-row heaps, no global sort).
+
+Determinism: with ``hash_family="portable"`` the bucket assignment is
+the md5-based cross-engine hash (functions/hashing.py) and the per-doc
+sum folds in bucket order, so weights are reproducible to libm-``ln``
+ulp across engines — the same residual class as BM25/matmul-ANN, so the
+DuckDB gates rank (plans/queries.py ``dsir_importance_ranking``) and
+epsilon-test values (tests/test_dsir.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.functions.hashing import portable_hash64
+from hpc_hd_textreuse_etl_spark.functions.text import tokens
+
+
+def _grams(text_col: str) -> F.Column:
+    """Word unigrams + bigrams as one array<string> (JVM higher-order
+    ops; bigrams joined with a single space, matching the DuckDB oracle
+    expression token for token)."""
+    w = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(w, bigrams)
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 4096,
+    hash_family: str = "xxhash64",
+    seed: int = 7,
+) -> DataFrame:
+    """Per-document hashed n-gram feature counts: ``(id, bucket, cnt)``.
+
+    ``xxhash64`` (default) is the production family; ``"portable"`` is
+    the md5-based cross-engine hash for oracle-gated runs. Buckets are
+    non-negative ``[0, num_buckets)`` under both (``pmod`` for the
+    signed xxhash64; the portable hash is already non-negative)."""
+    gram = F.explode(_grams(text_col)).alias("gram")
+    if hash_family == "portable":
+        bucket = portable_hash64(F.col("gram")) % num_buckets
+    else:
+        bucket = F.pmod(F.xxhash64(F.col("gram"), F.lit(seed)), F.lit(num_buckets))
+    return (
+        df.select(F.col(id_col), gram)
+        .select(id_col, bucket.cast("int").alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+    hash_family: str = "xxhash64",
+    seed: int = 7,
+) -> DataFrame:
+    """Per-document DSIR log importance weight over the raw corpus:
+    ``(id, log_weight)`` with
+    ``log_weight = Σ_b c_b · (log p_target(b) − log p_raw(b))``, both
+    models add-``alpha`` smoothed over ``num_buckets`` hashed buckets.
+
+    The raw model is the corpus itself, so every bucket a corpus
+    document touches exists in the model — no unseen-bucket default
+    path. The per-document sum folds over the document's buckets in
+    bucket order (sorted struct fold), fixing the floating-point
+    summation order across partitionings, retries, and engines."""
+    doc_counts = hashed_ngram_counts(
+        corpus, id_col, text_col, num_buckets, hash_family, seed
+    )
+    raw = doc_counts.groupBy("bucket").agg(F.sum("cnt").alias("cnt_r"))
+    tgt = (
+        hashed_ngram_counts(target, id_col, text_col, num_buckets, hash_family, seed)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt_t"))
+    )
+    model = raw.join(tgt, "bucket", "left")
+    totals = model.agg(
+        F.sum("cnt_r").alias("n_r"),
+        F.sum(F.coalesce(F.col("cnt_t"), F.lit(0))).alias("n_t"),
+    )
+    b = float(num_buckets)
+    log_ratio = F.log(
+        (F.coalesce(F.col("cnt_t"), F.lit(0)).cast("double") + F.lit(alpha))
+        / (F.col("n_t").cast("double") + F.lit(alpha * b))
+    ) - F.log(
+        (F.col("cnt_r").cast("double") + F.lit(alpha))
+        / (F.col("n_r").cast("double") + F.lit(alpha * b))
+    )
+    model = (
+        model.crossJoin(F.broadcast(totals))  # totals: exactly one row
+        .select("bucket", log_ratio.alias("log_ratio"))
+    )
+    terms = doc_counts.join(F.broadcast(model), "bucket").select(
+        id_col,
+        "bucket",
+        (F.col("cnt").cast("double") * F.col("log_ratio")).alias("term"),
+    )
+    return terms.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("term"),
+        ).alias("log_weight")
+    )

@@ -272,6 +272,50 @@ def weighted_sample_topk(
     )
 
 
+def gumbel_topk_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    log_weight_col: str | Column,
+    k: int,
+    salt: str = "gumbel-v1",
+    priority_col: str = "gumbel_priority",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement in the LOG
+    domain: keep the k rows with the largest
+    ``log_weight − ln(−ln(u))``, ``u = (H(salt||key)+0.5)/2^60``.
+
+    The Gumbel-max trick makes this an exact ∝-weight sample — argmax of
+    ``log w_i + Gumbel_i`` draws i with probability ``w_i/Σw`` — and the
+    log-domain form is the one DSIR-style importance resampling needs:
+    a corpus-level log weight is a sum over thousands of n-gram terms,
+    so ``exp(log_weight)`` routinely over-/underflows a double, while
+    the priority never leaves a sane range. The sibling
+    :func:`weighted_sample_topk` (linear-domain bottom-k PPSWOR) is the
+    right tool when weights arrive as plain positive numbers.
+
+    Same production properties as the sibling: a pure function of
+    ``(key, salt, log_weight)`` (identical across runs, partitionings,
+    and engines to libm-``ln`` ulp), plans as ``TakeOrderedAndProject``
+    (per-task k-row heaps, no global sort), and bottom-k-mergeable
+    across pre-sampled shards. Ties break on the key, making the kept
+    set total-ordered."""
+    lw = (
+        F.col(log_weight_col)
+        if isinstance(log_weight_col, str)
+        else log_weight_col
+    )
+    keys = [F.col(c) for c in key_cols]
+    u = (sample_hash(key_cols, salt).cast("double") + F.lit(0.5)) / F.lit(
+        float(HASH_SPACE)
+    )
+    pri = lw.cast("double") - F.log(-F.log(u))
+    return (
+        df.withColumn(priority_col, pri)
+        .orderBy(F.col(priority_col).desc(), *[c.asc() for c in keys])
+        .limit(k)
+    )
+
+
 def negative_samples(
     positives: DataFrame,
     key_cols: Sequence[str],

@@ -2382,20 +2382,25 @@ def ann_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", "rank")
 
 
-def _ivf_oracle(
-    k: int, n_cells: int, n_probe: int, lloyd_iters: int, seed: int, dim: int
-) -> str:
-    """DuckDB SQL mirroring ivf_topk(hash_family='portable'): portable
-    init hash + order-fixed centroid sums make every Lloyd iteration
-    bit-reproducible, so the iterations unroll as chained CTEs."""
+def _ivf_cos(x: str, y: str) -> str:
+    """DuckDB cosine over two pre-cast double lists (shared by every
+    IVF-family oracle)."""
+    return (
+        f"(list_sum(list_transform(list_zip({x}, {y}), x -> x[1] * x[2])) / "
+        f"(sqrt(list_sum(list_transform({x}, x -> x * x))) * "
+        f"sqrt(list_sum(list_transform({y}, x -> x * x)))))"
+    )
 
-    def cos(x: str, y: str) -> str:
-        return (
-            f"(list_sum(list_transform(list_zip({x}, {y}), x -> x[1] * x[2])) / "
-            f"(sqrt(list_sum(list_transform({x}, x -> x * x))) * "
-            f"sqrt(list_sum(list_transform({y}, x -> x * x)))))"
-        )
 
+def _ivf_lloyd_ctes(n_cells: int, lloyd_iters: int, seed: int, dim: int) -> list[str]:
+    """Shared CTE prefix unrolling ivf_index(hash_family='portable'):
+    ``v`` (double-cast vectors), ``c0`` (portable-hash seeded init),
+    then alternating ``a{i}`` (assignments) / ``c{i+1}`` (order-fixed
+    centroid means) up to the final assignment ``a{lloyd_iters}`` and
+    centroids ``c{lloyd_iters}``. Reused by the IVF-ANN and
+    semantic-dedup oracles so the quantizer is verifiably the SAME
+    computation in both."""
+    cos = _ivf_cos
     init_h = f"('0x' || substr(md5(vec_id || '#{seed}'), 1, 15))::BIGINT"
     ctes = [
         "v AS (\n      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
@@ -2424,6 +2429,17 @@ def _ivf_oracle(
         GROUP BY a.cell_id, p.range
       ) GROUP BY cell_id
     )""")
+    return ctes
+
+
+def _ivf_oracle(
+    k: int, n_cells: int, n_probe: int, lloyd_iters: int, seed: int, dim: int
+) -> str:
+    """DuckDB SQL mirroring ivf_topk(hash_family='portable'): portable
+    init hash + order-fixed centroid sums make every Lloyd iteration
+    bit-reproducible, so the iterations unroll as chained CTEs."""
+    cos = _ivf_cos
+    ctes = _ivf_lloyd_ctes(n_cells, lloyd_iters, seed, dim)
     last = lloyd_iters
     ctes.append(f"""probes AS (
       SELECT query_id, cell_id FROM (
@@ -2475,6 +2491,88 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
         k=5, n_cells=8, n_probe=3, hash_family="portable",
+    )
+
+
+def _semantic_dedup_oracle(
+    threshold: float, n_cells: int, lloyd_iters: int, seed: int, dim: int
+) -> str:
+    """DuckDB SQL mirroring semantic_dedup(hash_family='portable'): the
+    shared Lloyd-unroll prefix (same quantizer as the IVF-ANN oracle),
+    within-cell pairs above threshold, recursive-CTE transitive closure
+    for the duplicate groups (the connected_components_labels pattern),
+    and the SemDeDup keeper rank (lowest centroid-cosine, id tiebreak)."""
+    cos = _ivf_cos
+    last = lloyd_iters
+    ctes = _ivf_lloyd_ctes(n_cells, lloyd_iters, seed, dim)
+    ctes.append(f"""sim AS (
+      SELECT a.vec_id, a.cell_id, {cos('vv.v', 'c.centroid')} AS centroid_sim
+      FROM a{last} a
+      JOIN v vv ON vv.vec_id = a.vec_id
+      JOIN c{last} c ON c.cell_id = a.cell_id
+    )""")
+    ctes.append(f"""p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM a{last} x
+      JOIN a{last} y ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+      JOIN v vx ON vx.vec_id = x.vec_id
+      JOIN v vy ON vy.vec_id = y.vec_id
+      WHERE {cos('vx.v', 'vy.v')} >= {threshold}
+    )""")
+    ctes.append("""e AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM p
+    )""")
+    ctes.append("""reach AS (
+      SELECT src AS node, src AS x FROM e
+      UNION
+      SELECT r.node, e.dst AS x FROM reach r JOIN e ON e.src = r.x
+    )""")
+    ctes.append("""comp AS (
+      SELECT s.vec_id AS node, COALESCE(MIN(r.x), s.vec_id) AS component
+      FROM sim s LEFT JOIN reach r ON r.node = s.vec_id
+      GROUP BY s.vec_id
+    )""")
+    ctes.append("""ranked AS (
+      SELECT s.vec_id, s.cell_id, s.centroid_sim, c.component,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY s.centroid_sim ASC, s.vec_id ASC) AS rk
+      FROM sim s JOIN comp c ON c.node = s.vec_id
+    )""")
+    ctes.append("""keep AS (
+      SELECT component, vec_id AS canonical_id FROM ranked WHERE rk = 1
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH RECURSIVE {joined}
+    SELECT r.vec_id, CAST(r.cell_id AS INT) AS cell_id, r.centroid_sim,
+           k.canonical_id, (r.vec_id = k.canonical_id) AS is_canonical
+    FROM ranked r JOIN keep k ON k.component = r.component
+    """
+
+
+@query(
+    "semantic_dedup_verdicts",
+    oracle=_semantic_dedup_oracle(
+        threshold=0.32, n_cells=8, lloyd_iters=2, seed=42, dim=64
+    ),
+    tags=("semantic-dedup", "beyond-parity", "iterative"),
+)
+def semantic_dedup_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup verdicts over the embeddings table
+    (operators/dedup.py semantic_dedup): k-means cells as dedup blocks,
+    within-cell cosine >= 0.32 pairs (the synthetic embeddings top out
+    near 0.47, so this threshold yields ~70 non-trivial groups), keep
+    the member FARTHEST from its centroid. Fully value-hash-gated —
+    quantizer, pairs, transitive groups, centroid_sim doubles, and
+    keeper choice all bit-match the unrolled DuckDB oracle."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        spark.table("embeddings"), "vec_id", "embedding",
+        threshold=0.32, n_cells=8, lloyd_iters=2, seed=42,
+        hash_family="portable",
     )
 
 
@@ -4914,6 +5012,117 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(
         orders, ["o_orderkey"], F.col("o_totalprice"), k=50
     ).select("o_orderkey", "sample_priority")
+
+
+def _dsir_weights_sql(num_buckets: int) -> str:
+    """CTE chain computing DSIR log importance weights in DuckDB,
+    ending in ``wts(doc_id, log_weight)`` — mirrors
+    operators/dsir.py dsir_log_weights(hash_family='portable') with
+    target = documents WHERE lang='en' and raw = all documents. The
+    per-document sum is order-fixed (``list(term ORDER BY bucket)``)
+    exactly like the Spark sorted-struct fold."""
+    b = num_buckets
+    bucket = _DUCK_H.format(x="g") + f" % {b}"
+    return f"""tok AS (
+      SELECT doc_id, {_TOK} AS w FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(w) AS g FROM tok
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(w) + 1),
+                                   i -> w[i - 1] || ' ' || w[i])) AS g
+      FROM tok WHERE len(w) >= 2
+    ), dc AS (
+      SELECT doc_id, CAST({bucket} AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM grams GROUP BY 1, 2
+    ), raw AS (
+      SELECT bucket, SUM(cnt) AS cnt_r FROM dc GROUP BY 1
+    ), tgt AS (
+      SELECT dc.bucket, SUM(dc.cnt) AS cnt_t
+      FROM dc JOIN documents d USING (doc_id)
+      WHERE d.lang = 'en' GROUP BY 1
+    ), model AS (
+      SELECT r.bucket,
+             (ln((COALESCE(t.cnt_t, 0) + 1.0)
+                 / ((SELECT SUM(cnt_t) FROM tgt) + {float(b)}))
+              - ln((r.cnt_r + 1.0)
+                   / ((SELECT SUM(cnt_r) FROM raw) + {float(b)}))) AS log_ratio
+      FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket
+    ), wts AS (
+      SELECT dc.doc_id,
+             list_sum(list(CAST(dc.cnt AS DOUBLE) * m.log_ratio
+                           ORDER BY dc.bucket)) AS log_weight
+      FROM dc JOIN model m ON m.bucket = dc.bucket
+      GROUP BY dc.doc_id
+    )"""
+
+
+def _dsir_spark_weights(spark: SparkSession):
+    from hpc_hd_textreuse_etl_spark.operators.dsir import dsir_log_weights
+
+    docs = spark.table("documents")
+    return dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text",
+        num_buckets=512, alpha=1.0, hash_family="portable",
+    )
+
+
+@query(
+    "dsir_importance_ranking",
+    oracle=f"""
+    WITH {_dsir_weights_sql(512)}
+    SELECT doc_id, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, row_number() OVER (ORDER BY log_weight DESC, doc_id) AS rank
+      FROM wts
+    ) WHERE rank <= 50
+    """,
+    tags=("dsir", "importance-sampling", "beyond-parity"),
+)
+def dsir_importance_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance ranking (operators/dsir.py): the 50 most
+    target-like documents under hashed-bigram bag models, target =
+    English documents, raw = the whole corpus. Gated on (doc_id, rank)
+    with a doc_id tiebreak — the log weight itself is a sum of
+    ``ln``-ratio terms, so its residual is the libm-ln ulp (the
+    BM25/matmul-ANN precedent); weight values are epsilon-tested in
+    tests/test_dsir.py."""
+    w = _dsir_spark_weights(spark)
+    topk = w.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(50)
+    # rank window AFTER the limit, over <= 50 rows — benign
+    wnd = Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(wnd).cast("int")).select(
+        "doc_id", "rank"
+    )
+
+
+@query(
+    "dsir_resampled_docs",
+    oracle=f"""
+    WITH {_dsir_weights_sql(512)}
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             log_weight - ln(-ln(({_DUCK_H.format(
+                 x="'gumbel-dsir-v1|' || CAST(doc_id AS VARCHAR)")}
+                 + 0.5) / 1152921504606846976.0)) AS p
+      FROM wts
+    ) ORDER BY p DESC, doc_id LIMIT 50
+    """,
+    tags=("dsir", "importance-sampling", "beyond-parity"),
+)
+def dsir_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR resample itself: 50 documents drawn ∝ importance weight
+    via the deterministic Gumbel top-k (operators/sampling.py
+    gumbel_topk_sample — log-domain, so corpus-scale log weights never
+    pay an exp overflow). Gated on the kept document-id SET; the
+    priority doubles carry the same ln-ulp residual as the ranking
+    query and are epsilon-tested in tests/test_dsir.py."""
+    from hpc_hd_textreuse_etl_spark.operators.sampling import gumbel_topk_sample
+
+    w = _dsir_spark_weights(spark)
+    return gumbel_topk_sample(
+        w, ["doc_id"], "log_weight", k=50, salt="gumbel-dsir-v1"
+    ).select("doc_id")
 
 
 @query(

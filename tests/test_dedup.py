@@ -626,3 +626,78 @@ def test_raw_gram_keys_immune_to_separator_confusion(spark):
     assert duplicated_token_spans(df, "doc_id", "text", 2, hashed_keys=False).count() == 0
     # and the default hashed path agrees (hashes the token arrays, no strings)
     assert duplicated_token_spans(df, "doc_id", "text", 2, hashed_keys=True).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup-style cluster-blocked embedding dedup)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_verdicts(spark):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    v = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.32, n_cells=8,
+        hash_family="portable",
+    )
+    return emb, v.collect()
+
+
+def test_semantic_dedup_covers_every_row(spark, emb_verdicts):
+    emb, rows = emb_verdicts
+    assert {r["vec_id"] for r in rows} == {
+        r["vec_id"] for r in emb.select("vec_id").collect()
+    }
+    assert len(rows) == emb.count()  # exactly one verdict per row
+
+
+def test_semantic_dedup_keeper_is_group_member_with_lowest_centroid_sim(
+    spark, emb_verdicts
+):
+    """SemDeDup policy: within each duplicate group the canonical id is
+    the member FARTHEST from its centroid (lowest cosine), id tiebreak;
+    is_canonical is consistent with canonical_id."""
+    _, rows = emb_verdicts
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical_id"], []).append(r)
+        assert r["is_canonical"] == (r["vec_id"] == r["canonical_id"])
+    nontrivial = 0
+    for canon, members in by_canon.items():
+        best = min(members, key=lambda r: (r["centroid_sim"], r["vec_id"]))
+        assert best["vec_id"] == canon
+        if len(members) > 1:
+            nontrivial += 1
+    assert nontrivial > 0  # the threshold must actually exercise grouping
+
+
+def test_semantic_dedup_min_id_policy(spark):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.32, n_cells=8,
+        hash_family="portable", keep="min_id",
+    ).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r["canonical_id"], []).append(r["vec_id"])
+    for canon, members in groups.items():
+        assert canon == min(members)
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, keep="best_quality")
+
+
+def test_semantic_dedup_pair_join_is_blocked(spark):
+    """The within-cell pair join must plan as an equi-join on cell_id —
+    never a cartesian product (the 100 TB contract)."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        semantic_dedup(emb, "vec_id", "embedding", threshold=0.32, n_cells=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
