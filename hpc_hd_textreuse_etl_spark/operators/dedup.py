@@ -739,6 +739,100 @@ def semantic_dedup(
 
 
 # ---------------------------------------------------------------------------
+# Corpus-level repeated-line dedup (CCNet-style paragraph hashing)
+# ---------------------------------------------------------------------------
+
+
+def dedup_repeated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 2,
+    delim: str = "\n",
+    keep: str = "none",
+    hashed: bool = True,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove lines/paragraphs that occur ``min_count``-or-more times
+    ACROSS the corpus — the CCNet-style paragraph-hash dedup pass
+    (Wenzek et al. 2020) that strips boilerplate (navigation, cookie
+    banners, license headers) repeated across many pages, which
+    document-level near-dup can never catch.
+
+    Returns ``(id, out_col, n_removed)`` for EVERY input row:
+    remaining lines re-joined with ``delim`` in original order,
+    ``n_removed`` the count of dropped lines. ``keep="none"`` drops
+    every occurrence of a repeated line; ``keep="first"`` keeps the
+    single globally-first occurrence (smallest ``(id, position)``) and
+    drops the rest — the CCNet policy.
+
+    ``delim`` is a Java regex for splitting and a literal for
+    re-joining (the default ``"\\n"`` is both).
+
+    Scale shape: the occurrence count groups on an 8-byte
+    ``xxhash64(line)`` key (``hashed=True``, default) so the counting
+    shuffle never carries line bodies; a 64-bit collision can only
+    over-delete (two distinct lines pooled), the same accepted risk
+    class as the span-dedup hashing (SCALE.md). ``hashed=False``
+    groups on the exact line string — the oracle-gate mode
+    (plans/queries.py ``repeated_segment_dedup``) and the right choice
+    when lines are short and collision-free removal matters more than
+    shuffle width. The removal itself is a key-only anti/filter join;
+    the final reassembly is one doc-keyed aggregation (sorted-struct
+    fold, order-stable under any partitioning)."""
+    if keep not in ("none", "first"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    if min_count < 2:
+        raise ValueError("min_count < 2 would remove every line")
+    parts = F.split(F.col(text_col), delim)
+    base = df.select(F.col(id_col), F.posexplode(parts).alias("pos", "line"))
+    key = F.xxhash64("line") if hashed else F.col("line")
+    lines = base.withColumn("__k", key)
+    counts = lines.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+            "__first"
+        ),
+    )
+    repeated = counts.filter(F.col("__n") >= min_count).select("__k", "__first")
+    if keep == "none":
+        kept = lines.join(repeated.select("__k"), "__k", "left_anti")
+    else:
+        kept = (
+            lines.join(repeated, "__k", "left")
+            .filter(
+                F.col("__first").isNull()
+                | (
+                    (F.col(id_col) == F.col("__first.i"))
+                    & (F.col("pos") == F.col("__first.p"))
+                )
+            )
+            .drop("__first")
+        )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            delim,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = df.select(F.col(id_col), F.size(parts).alias("__total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap vs an eval set)
 # ---------------------------------------------------------------------------
 

@@ -5126,6 +5126,69 @@ def dsir_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repeated_segment_dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK} AS w FROM documents
+    ), seg AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(0, CAST(ceil(len(w) / 12.0) AS INT)),
+                              j -> array_to_string(w[j*12+1 : j*12+12], ' ')),
+               chr(10)) AS text
+      FROM tok
+    ), lines AS (
+      SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM seg)
+    ), ranked AS (
+      SELECT doc_id, pos, line,
+             count(*) OVER (PARTITION BY line) AS n,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+      FROM lines
+    ), kept AS (
+      SELECT doc_id, pos, line FROM ranked WHERE n < 2 OR rk = 1
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             count(*) AS kept_n
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, len(string_split(text, chr(10))) AS total FROM seg
+    )
+    SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           CAST(t.total - COALESCE(r.kept_n, 0) AS INT) AS n_removed
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    tags=("line-dedup", "beyond-parity"),
+)
+def repeated_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-level repeated-line removal
+    (operators/dedup.py dedup_repeated_lines, keep='first'): the
+    synthetic documents carry no newlines, so both engines first derive
+    a deterministic line structure (12-token segments, ~100 of which
+    repeat across documents at sf0.01) and then the whole pass —
+    occurrence counts, globally-first keeper, order-preserving
+    reassembly, removal counts — is value-hash-gated exactly (pure
+    string/integer semantics, no floats)."""
+    from hpc_hd_textreuse_etl_spark.functions.text import tokens
+    from hpc_hd_textreuse_etl_spark.operators.dedup import dedup_repeated_lines
+
+    docs = spark.table("documents")
+    w = tokens(F.col("text"))
+    nseg = F.ceil(F.size(w) / F.lit(12.0)).cast("int")
+    segs = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda j: F.concat_ws(" ", F.slice(w, j * 12 + 1, 12)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    seg_docs = docs.select("doc_id", F.concat_ws("\n", segs).alias("text"))
+    return dedup_repeated_lines(
+        seg_docs, "doc_id", "text", min_count=2, keep="first", hashed=False
+    )
+
+
+@query(
     "pareto_frontier_parts",
     oracle="""
     WITH d AS (

@@ -701,3 +701,77 @@ def test_semantic_dedup_pair_join_is_blocked(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# dedup_repeated_lines (CCNet-style corpus-level paragraph dedup)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def line_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "keep me\nBOILER\nunique one"),
+            (2, "BOILER\nother text\nBOILER"),
+            (3, "solo document"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_repeated_lines_keep_none(spark, line_corpus):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import dedup_repeated_lines
+
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup_repeated_lines(line_corpus, "doc_id", "text").collect()
+    }
+    assert out == {
+        1: ("keep me\nunique one", 1),  # order of survivors preserved
+        2: ("other text", 2),
+        3: ("solo document", 0),
+        4: ("", 0),  # empty doc covered, nothing removed
+    }
+
+
+def test_dedup_repeated_lines_keep_first(spark, line_corpus):
+    """CCNet policy: the globally-first occurrence (smallest (id, pos))
+    survives; every later occurrence is dropped."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import dedup_repeated_lines
+
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup_repeated_lines(
+            line_corpus, "doc_id", "text", keep="first"
+        ).collect()
+    }
+    assert out[1] == ("keep me\nBOILER\nunique one", 0)  # first BOILER kept
+    assert out[2] == ("other text", 2)
+
+
+def test_dedup_repeated_lines_hashed_agrees_with_exact(spark, line_corpus):
+    """At test scale the 64-bit hash key and the exact-string key must
+    produce identical results (collisions are the only divergence)."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import dedup_repeated_lines
+
+    def snap(hashed):
+        return sorted(
+            tuple(r)
+            for r in dedup_repeated_lines(
+                line_corpus.repartition(7 if hashed else 3, "text"),
+                "doc_id", "text", keep="first", hashed=hashed,
+            ).collect()
+        )
+
+    assert snap(True) == snap(False)  # and partition layouts differ
+
+
+def test_dedup_repeated_lines_validates_args(spark, line_corpus):
+    from hpc_hd_textreuse_etl_spark.operators.dedup import dedup_repeated_lines
+
+    with pytest.raises(ValueError):
+        dedup_repeated_lines(line_corpus, "doc_id", "text", keep="last")
+    with pytest.raises(ValueError):
+        dedup_repeated_lines(line_corpus, "doc_id", "text", min_count=1)
