@@ -679,6 +679,7 @@ def semantic_dedup(
     hash_family: str = "xxhash64",
     keep: str = "low_centroid_sim",
     checkpoint_dir: str | None = None,
+    assign_strategy: str = "fold",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     cells as dedup blocks, within-cell cosine >= ``threshold`` pairs,
@@ -708,16 +709,29 @@ def semantic_dedup(
     corpus — pass ``checkpoint_dir`` at scale for the star-contraction
     rounds. ``hash_family="portable"`` makes the whole pipeline (init
     sample, Lloyd means, assignments, pairs, keepers) bit-reproducible
-    in the DuckDB oracle (plans/queries.py ``semantic_dedup_verdicts``).
+    in the DuckDB oracle (plans/queries.py ``semantic_dedup_verdicts``);
+    ``assign_strategy="matmul"`` routes the Lloyd/assignment passes
+    through the Arrow/BLAS path (operators/similarity.py) — the
+    production choice for wide embeddings, measured ~2× on the whole
+    operator at the sf1 probe rung (CURATION_SCALE.json).
     """
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        tracked_local_checkpoint,
+    )
     from hpc_hd_textreuse_etl_spark.operators.similarity import ivf_index
 
     if keep not in ("low_centroid_sim", "min_id"):
         raise ValueError(f"unknown keep policy {keep!r}")
     centroids, assignments = ivf_index(
         corpus, id_col, vec_col, n_cells, lloyd_iters, seed,
-        hash_family=hash_family,
+        hash_family=hash_family, assign_strategy=assign_strategy,
     )
+    # assignments feed the pair join (both sides), the centroid-sim
+    # scoring, and the resolution — four consumers; unmaterialized, each
+    # would re-run the final Lloyd assignment pass over the corpus. The
+    # pin is (id, cell_id) — 12 bytes/row — and is tracked for the
+    # registry's release hygiene (functions/checkpoints.py).
+    assignments = tracked_local_checkpoint(assignments)
     blocked = corpus.select(id_col, vec_col).join(assignments, id_col)
     pairs = embedding_near_duplicates(
         blocked, id_col, vec_col, threshold, block_cols=("cell_id",)

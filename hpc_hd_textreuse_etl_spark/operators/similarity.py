@@ -262,8 +262,15 @@ def ivf_index(
     seed: int = 42,
     dim: int = 64,
     hash_family: str = "xxhash64",
+    assign_strategy: str = "fold",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: ``(centroids, assignments)``.
+
+    ``assign_strategy="matmul"`` routes every nearest-centroid pass
+    (Lloyd rounds and the final assignment) through the Arrow/BLAS
+    path (:func:`_assign_cells`) — the production choice for wide
+    embeddings; keep the default ``"fold"`` for the portable
+    oracle-gated family.
 
     Centroids initialize from a deterministic hash-sample of the corpus
     (k seeded picks), then ``lloyd_iters`` rounds of assign + mean — all
@@ -334,26 +341,98 @@ def ivf_index(
             )
         )
 
+    # Each Lloyd round's centroid table is <= n_cells rows but its LAZY
+    # plan nests the entire previous round (assign -> mean -> assign ...):
+    # left unmaterialized, every downstream use of `centroids` /
+    # `assignments` re-executes the whole chain — the round-8 profile
+    # measured semantic_dedup paying the Lloyd prefix 4x. Caching the
+    # tiny table per round (and releasing the superseded one) makes each
+    # round run exactly once; values are unchanged (the oracle gates
+    # pin this). The FINAL centroid table stays cached — n_cells rows,
+    # freed by the registry's per-asset clearCache hygiene.
     centroids = init
+    prev = None
     for _ in range(lloyd_iters):
-        centroids = mean_centroids(_assign_cells(vecs, centroids))
-    assignments = _assign_cells(vecs, centroids).select(
+        nxt = mean_centroids(_assign_cells(vecs, centroids, assign_strategy)).cache()
+        nxt.count()
+        if prev is not None:
+            prev.unpersist()
+        centroids, prev = nxt, nxt
+    assignments = _assign_cells(vecs, centroids, assign_strategy).select(
         F.col("vid").alias(id_col), "cell_id"
     )
     return centroids, assignments
 
 
-def _assign_cells(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest centroid by cosine for every vector (centroids broadcast)."""
+def _assign_cells(
+    vecs: DataFrame, centroids: DataFrame, strategy: str = "fold"
+) -> DataFrame:
+    """Nearest centroid by cosine for every vector (centroids broadcast).
+
+    ``strategy="fold"`` (default, cross-engine-exact): the argmax is a
+    ``max(struct(sim, -cell_id))`` hash aggregation —
+    partial-aggregatable (map-side combine reduces each task to one row
+    per vector BEFORE the exchange), where the previous row_number
+    window had to shuffle and sort every (vector × centroid) candidate
+    row. Tie semantics are identical: highest sim, then smallest
+    cell_id (struct comparison is field-ordered, so negating cell_id
+    makes the smaller id win the max).
+
+    ``strategy="matmul"``: one Arrow-batched BLAS ``(batch × dim) @
+    (dim × cells)`` per batch with the (tiny) centroid matrix inlined
+    into the closure — no per-candidate row ever exists, no shuffle at
+    all (the aggregation disappears). The round-8 profile measured the
+    interpreted HOF cosine fold as ~5× the matmul cost per Lloyd pass
+    at 20k×64-dim. Same argmax tie rule (columns ordered by cell_id;
+    ``np.argmax`` takes the first maximum). BLAS summation order
+    differs from the sequential fold by ~1 ulp, so near-tied centroids
+    can assign differently — the production (xxhash64) trade, same as
+    ``cosine_topk(strategy="matmul")``; the portable oracle path keeps
+    the fold."""
+    if strategy == "matmul":
+        return _assign_cells_matmul(vecs, centroids)
     scored = vecs.crossJoin(F.broadcast(centroids)).withColumn(
         "sim", cosine(F.col("v"), F.col("centroid"))
     )
-    w = Window.partitionBy("vid").orderBy(F.desc("sim"), F.asc("cell_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vid", "cell_id")
+        scored.groupBy("vid")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("cell_id")).alias("nc"))).alias("b"))
+        .select("vid", (-F.col("b.nc")).cast("int").alias("cell_id"))
     )
+
+
+def _assign_cells_matmul(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """BLAS nearest-centroid assignment (see :func:`_assign_cells`).
+    Centroids are collected to the driver (n_cells × dim — the side the
+    fold path broadcasts anyway) and normalized once; each Arrow batch
+    of vectors is assigned in a single matmul. Zero-norm vectors score
+    0.0 against every centroid and take cell 1 by the tie rule (the
+    fold path's NaN would also pick a fixed cell; degenerate inputs are
+    out of contract either way)."""
+    import numpy as np
+    import pandas as pd
+
+    id_sql = "long" if dict(vecs.dtypes)["vid"] in _INT_ID_TYPES else "string"
+
+    rows = sorted(centroids.collect(), key=lambda r: r["cell_id"])
+    cell_ids = np.array([r["cell_id"] for r in rows], dtype=np.int32)
+    c_mat = np.array([r["centroid"] for r in rows], dtype=np.float64)
+    c_norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+    c_mat = c_mat / np.where(c_norms == 0.0, 1.0, c_norms)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            m = m / np.where(norms == 0.0, 1.0, norms)
+            best = np.argmax(m @ c_mat.T, axis=1)  # first max = smallest cell
+            yield pd.DataFrame(
+                {"vid": pdf["vid"], "cell_id": cell_ids[best]}
+            )
+
+    return vecs.mapInPandas(assign, schema=f"vid {id_sql}, cell_id int")
 
 
 def ivf_topk(

@@ -148,3 +148,36 @@ def test_matmul_string_ids_and_zero_norm(spark):
     assert by_rank[3][0] == "zero" and by_rank[3][1] == 0.0
     import math
     assert not any(math.isnan(r.cosine) for r in out)
+
+
+def test_assign_cells_matmul_agrees_with_fold(spark, emb):
+    """The BLAS assignment path must produce the same cells as the
+    Catalyst fold on real (non-degenerate, non-tied) embeddings — the
+    only sanctioned divergence is a ~1-ulp near-tie, absent here."""
+    from hpc_hd_textreuse_etl_spark.operators.similarity import ivf_index
+
+    _, fold = ivf_index(emb, "vec_id", "embedding", n_cells=8,
+                        lloyd_iters=2, assign_strategy="fold")
+    _, mm = ivf_index(emb, "vec_id", "embedding", n_cells=8,
+                      lloyd_iters=2, assign_strategy="matmul")
+    d_fold = {r["vec_id"]: r["cell_id"] for r in fold.collect()}
+    d_mm = {r["vec_id"]: r["cell_id"] for r in mm.collect()}
+    assert d_fold == d_mm
+
+
+def test_semantic_dedup_matmul_strategy(spark, emb):
+    """The production assign strategy yields the same verdicts as the
+    fold path at test scale (assignments agree — previous test — so the
+    downstream pairs/groups/keepers are identical)."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import semantic_dedup
+
+    def snap(strategy):
+        return sorted(
+            tuple(r)
+            for r in semantic_dedup(
+                emb, "vec_id", "embedding", threshold=0.32, n_cells=8,
+                assign_strategy=strategy,
+            ).collect()
+        )
+
+    assert snap("fold") == snap("matmul")
