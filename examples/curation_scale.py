@@ -136,6 +136,9 @@ def _fit_exponent(points: list[tuple[float, float]]) -> float | None:
 
 
 def main() -> None:
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        release_local_checkpoints,
+    )
     from hpc_hd_textreuse_etl_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -154,14 +157,23 @@ def main() -> None:
         ops, sizes = _ops(spark, sf_dir)
         rung: dict = {"sf": sf, **sizes, "ops": {}}
         for name, thunk in ops.items():
-            # warm pass excluded (parquet footers, JIT), then best-of-2
-            thunk().write.format("noop").mode("overwrite").save()
+            # warm pass excluded (parquet footers, JIT), then best-of-2;
+            # tracked checkpoint pins (ivf rounds, semantic_dedup
+            # assignments, DSIR doc counts) are released after every
+            # run so later measurements never fight earlier runs'
+            # pinned storage (the pipeline_scale.py hygiene).
+            def run_once():
+                thunk().write.format("noop").mode("overwrite").save()
+                release_local_checkpoints()
+                spark.catalog.clearCache()
+
+            run_once()
             walls = []
             sh = None
             for _ in range(2):
                 r0, w0 = _stage_totals(spark)
                 t0 = time.perf_counter()
-                thunk().write.format("noop").mode("overwrite").save()
+                run_once()
                 walls.append(time.perf_counter() - t0)
                 r1, w1 = _stage_totals(spark)
                 sh = (r1 - r0, w1 - w0)
@@ -172,6 +184,10 @@ def main() -> None:
             }
             print(label, name, rung["ops"][name], flush=True)
         out["rungs"][label] = rung
+    if not out["rungs"]:
+        print("no rung directories found — nothing measured", file=sys.stderr)
+        spark.stop()
+        sys.exit(1)
     # per-op exponents over whatever rungs ran
     exps = {}
     for name in next(iter(out["rungs"].values()))["ops"]:

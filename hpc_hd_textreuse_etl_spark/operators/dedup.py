@@ -781,7 +781,10 @@ def dedup_repeated_lines(
     drops the rest — the CCNet policy.
 
     ``delim`` is a Java regex for splitting and a literal for
-    re-joining (the default ``"\\n"`` is both).
+    re-joining (the default ``"\\n"`` is both). EMPTY lines are
+    structure, not content: they are preserved verbatim and never
+    counted, so paragraph breaks survive (CCNet hashes only non-empty
+    paragraphs for the same reason).
 
     Scale shape: the occurrence count groups on an 8-byte
     ``xxhash64(line)`` key (``hashed=True``, default) so the counting
@@ -802,7 +805,11 @@ def dedup_repeated_lines(
     base = df.select(F.col(id_col), F.posexplode(parts).alias("pos", "line"))
     key = F.xxhash64("line") if hashed else F.col("line")
     lines = base.withColumn("__k", key)
-    counts = lines.groupBy("__k").agg(
+    # Empty lines never enter the occurrence counts, so they are never
+    # removed: any multi-paragraph corpus has >= min_count blank lines,
+    # and counting them would delete every paragraph break corpus-wide
+    # (CCNet likewise hashes only non-empty paragraphs).
+    counts = lines.filter(F.col("line") != "").groupBy("__k").agg(
         F.count(F.lit(1)).alias("__n"),
         F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
             "__first"

@@ -24,11 +24,15 @@ Pipeline shape (everything Catalyst, zero Python UDFs):
    overflows doubles, the Gumbel-trick priority ``log w + g`` never
    does.
 
-At 100 TB: two data-proportional shuffles total (gram→bucket counts,
-per-doc weight sum), both carrying (id, bucket, count) triples; the
-models are bounded by ``num_buckets`` (a config, not the data) and move
-as one broadcast; the resample is a ``TakeOrderedAndProject`` (per-task
-k-row heaps, no global sort).
+At 100 TB: the corpus-wide gram explode runs exactly once (the
+per-document count table is pinned via a tracked localCheckpoint), and
+the data-proportional shuffles carry only (id, bucket, count) triples —
+the count aggregation, the per-doc weight sum, and a final id-only
+coverage join (every document gets a weight; an empty feature bag is
+weight 1, i.e. ``log_weight = 0``). The models are bounded by
+``num_buckets`` (a config, not the data) and move as one broadcast; the
+resample is a ``TakeOrderedAndProject`` (per-task k-row heaps, no
+global sort).
 
 Determinism: with ``hash_family="portable"`` the bucket assignment is
 the md5-based cross-engine hash (functions/hashing.py) and the per-doc
@@ -106,11 +110,33 @@ def dsir_log_weights(
 
     The raw model is the corpus itself, so every bucket a corpus
     document touches exists in the model — no unseen-bucket default
-    path. The per-document sum folds over the document's buckets in
-    bucket order (sorted struct fold), fixing the floating-point
-    summation order across partitionings, retries, and engines."""
-    doc_counts = hashed_ngram_counts(
-        corpus, id_col, text_col, num_buckets, hash_family, seed
+    path for SCORING. The model's log-ratio rows are restricted to raw
+    buckets for the same reason, but the target total ``n_t`` is summed
+    over the WHOLE target count table: when the target is a separate
+    dataset (the normal DSIR deployment — target = curated reference,
+    raw = crawl), target grams hashing into buckets no raw document
+    touches still belong in p_target's denominator, and dropping them
+    would shift every document's weight by its gram count × a constant,
+    re-ordering documents of different lengths.
+
+    The per-document sum folds over the document's buckets in bucket
+    order (sorted struct fold), fixing the floating-point summation
+    order across partitionings, retries, and engines. Every corpus
+    document gets a weight: documents with no tokens have an empty
+    feature bag, whose importance weight is exactly ``Π(nothing) = 1``
+    — ``log_weight = 0.0`` — rather than being dropped.
+
+    The per-document count table feeds both the raw model and the
+    scoring join; it is pinned once via a tracked ``localCheckpoint``
+    (functions/checkpoints.py — released at the registry hygiene
+    point), so the corpus-wide gram explode runs exactly once per
+    call, keeping the module docstring's two-shuffle claim true."""
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    doc_counts = tracked_local_checkpoint(
+        hashed_ngram_counts(corpus, id_col, text_col, num_buckets, hash_family, seed)
     )
     raw = doc_counts.groupBy("bucket").agg(F.sum("cnt").alias("cnt_r"))
     tgt = (
@@ -118,11 +144,10 @@ def dsir_log_weights(
         .groupBy("bucket")
         .agg(F.sum("cnt").alias("cnt_t"))
     )
-    model = raw.join(tgt, "bucket", "left")
-    totals = model.agg(
-        F.sum("cnt_r").alias("n_r"),
-        F.sum(F.coalesce(F.col("cnt_t"), F.lit(0))).alias("n_t"),
+    totals = raw.agg(F.sum("cnt_r").alias("n_r")).crossJoin(
+        tgt.agg(F.sum("cnt_t").alias("n_t"))
     )
+    model = raw.join(tgt, "bucket", "left")
     b = float(num_buckets)
     log_ratio = F.log(
         (F.coalesce(F.col("cnt_t"), F.lit(0)).cast("double") + F.lit(alpha))
@@ -140,10 +165,13 @@ def dsir_log_weights(
         "bucket",
         (F.col("cnt").cast("double") * F.col("log_ratio")).alias("term"),
     )
-    return terms.groupBy(id_col).agg(
+    weights = terms.groupBy(id_col).agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("bucket", "term"))),
             F.lit(0.0),
             lambda acc, s: acc + s.getField("term"),
         ).alias("log_weight")
+    )
+    return corpus.select(id_col).join(weights, id_col, "left").select(
+        id_col, F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight")
     )

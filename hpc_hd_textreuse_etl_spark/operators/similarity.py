@@ -345,18 +345,25 @@ def ivf_index(
     # plan nests the entire previous round (assign -> mean -> assign ...):
     # left unmaterialized, every downstream use of `centroids` /
     # `assignments` re-executes the whole chain — the round-8 profile
-    # measured semantic_dedup paying the Lloyd prefix 4x. Caching the
-    # tiny table per round (and releasing the superseded one) makes each
-    # round run exactly once; values are unchanged (the oracle gates
-    # pin this). The FINAL centroid table stays cached — n_cells rows,
-    # freed by the registry's per-asset clearCache hygiene.
+    # measured semantic_dedup paying the Lloyd prefix 4x. Each round is
+    # pinned via a TRACKED eager localCheckpoint (values unchanged — the
+    # oracle gates pin this); the superseded round releases immediately,
+    # and the final table's pin is freed by release_local_checkpoints()
+    # at the registry hygiene point, so looping callers don't accumulate
+    # one pinned table per call (functions/checkpoints.py).
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
+
     centroids = init
     prev = None
     for _ in range(lloyd_iters):
-        nxt = mean_centroids(_assign_cells(vecs, centroids, assign_strategy)).cache()
-        nxt.count()
+        nxt = tracked_local_checkpoint(
+            mean_centroids(_assign_cells(vecs, centroids, assign_strategy))
+        )
         if prev is not None:
-            prev.unpersist()
+            release_checkpoint(prev)
         centroids, prev = nxt, nxt
     assignments = _assign_cells(vecs, centroids, assign_strategy).select(
         F.col("vid").alias(id_col), "cell_id"

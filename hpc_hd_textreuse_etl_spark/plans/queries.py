@@ -5049,12 +5049,15 @@ def _dsir_weights_sql(num_buckets: int) -> str:
               - ln((r.cnt_r + 1.0)
                    / ((SELECT SUM(cnt_r) FROM raw) + {float(b)}))) AS log_ratio
       FROM raw r LEFT JOIN tgt t ON t.bucket = r.bucket
-    ), wts AS (
+    ), wts0 AS (
       SELECT dc.doc_id,
              list_sum(list(CAST(dc.cnt AS DOUBLE) * m.log_ratio
                            ORDER BY dc.bucket)) AS log_weight
       FROM dc JOIN model m ON m.bucket = dc.bucket
       GROUP BY dc.doc_id
+    ), wts AS (
+      SELECT d.doc_id, COALESCE(w.log_weight, 0.0) AS log_weight
+      FROM documents d LEFT JOIN wts0 w USING (doc_id)
     )"""
 
 
@@ -5146,7 +5149,7 @@ def dsir_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
       FROM lines
     ), kept AS (
-      SELECT doc_id, pos, line FROM ranked WHERE n < 2 OR rk = 1
+      SELECT doc_id, pos, line FROM ranked WHERE line = '' OR n < 2 OR rk = 1
     ), rebuilt AS (
       SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
              count(*) AS kept_n

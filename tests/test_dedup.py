@@ -775,3 +775,22 @@ def test_dedup_repeated_lines_validates_args(spark, line_corpus):
         dedup_repeated_lines(line_corpus, "doc_id", "text", keep="last")
     with pytest.raises(ValueError):
         dedup_repeated_lines(line_corpus, "doc_id", "text", min_count=1)
+
+
+def test_dedup_repeated_lines_preserves_blank_lines(spark):
+    """Blank lines are paragraph STRUCTURE, not content: they repeat in
+    any multi-paragraph corpus and must never be counted or removed."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import dedup_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "para one\n\npara two"), (2, "intro\n\noutro")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup_repeated_lines(df, "doc_id", "text").collect()
+    }
+    assert out == {
+        1: ("para one\n\npara two", 0),
+        2: ("intro\n\noutro", 0),
+    }

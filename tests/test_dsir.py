@@ -175,3 +175,64 @@ def test_gumbel_topk_plans_take_ordered(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dsir_separate_target_normalization(spark):
+    """The normal DSIR deployment: the target is a SEPARATE corpus with
+    grams the raw corpus never saw. n_t must be the whole target mass
+    (dropping unseen-bucket target counts would shift every weight by
+    gram_count × a constant and re-order different-length documents)."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, "delta epsilon zeta eta")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "totally novel grams here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            corpus, target, "doc_id", "text",
+            num_buckets=NUM_BUCKETS, hash_family="portable",
+        ).collect()
+    }
+    rows = corpus.collect()
+    per_doc = {r["doc_id"]: _py_counts(r["text"]) for r in rows}
+    raw: Counter = Counter()
+    for c in per_doc.values():
+        raw.update(c)
+    tgt: Counter = Counter()
+    for r in target.collect():
+        tgt.update(_py_counts(r["text"]))
+    n_r, n_t = sum(raw.values()), sum(tgt.values())  # FULL target mass
+    for d, cnts in per_doc.items():
+        want = sum(
+            c
+            * (
+                math.log((tgt.get(b, 0) + 1.0) / (n_t + NUM_BUCKETS))
+                - math.log((raw[b] + 1.0) / (n_r + NUM_BUCKETS))
+            )
+            for b, c in cnts.items()
+        )
+        assert got[d] == pytest.approx(want, abs=1e-9), d
+
+
+def test_dsir_covers_empty_documents(spark):
+    """A document with no tokens has an empty feature bag — importance
+    weight 1, log_weight 0.0 — and must still appear in the output (and
+    therefore remain samplable)."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(9, "alpha")], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            corpus, target, "doc_id", "text",
+            num_buckets=NUM_BUCKETS, hash_family="portable",
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[2] == 0.0 and got[3] == 0.0
