@@ -53,6 +53,12 @@ class CurationConfig:
     #: "xxhash64" in production; "portable" puts the minhash and
     #: decontamination stages under the DuckDB value-hash gate.
     hash_family: str = "xxhash64"
+    #: opt-in DSIR selection stage (None = off, the classic 5-stage
+    #: chain): keep this many documents, drawn ∝ importance weight
+    #: against the target defined by ``curate(dsir_target_predicate=)``.
+    dsir_keep: int | None = None
+    dsir_num_buckets: int = 512
+    dsir_salt: str = "dsir-select-v1"
 
 
 def quality_gate(docs: DataFrame, text_col: str, cfg: CurationConfig) -> DataFrame:
@@ -84,9 +90,19 @@ def curate(
     text_col: str = "text",
     cfg: CurationConfig = CurationConfig(),
     checkpoint_dir: str | None = None,
+    dsir_target_predicate=None,
 ) -> DataFrame:
     """The full curation chain; returns ``(id, split)`` for every
-    surviving document ('train' / 'test', disjoint by the hash gate)."""
+    surviving document ('train' / 'test', disjoint by the hash gate).
+
+    With ``cfg.dsir_keep`` set, a DSIR selection stage runs between
+    decontamination and the split: survivors are scored against the
+    target slice ``clean.filter(dsir_target_predicate)`` (hashed-bigram
+    importance weights, operators/dsir.py) and ``dsir_keep`` of them
+    are drawn via the deterministic log-domain Gumbel top-k — the
+    "keep the most target-like N documents" step a token-budgeted
+    training run performs after cleaning. Gated end-to-end by the
+    ``curated_corpus_dsir`` contract query."""
     q = quality_gate(docs, text_col, cfg)
     e = exact_dedup_keepers(q, id_col, text_col)
     pairs = minhash_near_duplicates(
@@ -105,6 +121,33 @@ def curate(
         hash_family=cfg.hash_family
         if cfg.hash_family in ("xxhash64", "portable") else "xxhash64",
     )
+    if cfg.dsir_keep is not None:
+        if dsir_target_predicate is None:
+            raise ValueError(
+                "cfg.dsir_keep is set but no dsir_target_predicate given"
+            )
+        from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+            tracked_local_checkpoint,
+        )
+        from hpc_hd_textreuse_etl_spark.operators.dsir import dsir_log_weights
+        from hpc_hd_textreuse_etl_spark.operators.sampling import (
+            gumbel_topk_sample,
+        )
+
+        # the DSIR stage consumes the survivors four ways (feature
+        # counts, target slice, coverage join, final semi-join); pin
+        # the expensive upstream chain once instead of re-running the
+        # minhash resolution per consumer (tracked — released at the
+        # registry hygiene point)
+        clean = tracked_local_checkpoint(clean)
+        w = dsir_log_weights(
+            clean, clean.filter(dsir_target_predicate), id_col, text_col,
+            num_buckets=cfg.dsir_num_buckets, hash_family=cfg.hash_family,
+        )
+        kept = gumbel_topk_sample(
+            w, [id_col], "log_weight", cfg.dsir_keep, salt=cfg.dsir_salt
+        ).select(id_col)
+        clean = clean.join(kept, id_col, "left_semi")
     return train_test_split(
         clean, [id_col], cfg.test_fraction, salt=cfg.split_salt
     ).select(id_col, "split")

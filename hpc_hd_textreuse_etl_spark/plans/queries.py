@@ -2764,18 +2764,42 @@ def _install_sampling_oracles() -> None:
 _install_sampling_oracles()
 
 
-def _curated_corpus_oracle() -> str:
+def _curated_corpus_oracle(
+    dsir_keep: int | None = None,
+    dsir_num_buckets: int = 512,
+    dsir_salt: str = "dsir-select-v1",
+) -> str:
     """DuckDB oracle recomputing the ENTIRE curation chain
     (plans/curation.py): quality gate → exact dedup (min-id per sha256)
     → portable-minhash pairs → recursive-CTE component closure →
     canonical keeper → trigram decontamination vs the benchmark →
-    hash-gate split."""
+    hash-gate split. With ``dsir_keep``, the opt-in DSIR selection
+    stage (weights over the clean survivors, Gumbel top-k) is appended
+    between decontamination and the split — mirroring
+    ``curate(cfg.dsir_keep, dsir_target_predicate=lang=='en')``."""
     from hpc_hd_textreuse_etl_spark.operators.sampling import threshold
 
     stop = "('the','a','of','and','in','to','is')"
     pairs_sql = _minhash_oracle(
         num_hashes=32, shingle=5, num_bands=8, threshold=0.7, table="e"
     )
+    if dsir_keep is None:
+        split_src = "clean"
+        dsir_ctes = ""
+    else:
+        split_src = "kept"
+        gumbel_h = _DUCK_H.format(
+            x=f"'{dsir_salt}|' || CAST(doc_id AS VARCHAR)"
+        )
+        dsir_ctes = f""", {_dsir_weights_sql(dsir_num_buckets, table="clean")},
+    pri AS (
+      SELECT doc_id,
+             log_weight - ln(-ln(({gumbel_h} + 0.5)
+                                 / 1152921504606846976.0)) AS p
+      FROM wts
+    ), kept AS (
+      SELECT doc_id FROM pri ORDER BY p DESC, doc_id LIMIT {dsir_keep}
+    )"""
     return f"""
     WITH RECURSIVE corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
@@ -2816,16 +2840,19 @@ def _curated_corpus_oracle() -> str:
           SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS g FROM nd
         )
       ) cg JOIN bg ON cg.g = bg.g
-    ), clean AS (
-      SELECT doc_id FROM nd
+    ), clean AS MATERIALIZED (
+      -- MATERIALIZED: the DSIR tail references clean from four CTEs;
+      -- inlined, DuckDB re-evaluates the whole minhash/closure chain
+      -- per reference (measured 518 s vs ~1 s at sf0.001)
+      SELECT doc_id, text FROM nd
       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-    )
+    ){dsir_ctes}
     SELECT doc_id,
            CASE WHEN ('0x' || substr(md5('split-v1|' ||
                       CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                      < {threshold(0.2)}
                 THEN 'test' ELSE 'train' END AS split
-    FROM clean
+    FROM {split_src}
     """
 
 
@@ -5014,17 +5041,18 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "sample_priority")
 
 
-def _dsir_weights_sql(num_buckets: int) -> str:
+def _dsir_weights_sql(num_buckets: int, table: str = "documents") -> str:
     """CTE chain computing DSIR log importance weights in DuckDB,
     ending in ``wts(doc_id, log_weight)`` — mirrors
     operators/dsir.py dsir_log_weights(hash_family='portable') with
-    target = documents WHERE lang='en' and raw = all documents. The
+    raw = all rows of ``table`` (any CTE/table with doc_id + text) and
+    target = its ``lang='en'`` slice (lang looked up in documents). The
     per-document sum is order-fixed (``list(term ORDER BY bucket)``)
     exactly like the Spark sorted-struct fold."""
     b = num_buckets
     bucket = _DUCK_H.format(x="g") + f" % {b}"
     return f"""tok AS (
-      SELECT doc_id, {_TOK} AS w FROM documents
+      SELECT doc_id, {_TOK} AS w FROM {table}
     ), grams AS (
       SELECT doc_id, unnest(w) AS g FROM tok
       UNION ALL
@@ -5057,7 +5085,7 @@ def _dsir_weights_sql(num_buckets: int) -> str:
       GROUP BY dc.doc_id
     ), wts AS (
       SELECT d.doc_id, COALESCE(w.log_weight, 0.0) AS log_weight
-      FROM documents d LEFT JOIN wts0 w USING (doc_id)
+      FROM {table} d LEFT JOIN wts0 w USING (doc_id)
     )"""
 
 
@@ -5126,6 +5154,33 @@ def dsir_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gumbel_topk_sample(
         w, ["doc_id"], "log_weight", k=50, salt="gumbel-dsir-v1"
     ).select("doc_id")
+
+
+@query(
+    "curated_corpus_dsir",
+    oracle=_curated_corpus_oracle(dsir_keep=60),
+    tags=("curation-pipeline", "dsir", "importance-sampling",
+          "beyond-parity"),
+)
+def curated_corpus_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the opt-in DSIR selection stage: after
+    quality gate → exact dedup → near-dup resolution → decontamination,
+    the 60 most English-like survivors are drawn ∝ importance weight
+    (hashed-bigram models over the survivors, deterministic Gumbel
+    top-k) before the train/test split — six operator families composed
+    and the DuckDB oracle recomputes every stage, so a drift anywhere
+    in the chain (including the new selection stage's weights, noise,
+    and keep boundary) fails the value-hash."""
+    from hpc_hd_textreuse_etl_spark.plans.curation import CurationConfig, curate
+
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return curate(
+        corpus, bench,
+        cfg=CurationConfig(hash_family="portable", dsir_keep=60),
+        dsir_target_predicate=F.col("lang") == "en",
+    )
 
 
 @query(
