@@ -194,6 +194,72 @@ def temperature_rates(
     return {k: (weights[k] / z) * total / counts[k] for k in counts}
 
 
+def budget_mixture_rates(
+    token_counts: dict[str, int],
+    target_weights: dict[str, float],
+    token_budget: int,
+    max_epochs: float | None = None,
+) -> dict[str, float]:
+    """Token-budget mixture planning: per-source rates (epochs) for
+    :func:`mixture_sample` such that the sampled corpus totals
+    ``token_budget`` tokens split across sources in ``target_weights``
+    proportions — the step that turns "train 1T tokens at 30% web /
+    50% code / 20% books" into concrete sampling rates.
+
+    ``rate_i = budget·w_i / n_i`` (can exceed 1 — that is upsampling,
+    i.e. multiple epochs of a small source). ``max_epochs`` caps
+    repetition (the over-epoching degradation guard): capped sources
+    contribute ``max_epochs·n_i`` tokens and their unmet share is
+    redistributed across the uncapped sources ∝ their weights
+    (water-filling — iterates because redistribution can push further
+    sources over the cap). If EVERY source caps, the budget is
+    infeasible and the function raises rather than silently
+    undershooting. Driver-side pure function, same contract class as
+    :func:`temperature_rates`; deterministic, engine-independent."""
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if set(token_counts) != set(target_weights):
+        raise ValueError("token_counts and target_weights keys must match")
+    if any(n <= 0 for n in token_counts.values()):
+        raise ValueError("token counts must be positive")
+    if any(w < 0 for w in target_weights.values()):
+        raise ValueError("target weights must be >= 0")
+    z = sum(target_weights.values())
+    if z <= 0:
+        raise ValueError("target weights must not all be zero")
+    w = {k: v / z for k, v in target_weights.items()}
+    if max_epochs is None:
+        return {k: token_budget * w[k] / token_counts[k] for k in w}
+
+    rates: dict[str, float] = {}
+    capped: set[str] = set()
+    remaining = float(token_budget)
+    while True:
+        free = [k for k in w if k not in capped and w[k] > 0]
+        if not free:
+            raise ValueError(
+                f"token_budget {token_budget} is infeasible: every weighted "
+                f"source hits max_epochs={max_epochs} "
+                f"(capacity {sum(max_epochs * token_counts[k] for k in w if w[k] > 0):.0f} tokens)"
+            )
+        zf = sum(w[k] for k in free)
+        overflow = [
+            k for k in free
+            if remaining * w[k] / zf > max_epochs * token_counts[k]
+        ]
+        if not overflow:
+            for k in free:
+                rates[k] = remaining * w[k] / zf / token_counts[k]
+            break
+        for k in overflow:
+            rates[k] = max_epochs
+            remaining -= max_epochs * token_counts[k]
+            capped.add(k)
+    for k in w:
+        rates.setdefault(k, 0.0)  # zero-weight sources
+    return rates
+
+
 def leakage_safe_split(
     df: DataFrame,
     id_col: str,

@@ -446,3 +446,50 @@ def test_kfold_k_validation(spark):
     df = spark.createDataFrame([(1,)], "k bigint")
     with pytest.raises(ValueError):
         kfold_assignment(df, ["k"], 1)
+
+
+def test_budget_mixture_rates_exact_shares():
+    from hpc_hd_textreuse_etl_spark.operators.sampling import budget_mixture_rates
+
+    counts = {"web": 1_000_000, "code": 100_000, "books": 50_000}
+    weights = {"web": 0.3, "code": 0.5, "books": 0.2}
+    rates = budget_mixture_rates(counts, weights, 500_000)
+    # sampled tokens hit the budget at exactly the target shares
+    sampled = {k: rates[k] * counts[k] for k in counts}
+    assert sum(sampled.values()) == pytest.approx(500_000)
+    for k in counts:
+        assert sampled[k] / 500_000 == pytest.approx(weights[k])
+    assert rates["code"] > 1  # small high-weight source upsamples (epochs)
+
+
+def test_budget_mixture_rates_cap_waterfills():
+    from hpc_hd_textreuse_etl_spark.operators.sampling import budget_mixture_rates
+
+    counts = {"web": 1_000_000, "code": 100_000, "books": 50_000}
+    weights = {"web": 0.3, "code": 0.5, "books": 0.2}
+    rates = budget_mixture_rates(counts, weights, 500_000, max_epochs=2.0)
+    # code would be 2.5 uncapped; the redistribution then pushes books
+    # over the cap too (300k x 0.4 / 50k = 2.4 epochs) — the iteration
+    # must catch BOTH, leaving web to absorb the rest
+    assert rates["code"] == 2.0 and rates["books"] == 2.0
+    sampled = {k: rates[k] * counts[k] for k in counts}
+    assert sum(sampled.values()) == pytest.approx(500_000)  # budget still met
+    assert sampled["web"] == pytest.approx(200_000)
+    assert rates["web"] == pytest.approx(0.2)
+
+
+def test_budget_mixture_rates_infeasible_and_validation():
+    from hpc_hd_textreuse_etl_spark.operators.sampling import budget_mixture_rates
+
+    counts = {"a": 100, "b": 100}
+    with pytest.raises(ValueError, match="infeasible"):
+        budget_mixture_rates(counts, {"a": 1.0, "b": 1.0}, 10_000, max_epochs=2.0)
+    with pytest.raises(ValueError):
+        budget_mixture_rates(counts, {"a": 1.0}, 100)  # key mismatch
+    with pytest.raises(ValueError):
+        budget_mixture_rates(counts, {"a": 0.0, "b": 0.0}, 100)
+    # zero-weight source gets rate 0 under a cap (and is excluded from capacity)
+    rates = budget_mixture_rates(
+        {"a": 100, "b": 1000}, {"a": 1.0, "b": 0.0}, 150, max_epochs=2.0
+    )
+    assert rates["b"] == 0.0 and rates["a"] == pytest.approx(1.5)
