@@ -712,7 +712,7 @@ def semantic_dedup(
     in the DuckDB oracle (plans/queries.py ``semantic_dedup_verdicts``);
     ``assign_strategy="matmul"`` routes the Lloyd/assignment passes
     through the Arrow/BLAS path (operators/similarity.py) — the
-    production choice for wide embeddings, measured ~2× on the whole
+    production choice for wide embeddings, measured ~5× on the whole
     operator at the sf1 probe rung (CURATION_SCALE.json).
     """
     from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
