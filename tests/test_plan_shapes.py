@@ -207,3 +207,44 @@ def test_duplicated_spans_hashes_grams_before_exchange(spark):
     assert len(re.findall(r"\bExchange hashpartitioning", plan)) == 2
     assert not re.findall(r"\w*Join\w*", plan)
     assert "countDistinct" not in plan
+
+
+def test_dsir_model_broadcasts_and_resample_heaps(spark):
+    """The DSIR log-ratio model is bounded by num_buckets and must
+    reach the per-document scoring join as a broadcast (never a
+    corpus-wide shuffle on bucket); the Gumbel resample must plan as
+    TakeOrderedAndProject (per-task heaps, no global sort)."""
+    plan = executed_plan(spark, "dsir_resampled_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_dedup_pairs_stay_equi_join(spark):
+    """The within-cell pair join is the scale contract of SemDeDup:
+    an equi-join on cell_id, never a cartesian product; the nearest-
+    centroid argmax is a hash aggregation (partial map-side combine),
+    not a window sort over the crossed candidate rows."""
+    plan = executed_plan(spark, "semantic_dedup_verdicts")
+    assert "CartesianProduct" not in plan
+    # no window orders by the centroid similarity — the argmax is the
+    # struct-max HashAggregate; the only Window left is the keeper rank
+    # inside duplicate-group resolution
+    assert not re.search(r"Window .*\bsim\b", plan)
+    assert "HashAggregate" in plan
+
+
+def test_repeated_line_dedup_counts_on_hash_keys(spark):
+    """The gate query runs the exact-string mode; the PRODUCTION mode
+    must group on the 8-byte xxhash64 key so the counting exchange
+    never carries line bodies."""
+    from pyspark.sql import functions as F
+
+    from hpc_hd_textreuse_etl_spark.operators.dedup import dedup_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
+    )
+    out = dedup_repeated_lines(df, "doc_id", "text", hashed=True)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan
