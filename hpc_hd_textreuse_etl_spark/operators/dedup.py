@@ -673,13 +673,15 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     lloyd_iters: int = 2,
     seed: int = 42,
     hash_family: str = "xxhash64",
     keep: str = "low_centroid_sim",
     checkpoint_dir: str | None = None,
     assign_strategy: str = "fold",
+    target_cell_size: int = 4096,
+    use_checkpoints: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     cells as dedup blocks, within-cell cosine >= ``threshold`` pairs,
@@ -702,9 +704,16 @@ def semantic_dedup(
     At 100 TB: the within-cell pair join is an equi-join on ``cell_id``
     (never a cartesian product — same contract as
     :func:`embedding_near_duplicates`), so the pair cost is
-    ``Σ |cell|²`` and ``n_cells`` is the knob that bounds it
-    (``n_cells ≈ corpus / target_cell_size``, the paper's regime);
-    centroids broadcast (``n_cells`` rows); the group resolution runs
+    ``Σ |cell|²`` and ``n_cells`` is the knob that bounds it. When
+    ``n_cells`` is None (the default), it is DERIVED from a corpus
+    count as ``ceil(N / target_cell_size)`` clamped to ``[2, N]`` —
+    the paper's ``n_cells ≈ corpus / target_cell_size`` regime as
+    code, so trusting the default never yields ``(N/const)²`` pair
+    work at scale (the same honesty contract as ``dense_ids``'
+    ``use_window=None`` auto, functions/ids.py). An explicit
+    ``n_cells`` is used untouched; the one count job this costs is
+    noted here because the operator is otherwise lazy-until-checkpoint.
+    Centroids broadcast (``n_cells`` rows); the group resolution runs
     over the pair graph, which is orders of magnitude smaller than the
     corpus — pass ``checkpoint_dir`` at scale for the star-contraction
     rounds. ``hash_family="portable"`` makes the whole pipeline (init
@@ -713,7 +722,12 @@ def semantic_dedup(
     ``assign_strategy="matmul"`` routes the Lloyd/assignment passes
     through the Arrow/BLAS path (operators/similarity.py) — the
     production choice for wide embeddings, measured ~5× on the whole
-    operator at the sf1 probe rung (CURATION_SCALE.json).
+    operator at the sf1 probe rung (CURATION_SCALE.json); mutually
+    exclusive with ``hash_family="portable"`` (BLAS ulp can flip
+    near-tied assignments — ``ivf_index`` raises on the combination).
+    ``use_checkpoints=False`` keeps the whole pipeline lazy (no eager
+    pins — see ``ivf_index``); with the default ``True``, looping
+    callers must hit a ``release_local_checkpoints()`` hygiene point.
     """
     from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
         tracked_local_checkpoint,
@@ -722,16 +736,23 @@ def semantic_dedup(
 
     if keep not in ("low_centroid_sim", "min_id"):
         raise ValueError(f"unknown keep policy {keep!r}")
+    if n_cells is None:
+        if target_cell_size < 1:
+            raise ValueError(f"target_cell_size must be >= 1, got {target_cell_size}")
+        n = corpus.count()
+        n_cells = max(2, min(n, -(-n // target_cell_size))) if n else 2
     centroids, assignments = ivf_index(
         corpus, id_col, vec_col, n_cells, lloyd_iters, seed,
         hash_family=hash_family, assign_strategy=assign_strategy,
+        use_checkpoints=use_checkpoints,
     )
     # assignments feed the pair join (both sides), the centroid-sim
     # scoring, and the resolution — four consumers; unmaterialized, each
     # would re-run the final Lloyd assignment pass over the corpus. The
     # pin is (id, cell_id) — 12 bytes/row — and is tracked for the
     # registry's release hygiene (functions/checkpoints.py).
-    assignments = tracked_local_checkpoint(assignments)
+    if use_checkpoints:
+        assignments = tracked_local_checkpoint(assignments)
     blocked = corpus.select(id_col, vec_col).join(assignments, id_col)
     pairs = embedding_near_duplicates(
         blocked, id_col, vec_col, threshold, block_cols=("cell_id",)
@@ -780,8 +801,14 @@ def dedup_repeated_lines(
     single globally-first occurrence (smallest ``(id, position)``) and
     drops the rest — the CCNet policy.
 
-    ``delim`` is a Java regex for splitting and a literal for
-    re-joining (the default ``"\\n"`` is both). EMPTY lines are
+    ``delim`` is a LITERAL separator on both sides: it is regex-escaped
+    before the split (Java-regex quoting via ``re.escape`` — backslash
+    before a non-alphanumeric is literal in ``java.util.regex`` too) so
+    a caller passing ``"|"`` or ``". "`` gets per-delimiter splitting,
+    not per-character regex fallout. A NULL ``text_col`` is treated as
+    the empty document — the output row still appears, with
+    ``(out_col='', n_removed=0)``, keeping the every-input-row contract
+    total over null inputs. EMPTY lines are
     structure, not content: they are preserved verbatim and never
     counted, so paragraph breaks survive (CCNet hashes only non-empty
     paragraphs for the same reason).
@@ -801,7 +828,10 @@ def dedup_repeated_lines(
         raise ValueError(f"unknown keep policy {keep!r}")
     if min_count < 2:
         raise ValueError("min_count < 2 would remove every line")
-    parts = F.split(F.col(text_col), delim)
+    import re as _re
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    parts = F.split(text, _re.escape(delim))
     base = df.select(F.col(id_col), F.posexplode(parts).alias("pos", "line"))
     key = F.xxhash64("line") if hashed else F.col("line")
     lines = base.withColumn("__k", key)

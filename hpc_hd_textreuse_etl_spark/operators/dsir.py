@@ -102,6 +102,7 @@ def dsir_log_weights(
     alpha: float = 1.0,
     hash_family: str = "xxhash64",
     seed: int = 7,
+    use_checkpoints: bool = True,
 ) -> DataFrame:
     """Per-document DSIR log importance weight over the raw corpus:
     ``(id, log_weight)`` with
@@ -130,14 +131,21 @@ def dsir_log_weights(
     scoring join; it is pinned once via a tracked ``localCheckpoint``
     (functions/checkpoints.py — released at the registry hygiene
     point), so the corpus-wide gram explode runs exactly once per
-    call, keeping the module docstring's two-shuffle claim true."""
+    call, keeping the module docstring's two-shuffle claim true.
+    ``use_checkpoints=False`` is the lazy escape hatch (no eager pin,
+    no job at plan-construction time; the explode re-runs per
+    consumer) for looping callers without a
+    ``release_local_checkpoints()`` hygiene point — same contract as
+    ``ivf_index`` / ``semantic_dedup``."""
     from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
         tracked_local_checkpoint,
     )
 
-    doc_counts = tracked_local_checkpoint(
-        hashed_ngram_counts(corpus, id_col, text_col, num_buckets, hash_family, seed)
+    doc_counts = hashed_ngram_counts(
+        corpus, id_col, text_col, num_buckets, hash_family, seed
     )
+    if use_checkpoints:
+        doc_counts = tracked_local_checkpoint(doc_counts)
     raw = doc_counts.groupBy("bucket").agg(F.sum("cnt").alias("cnt_r"))
     tgt = (
         hashed_ngram_counts(target, id_col, text_col, num_buckets, hash_family, seed)

@@ -263,6 +263,7 @@ def ivf_index(
     dim: int = 64,
     hash_family: str = "xxhash64",
     assign_strategy: str = "fold",
+    use_checkpoints: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: ``(centroids, assignments)``.
 
@@ -270,7 +271,21 @@ def ivf_index(
     (Lloyd rounds and the final assignment) through the Arrow/BLAS
     path (:func:`_assign_cells`) — the production choice for wide
     embeddings; keep the default ``"fold"`` for the portable
-    oracle-gated family.
+    oracle-gated family. The two are mutually exclusive with
+    ``hash_family="portable"``: BLAS summation order differs from the
+    sequential fold by ~1 ulp, which can flip near-tied cell
+    assignments and silently void the portable family's cross-engine
+    bit-reproducibility contract — that combination raises.
+
+    ``use_checkpoints=False`` keeps the whole index LAZY: no eager
+    tracked ``localCheckpoint`` per Lloyd round, so plan construction
+    runs no jobs and no executor blocks are pinned — the escape hatch
+    for callers that build many indexes in a loop without reaching a
+    ``release_local_checkpoints()`` hygiene point, at the cost of
+    re-executing the Lloyd prefix once per downstream consumer. With
+    the default ``True``, looping callers MUST call
+    ``functions.checkpoints.release_local_checkpoints()`` between
+    iterations or the final round's pin accumulates per call.
 
     Centroids initialize from a deterministic hash-sample of the corpus
     (k seeded picks), then ``lloyd_iters`` rounds of assign + mean — all
@@ -288,6 +303,13 @@ def ivf_index(
     """
     from hpc_hd_textreuse_etl_spark.functions.hashing import portable_hash64
 
+    if hash_family == "portable" and assign_strategy == "matmul":
+        raise ValueError(
+            "hash_family='portable' requires assign_strategy='fold': the "
+            "BLAS matmul path sums in a different order (~1 ulp), which can "
+            "flip near-tied cell assignments and break the portable "
+            "family's cross-engine bit-reproducibility contract"
+        )
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -359,11 +381,11 @@ def ivf_index(
     centroids = init
     prev = None
     for _ in range(lloyd_iters):
-        nxt = tracked_local_checkpoint(
-            mean_centroids(_assign_cells(vecs, centroids, assign_strategy))
-        )
-        if prev is not None:
-            release_checkpoint(prev)
+        nxt = mean_centroids(_assign_cells(vecs, centroids, assign_strategy))
+        if use_checkpoints:
+            nxt = tracked_local_checkpoint(nxt)
+            if prev is not None:
+                release_checkpoint(prev)
         centroids, prev = nxt, nxt
     assignments = _assign_cells(vecs, centroids, assign_strategy).select(
         F.col("vid").alias(id_col), "cell_id"

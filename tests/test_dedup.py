@@ -794,3 +794,95 @@ def test_dedup_repeated_lines_preserves_blank_lines(spark):
         1: ("para one\n\npara two", 0),
         2: ("intro\n\noutro", 0),
     }
+
+
+def test_dedup_repeated_lines_regex_meaningful_delimiter(spark):
+    """delim is a LITERAL: '|' must split on pipes, not per-character
+    (a raw Java-regex '|' matches the empty string everywhere)."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import dedup_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "keep|SPAM|tail"), (2, "SPAM|other")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup_repeated_lines(df, "doc_id", "text", delim="|").collect()
+    }
+    assert out == {1: ("keep|tail", 1), 2: ("other", 1)}
+
+
+def test_dedup_repeated_lines_null_text_row(spark):
+    """NULL text is the empty document: the output row still appears
+    with ('', 0) — never a null n_removed (every-input-row contract)."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import dedup_repeated_lines
+
+    df = spark.createDataFrame(
+        [(1, "BOILER\nreal"), (2, "BOILER\nmore"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup_repeated_lines(df, "doc_id", "text").collect()
+    }
+    assert out == {1: ("real", 1), 2: ("more", 1), 3: ("", 0)}
+
+
+def test_semantic_dedup_auto_n_cells(spark):
+    """n_cells=None derives ceil(N / target_cell_size) clamped to [2, N]
+    — the docstring regime as code, so the default never plans (N/16)²
+    pair work. Verified structurally: the number of distinct cells in
+    the output is bounded by the derived count, and a tiny
+    target_cell_size yields more cells than the old fixed-16 default."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    rows = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.32,
+        target_cell_size=2, lloyd_iters=1,
+    ).collect()
+    derived = max(2, min(n, -(-n // 2)))
+    assert derived > 16
+    cells = {r["cell_id"] for r in rows}
+    assert len(cells) > 16  # beats the old fixed default
+    assert max(cells) <= derived
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, target_cell_size=0)
+
+
+def test_ivf_portable_matmul_combination_raises(spark):
+    """BLAS ulp can flip near-tied assignments — the portable family's
+    bit-reproducibility contract forbids the combination loudly."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import semantic_dedup
+    from hpc_hd_textreuse_etl_spark.operators.similarity import ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="portable"):
+        ivf_index(emb, hash_family="portable", assign_strategy="matmul")
+    with pytest.raises(ValueError, match="portable"):
+        semantic_dedup(
+            emb, n_cells=8, hash_family="portable", assign_strategy="matmul"
+        )
+
+
+def test_semantic_dedup_lazy_escape_hatch(spark):
+    """use_checkpoints=False must neither pin executor blocks nor run
+    jobs at plan-construction time, and the verdicts are unchanged."""
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        live_checkpoint_count,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    before = live_checkpoint_count()
+    lazy = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.32, n_cells=8,
+        hash_family="portable", use_checkpoints=False,
+    )
+    assert live_checkpoint_count() == before  # no pins created
+    eager = semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.32, n_cells=8,
+        hash_family="portable",
+    )
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, eager.collect()))

@@ -141,6 +141,28 @@ def test_dsir_xxhash_family_runs(tables):
     assert out.count() == docs.count()
 
 
+def test_dsir_lazy_escape_hatch(tables):
+    """use_checkpoints=False: no pins at plan-construction time, same
+    weights (the pin is a pure materialization, never a value change)."""
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        live_checkpoint_count,
+    )
+
+    docs = tables.table("documents")
+    before = live_checkpoint_count()
+    lazy = dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text",
+        num_buckets=NUM_BUCKETS, hash_family="portable",
+        use_checkpoints=False,
+    )
+    assert live_checkpoint_count() == before
+    eager = dsir_log_weights(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text",
+        num_buckets=NUM_BUCKETS, hash_family="portable",
+    )
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, eager.collect()))
+
+
 def test_gumbel_topk_deterministic_and_log_safe(spark):
     """Partition-independence, and log-domain safety: log weights far
     outside exp() range (±800) must not produce inf/nan priorities."""
