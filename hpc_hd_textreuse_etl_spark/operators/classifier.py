@@ -1,0 +1,215 @@
+"""Discriminative quality-classifier training + corpus scoring.
+
+The standard CCNet/GPT-3-style pre-training quality filter (Wenzek et
+al. 2020 §4.4; Brown et al. 2020 App. A): train a cheap linear
+classifier on "curated reference vs raw crawl" labels, score every
+corpus document, keep the high-scoring slice. This module implements
+the closed-form member of that family — **hashed-feature multinomial
+Naive Bayes** — because its training is two integer aggregations (no
+iterative optimizer), which makes the whole trainer exactly
+reproducible in the DuckDB oracle and trivially mergeable across
+partitions. The log-odds it produces are a linear model over the same
+hashed bag-of-n-grams features DSIR uses (operators/dsir.py), so NB
+here is literally "fastText with closed-form weights" for this feature
+space. DSIR covers the importance-WEIGHTING half of data selection;
+this is the discriminative half the reference engine also lacks
+(beyond-parity).
+
+Pipeline shape (everything Catalyst, zero Python UDFs):
+
+1. Features: :func:`hashed_ngram_counts` (dsir.py) — word unigrams +
+   bigrams hashed into ``num_buckets`` buckets; gram strings die inside
+   the stage, only 8-byte bucket ids shuffle.
+2. :func:`nb_quality_model` — per-class bucket counts → add-``alpha``
+   smoothed multinomial weights
+   ``log_ratio(b) = ln p(b|pos) − ln p(b|neg)``. The model is exactly
+   ``num_buckets`` rows (a config, not the data) → always broadcastable.
+3. :func:`nb_quality_scores` — one broadcast join + one per-document
+   sorted fold:
+   ``log_odds(d) = ln(n_pos/n_neg) + Σ_b c_b(d) · log_ratio(b)``.
+   Every corpus document gets a score; an empty feature bag scores the
+   prior alone.
+
+At 100 TB: training shuffles ``(bucket, class) → count`` pairs (at most
+``2·num_buckets`` aggregated rows), scoring shuffles ``(id, bucket,
+cnt)`` triples once — the same two-shuffle budget as DSIR. The scored
+column feeds the existing evaluation operators
+(operators/evaluation.py ``threshold_sweep`` / ``roc_auc``) and the
+opt-in ``classifier_keep`` curation stage (plans/curation.py).
+
+Determinism: with ``hash_family="portable"`` buckets use the md5-based
+cross-engine hash and the per-document sum folds in bucket order, so
+scores reproduce across partitionings/retries exactly and across
+engines to libm-``ln`` ulp — the DSIR/BM25 residual class, so the
+DuckDB gates pin the integer count table bit-exactly and the score
+RANKING (plans/queries.py ``quality_classifier_weights`` /
+``quality_classifier_ranking``), while score VALUES are epsilon-tested
+against a pure-Python recomputation in tests/test_classifier.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.operators.dsir import hashed_ngram_counts
+
+
+def nb_quality_model(
+    labeled: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+    hash_family: str = "xxhash64",
+    seed: int = 7,
+) -> DataFrame:
+    """Train the NB quality model: one row per bucket in
+    ``[0, num_buckets)`` with
+    ``(bucket, cnt_pos, cnt_neg, log_ratio)`` where the counts are the
+    class-wise hashed-gram totals (integers — bit-exact across engines)
+    and ``log_ratio = ln((cnt_pos + α)/(n_pos + α·B)) −
+    ln((cnt_neg + α)/(n_neg + α·B))`` is the smoothed multinomial
+    weight. ``label_col`` must be boolean-like (true = curated/positive
+    class). Buckets no training gram touched still get a row — their
+    smoothed weight ``ln((α·(n_neg + α·B))/((n_pos + α·B)·α))`` is NOT
+    zero, and dropping them would shift every scored document by its
+    unseen-gram count × that constant.
+
+    Scale shape: two count aggregations keyed on ``(bucket)`` after a
+    class split; the densifying join is against ``spark.range(B)`` —
+    the model size is the ``num_buckets`` CONFIG, never the corpus."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    lab = F.col(label_col).cast("boolean")
+    counts = hashed_ngram_counts(
+        labeled.withColumn("__lab", lab),
+        "__lab", text_col, num_buckets, hash_family, seed,
+    )
+    per_class = counts.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__lab"), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint").alias("cnt_pos"),
+        F.sum(F.when(~F.col("__lab"), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint").alias("cnt_neg"),
+    )
+    spark = labeled.sparkSession
+    dense = (
+        spark.range(num_buckets)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(per_class, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("cnt_pos", F.lit(0)).cast("bigint").alias("cnt_pos"),
+            F.coalesce("cnt_neg", F.lit(0)).cast("bigint").alias("cnt_neg"),
+        )
+    )
+    totals = dense.agg(
+        F.sum("cnt_pos").alias("n_pos"), F.sum("cnt_neg").alias("n_neg")
+    )
+    b = float(num_buckets)
+    log_ratio = F.log(
+        (F.col("cnt_pos").cast("double") + F.lit(alpha))
+        / (F.col("n_pos").cast("double") + F.lit(alpha * b))
+    ) - F.log(
+        (F.col("cnt_neg").cast("double") + F.lit(alpha))
+        / (F.col("n_neg").cast("double") + F.lit(alpha * b))
+    )
+    return dense.crossJoin(F.broadcast(totals)).select(  # totals: one row
+        "bucket", "cnt_pos", "cnt_neg", log_ratio.alias("log_ratio")
+    )
+
+
+def nb_quality_scores(
+    corpus: DataFrame,
+    labeled: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+    hash_family: str = "xxhash64",
+    seed: int = 7,
+    model: DataFrame | None = None,
+    use_checkpoints: bool = True,
+) -> DataFrame:
+    """Score every corpus document under the NB quality model:
+    ``(id, log_odds)`` with
+    ``log_odds = ln(n_pos_docs / n_neg_docs) + Σ_b c_b · log_ratio(b)``
+    — positive means "more curated-like than crawl-like". The prior
+    uses DOCUMENT counts (the class balance a deployment thresholds
+    against), the likelihood uses gram counts; both classes must be
+    non-empty (raises otherwise — a one-class "classifier" is a
+    constant and silently scoring with one is a footgun).
+
+    Pass ``model=nb_quality_model(...)`` to reuse a trained model
+    across several corpora; otherwise it is trained here from
+    ``labeled``. The per-document sum folds in bucket order (sorted
+    struct fold — partition-independent, engine-reproducible). The
+    corpus feature table is pinned via a tracked ``localCheckpoint``
+    when it has multiple consumers downstream; ``use_checkpoints=False``
+    keeps the plan fully lazy (ivf_index/dsir contract)."""
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        tracked_local_checkpoint,
+    )
+
+    if model is None:
+        model = nb_quality_model(
+            labeled, id_col, text_col, label_col,
+            num_buckets, alpha, hash_family, seed,
+        )
+    lab = F.col(label_col).cast("boolean")
+    doc_totals = labeled.agg(
+        F.sum(lab.cast("bigint")).alias("n_pos_docs"),
+        F.sum((~lab).cast("bigint")).alias("n_neg_docs"),
+    )
+    prior = doc_totals.select(
+        F.when(
+            (F.col("n_pos_docs") > 0) & (F.col("n_neg_docs") > 0),
+            F.log(F.col("n_pos_docs").cast("double"))
+            - F.log(F.col("n_neg_docs").cast("double")),
+        ).alias("log_prior")
+    )
+    doc_counts = hashed_ngram_counts(
+        corpus, id_col, text_col, num_buckets, hash_family, seed
+    )
+    if use_checkpoints:
+        doc_counts = tracked_local_checkpoint(doc_counts)
+    terms = doc_counts.join(F.broadcast(model), "bucket").select(
+        id_col,
+        "bucket",
+        (F.col("cnt").cast("double") * F.col("log_ratio")).alias("term"),
+    )
+    sums = terms.groupBy(id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("bucket", "term"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("term"),
+        ).alias("ll")
+    )
+    out = (
+        corpus.select(id_col)
+        .join(sums, id_col, "left")
+        .crossJoin(F.broadcast(prior))  # prior: exactly one row
+        .select(
+            id_col,
+            (F.coalesce(F.col("ll"), F.lit(0.0)) + F.col("log_prior")).alias(
+                "log_odds"
+            ),
+        )
+    )
+    # a NULL prior means a one-class training set — fail loudly at
+    # materialization (assert_true evaluates per row, zero cost when ok)
+    return out.select(
+        id_col,
+        F.when(
+            F.assert_true(
+                F.col("log_odds").isNotNull(),
+                F.lit(
+                    "nb_quality_scores: training labels are one-class "
+                    "(n_pos_docs or n_neg_docs is 0)"
+                ),
+            ).isNull(),
+            F.col("log_odds"),
+        ).alias("log_odds"),
+    )

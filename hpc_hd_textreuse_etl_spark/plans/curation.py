@@ -59,6 +59,14 @@ class CurationConfig:
     dsir_keep: int | None = None
     dsir_num_buckets: int = 512
     dsir_salt: str = "dsir-select-v1"
+    #: opt-in discriminative quality-filter stage (None = off): train a
+    #: hashed-feature NB classifier on the labels from
+    #: ``curate(classifier_label_predicate=)`` and keep the
+    #: ``classifier_keep`` highest-scoring survivors (the CCNet/GPT-3
+    #: quality-filter step; operators/classifier.py).
+    classifier_keep: int | None = None
+    classifier_num_buckets: int = 512
+    classifier_alpha: float = 1.0
 
 
 def quality_gate(docs: DataFrame, text_col: str, cfg: CurationConfig) -> DataFrame:
@@ -91,6 +99,7 @@ def curate(
     cfg: CurationConfig = CurationConfig(),
     checkpoint_dir: str | None = None,
     dsir_target_predicate=None,
+    classifier_label_predicate=None,
 ) -> DataFrame:
     """The full curation chain; returns ``(id, split)`` for every
     surviving document ('train' / 'test', disjoint by the hash gate).
@@ -102,7 +111,15 @@ def curate(
     are drawn via the deterministic log-domain Gumbel top-k — the
     "keep the most target-like N documents" step a token-budgeted
     training run performs after cleaning. Gated end-to-end by the
-    ``curated_corpus_dsir`` contract query."""
+    ``curated_corpus_dsir`` contract query.
+
+    With ``cfg.classifier_keep`` set, the discriminative quality-filter
+    stage runs in the same slot (after DSIR when both are on): an NB
+    quality classifier (operators/classifier.py) trains on the
+    survivors labeled by ``classifier_label_predicate`` (true =
+    curated-like) and the ``classifier_keep`` highest log-odds
+    survivors are kept (deterministic — id tiebreak). Gated end-to-end
+    by the ``curated_corpus_classifier`` contract query."""
     q = quality_gate(docs, text_col, cfg)
     e = exact_dedup_keepers(q, id_col, text_col)
     pairs = minhash_near_duplicates(
@@ -148,6 +165,37 @@ def curate(
             w, [id_col], "log_weight", cfg.dsir_keep, salt=cfg.dsir_salt
         ).select(id_col)
         clean = clean.join(kept, id_col, "left_semi")
+    if cfg.classifier_keep is not None:
+        if classifier_label_predicate is None:
+            raise ValueError(
+                "cfg.classifier_keep is set but no "
+                "classifier_label_predicate given"
+            )
+        from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+            tracked_local_checkpoint,
+        )
+        from hpc_hd_textreuse_etl_spark.operators.classifier import (
+            nb_quality_scores,
+        )
+
+        # same multi-consumer shape as the DSIR stage: the survivor
+        # chain feeds training labels, scoring features, and the final
+        # semi-join — pin once (tracked, released at the hygiene point)
+        clean = tracked_local_checkpoint(clean)
+        scored = nb_quality_scores(
+            clean,
+            clean.withColumn("__lab", classifier_label_predicate),
+            id_col, text_col, "__lab",
+            num_buckets=cfg.classifier_num_buckets,
+            alpha=cfg.classifier_alpha,
+            hash_family=cfg.hash_family,
+        )
+        top = (
+            scored.orderBy(F.desc("log_odds"), F.asc(id_col))
+            .limit(cfg.classifier_keep)
+            .select(id_col)
+        )
+        clean = clean.join(top, id_col, "left_semi")
     return train_test_split(
         clean, [id_col], cfg.test_fraction, salt=cfg.split_salt
     ).select(id_col, "split")

@@ -1,0 +1,215 @@
+"""Property tests for operators/classifier.py (hashed-feature Naive
+Bayes quality filter) against an independent pure-Python recomputation,
+plus the invariants the docstrings promise (partition independence,
+total coverage, loud one-class failure, lazy escape hatch). The full
+trainer + scorer additionally sit under the DuckDB value-hash gate via
+the quality_classifier_weights / quality_classifier_ranking contract
+queries (tests/test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from hpc_hd_textreuse_etl_spark.catalog import load_testdata
+from hpc_hd_textreuse_etl_spark.operators.classifier import (
+    nb_quality_model,
+    nb_quality_scores,
+)
+from tests.conftest import SF_SMOKE
+
+NUM_BUCKETS = 512
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    load_testdata(spark, SF_SMOKE)
+    return spark
+
+
+def _portable_h(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_counts(text: str) -> Counter:
+    w = text.split()
+    c: Counter = Counter()
+    for g in w + [f"{a} {b}" for a, b in zip(w, w[1:])]:
+        c[_portable_h(g) % NUM_BUCKETS] += 1
+    return c
+
+
+@pytest.fixture(scope="module")
+def py_reference(tables):
+    """Pure-Python NB trained on lang=='en' over the smoke documents:
+    (per-bucket class counts, per-doc log-odds)."""
+    rows = tables.table("documents").select("doc_id", "text", "lang").collect()
+    per_doc = {r["doc_id"]: _py_counts(r["text"]) for r in rows}
+    pos: Counter = Counter()
+    neg: Counter = Counter()
+    n_pos_docs = n_neg_docs = 0
+    for r in rows:
+        if r["lang"] == "en":
+            pos.update(per_doc[r["doc_id"]])
+            n_pos_docs += 1
+        else:
+            neg.update(per_doc[r["doc_id"]])
+            n_neg_docs += 1
+    n_pos, n_neg = sum(pos.values()), sum(neg.values())
+
+    def log_ratio(b: int) -> float:
+        return math.log((pos.get(b, 0) + 1.0) / (n_pos + NUM_BUCKETS)) - math.log(
+            (neg.get(b, 0) + 1.0) / (n_neg + NUM_BUCKETS)
+        )
+
+    prior = math.log(n_pos_docs) - math.log(n_neg_docs)
+    scores = {
+        d: prior + sum(c * log_ratio(b) for b, c in cnts.items())
+        for d, cnts in per_doc.items()
+    }
+    return pos, neg, log_ratio, scores
+
+
+def _labeled(tables):
+    return tables.table("documents").withColumn(
+        "is_pos", F.col("lang") == "en"
+    )
+
+
+def test_model_counts_match_python_exactly(tables, py_reference):
+    """The integer count core is bit-exact (this is what the DuckDB gate
+    hashes); log_ratio matches to float tolerance."""
+    pos, neg, log_ratio, _ = py_reference
+    got = {
+        r["bucket"]: r
+        for r in nb_quality_model(
+            _labeled(tables), "doc_id", "text", "is_pos",
+            num_buckets=NUM_BUCKETS, hash_family="portable",
+        ).collect()
+    }
+    assert len(got) == NUM_BUCKETS  # dense: every bucket has a row
+    for b in range(NUM_BUCKETS):
+        assert got[b]["cnt_pos"] == pos.get(b, 0)
+        assert got[b]["cnt_neg"] == neg.get(b, 0)
+        assert got[b]["log_ratio"] == pytest.approx(log_ratio(b), abs=1e-12)
+
+
+def test_scores_match_python_reference(tables, py_reference):
+    _, _, _, want = py_reference
+    got = {
+        r["doc_id"]: r["log_odds"]
+        for r in nb_quality_scores(
+            _labeled(tables), _labeled(tables), "doc_id", "text", "is_pos",
+            num_buckets=NUM_BUCKETS, hash_family="portable",
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+def test_scores_partition_independent(tables):
+    """Sorted-struct fold ⇒ identical bits under any partitioning."""
+    lab = _labeled(tables)
+
+    def snap(df):
+        return sorted(
+            tuple(r)
+            for r in nb_quality_scores(
+                df, lab, "doc_id", "text", "is_pos",
+                num_buckets=NUM_BUCKETS, hash_family="portable",
+            ).collect()
+        )
+
+    assert snap(lab) == snap(lab.repartition(37, "lang"))
+
+
+def test_separates_classes(tables):
+    """The trained filter must actually discriminate: AUC of the scores
+    against the training labels is well above chance (en vs non-en
+    documents differ in vocabulary by construction of the testdata)."""
+    from hpc_hd_textreuse_etl_spark.operators.evaluation import roc_auc
+
+    lab = _labeled(tables)
+    scored = nb_quality_scores(
+        lab, lab, "doc_id", "text", "is_pos", num_buckets=NUM_BUCKETS
+    ).join(lab.select("doc_id", "is_pos"), "doc_id")
+    auc = roc_auc(scored, "log_odds", "is_pos").collect()[0]["auc"]
+    assert auc > 0.8
+
+
+def test_empty_doc_scores_prior_only(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta", True), (2, "gamma delta", False), (3, "", True)],
+        "doc_id long, text string, is_pos boolean",
+    )
+    got = {
+        r["doc_id"]: r["log_odds"]
+        for r in nb_quality_scores(
+            df, df, "doc_id", "text", "is_pos", num_buckets=64,
+            hash_family="portable",
+        ).collect()
+    }
+    assert got[3] == pytest.approx(math.log(2.0), abs=1e-12)  # ln(2/1)
+
+
+def test_one_class_labels_raise(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha", True), (2, "beta", True)],
+        "doc_id long, text string, is_pos boolean",
+    )
+    out = nb_quality_scores(df, df, "doc_id", "text", "is_pos", num_buckets=64)
+    with pytest.raises(Exception, match="one-class"):
+        out.collect()
+
+
+def test_model_reuse_equals_inline_training(tables):
+    lab = _labeled(tables)
+    m = nb_quality_model(
+        lab, "doc_id", "text", "is_pos",
+        num_buckets=NUM_BUCKETS, hash_family="portable",
+    )
+    reused = nb_quality_scores(
+        lab, lab, "doc_id", "text", "is_pos",
+        num_buckets=NUM_BUCKETS, hash_family="portable", model=m,
+    )
+    inline = nb_quality_scores(
+        lab, lab, "doc_id", "text", "is_pos",
+        num_buckets=NUM_BUCKETS, hash_family="portable",
+    )
+    assert sorted(map(tuple, reused.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+
+def test_lazy_escape_hatch(tables):
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        live_checkpoint_count,
+    )
+
+    lab = _labeled(tables)
+    before = live_checkpoint_count()
+    lazy = nb_quality_scores(
+        lab, lab, "doc_id", "text", "is_pos",
+        num_buckets=NUM_BUCKETS, hash_family="portable",
+        use_checkpoints=False,
+    )
+    assert live_checkpoint_count() == before
+    eager = nb_quality_scores(
+        lab, lab, "doc_id", "text", "is_pos",
+        num_buckets=NUM_BUCKETS, hash_family="portable",
+    )
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        map(tuple, eager.collect())
+    )
+
+
+def test_validates_alpha(tables):
+    with pytest.raises(ValueError):
+        nb_quality_model(
+            _labeled(tables), "doc_id", "text", "is_pos", alpha=0.0
+        )
