@@ -475,16 +475,19 @@ def ivf_topk(
     lloyd_iters: int = 2,
     seed: int = 42,
     hash_family: str = "xxhash64",
+    use_checkpoints: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest cells per
     query, exact cosine rank within the probed inverted lists.
 
     The scale path when LSH bucket skew bites: cell sizes are balanced
     by Lloyd refinement, candidate cost ≈ corpus × n_probe / n_cells,
-    and the only broadcast is the (tiny) centroid table."""
+    and the only broadcast is the (tiny) centroid table.
+    ``use_checkpoints`` passes through to :func:`ivf_index` (the lazy
+    escape hatch for looping callers)."""
     centroids, assignments = ivf_index(
         corpus, id_col, vec_col, n_cells, lloyd_iters, seed,
-        hash_family=hash_family,
+        hash_family=hash_family, use_checkpoints=use_checkpoints,
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"),
@@ -579,3 +582,295 @@ def lsh_topk(
     ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (the memory-bounded tier)
+# ---------------------------------------------------------------------------
+
+
+def _normalize(vec: Column) -> Column:
+    """L2-normalize a float-array column in double (order-fixed fold —
+    deterministic, bit-identical to the DuckDB oracle). An all-zero
+    vector keeps its zeros (norm 0 never divides)."""
+    dv = F.transform(vec, lambda x: x.cast("double"))
+    nrm = vector_norm(vec)
+    return F.when(nrm == F.lit(0.0), dv).otherwise(
+        F.transform(dv, lambda x: x / nrm)
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    pq_iters: int = 1,
+    seed: int = 42,
+    dim: int = 64,
+    hash_family: str = "xxhash64",
+    use_checkpoints: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebooks + codes (Jégou et al. 2011):
+    ``(codebooks (j, code, centroid), codes (id, j, code))``.
+
+    Vectors are L2-normalized, split into ``m`` contiguous subspaces of
+    ``dim/m`` components, and each subspace is k-means-quantized to
+    ``ks`` centroids (seeded deterministic init — the ``ks`` corpus
+    vectors with smallest salted hash, same device as ``ivf_index`` —
+    then ``pq_iters`` Lloyd rounds with L2 assignment). A code cell
+    that loses all members simply drops out of the next round's
+    codebook (its members reassign) — both engines drop it
+    identically, so the oracle stays exact.
+
+    Why this is THE memory-bounded ANN tier at 100 TB: a candidate's
+    footprint during scanning falls from ``dim·4`` bytes of floats to
+    ``m`` small codes (64-dim float32 → 8 bytes at m=8: 32×), and
+    scoring needs only a per-query lookup table over ``m·ks`` entries
+    (ADC — see :func:`ivfpq_topk`). All training passes are DataFrame
+    ops: assignment is a broadcast join (codebooks are ``m·ks`` rows —
+    a config, not the data) + per-(vector, subspace) struct-min;
+    means shuffle ``(j, code, pos, x)`` quadruples. With
+    ``hash_family="portable"`` init, means (sorted member folds) and
+    assignments are bit-reproducible in DuckDB — and because PQ's
+    arithmetic is pure +/* (no ``ln``), the gate hashes actual SCORE
+    doubles, not just ranks (plans/queries.py ``ann_ivfpq_topk``).
+
+    Citation for parity bookkeeping: the reference engine has no
+    vector-search tier at all (SURVEY.md §2) — this extends the
+    beyond-parity ANN family (exact / LSH / IVF-flat) with the
+    PQ-compressed rung.
+    """
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
+    from hpc_hd_textreuse_etl_spark.functions.hashing import portable_hash64
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"), _normalize(F.col(vec_col)).alias("vn")
+    )
+    subs = vecs.select(
+        "vid",
+        F.posexplode(
+            F.array(*[F.slice("vn", j * d_sub + 1, d_sub) for j in range(m)])
+        ).alias("j", "s"),
+    )
+    if hash_family == "portable":
+        h = portable_hash64(
+            F.concat(F.col("vid").cast("string"), F.lit(f"#pq{seed}"))
+        )
+    else:
+        h = F.xxhash64(F.col("vid"), F.lit(seed), F.lit("pq"))
+    init_ids = (
+        vecs.withColumn("h", h)
+        .orderBy("h")
+        .limit(ks)
+        .select(
+            # over <= ks seed rows (post-limit) — benign single-
+            # partition trip (SCALE.md "Unpartitioned windows")
+            F.row_number().over(Window.orderBy("h")).alias("code"),
+            "vid",
+        )
+    )
+    codebooks = subs.join(init_ids, "vid").select(
+        "j", "code", F.col("s").alias("centroid")
+    )
+
+    def assign(cb: DataFrame) -> DataFrame:
+        """L2-nearest code per (vector, subspace); ties → smallest code.
+        Struct-max hash aggregation (map-side combinable), never a
+        window over the crossed candidates."""
+        l2 = F.aggregate(
+            F.zip_with("s", "centroid", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored = subs.join(F.broadcast(cb), "j").withColumn("d", l2)
+        return (
+            scored.groupBy("vid", "j")
+            .agg(
+                F.max(
+                    F.struct((-F.col("d")).alias("nd"), (-F.col("code")).alias("nc"))
+                ).alias("b")
+            )
+            .select("vid", "j", (-F.col("b.nc")).cast("int").alias("code"))
+        )
+
+    def means(assigned: DataFrame) -> DataFrame:
+        per_pos = assigned.join(subs, ["vid", "j"]).select(
+            "j", "code", F.posexplode("s").alias("pos", "x")
+        )
+        if hash_family == "portable":
+            cell_pos = (
+                per_pos.groupBy("j", "code", "pos")
+                .agg(F.array_sort(F.collect_list("x")).alias("xs"))
+                .select(
+                    "j", "code", "pos",
+                    (
+                        F.aggregate("xs", F.lit(0.0), lambda a, x: a + x)
+                        / F.size("xs")
+                    ).alias("c"),
+                )
+            )
+        else:
+            cell_pos = per_pos.groupBy("j", "code", "pos").agg(
+                F.avg("x").alias("c")
+            )
+        return (
+            cell_pos.groupBy("j", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(
+                "j", "code",
+                F.transform(F.col("pc"), lambda s: s.getField("c")).alias(
+                    "centroid"
+                ),
+            )
+        )
+
+    prev = None
+    for _ in range(pq_iters):
+        nxt = means(assign(codebooks))
+        if use_checkpoints:
+            # same per-round pin/release hygiene as ivf_index: each
+            # round's table is m*ks rows but its lazy plan nests the
+            # whole previous round
+            nxt = tracked_local_checkpoint(nxt)
+            if prev is not None:
+                release_checkpoint(prev)
+        codebooks, prev = nxt, nxt
+    codes = assign(codebooks).withColumnRenamed("vid", id_col)
+    return codebooks, codes
+
+
+def pq_encode_arrays(codes: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Long-form ``(id, j, code)`` → storage-form ``(id, codes
+    array<int>)`` in subspace order — the m-byte-per-vector layout a
+    100 TB code table persists (one doc-keyed sorted fold, the same
+    reassembly shape as dedup_repeated_lines)."""
+    return (
+        codes.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("j", "code"))).alias("jc"))
+        .select(
+            id_col,
+            F.transform(F.col("jc"), lambda s: s.getField("code")).alias("codes"),
+        )
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    lloyd_iters: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    pq_iters: int = 1,
+    seed: int = 42,
+    dim: int = 64,
+    hash_family: str = "xxhash64",
+    use_checkpoints: bool = True,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse IVF cells bound the candidate
+    set (``n_probe`` probed cells per query), PQ codes + ADC score the
+    candidates without ever touching their float vectors.
+
+    ``(query_id, neighbor_id, adc, rank)`` — ``adc`` is the asymmetric
+    distance computation estimate of the cosine on L2-normalized
+    vectors: ``Σ_j <q_j, centroid[j, code_j(x)]>``, i.e. the dot of the
+    normalized query against the candidate's RECONSTRUCTION. Per query
+    the scan cost is a lookup-table build over ``m·ks`` centroid dots
+    plus one m-term sum per candidate (the table is a broadcast join —
+    the candidate's floats never load). The per-candidate fold runs in
+    fixed subspace order (sorted fold over ``j``), so the adc doubles
+    are bit-reproducible across engines — unlike BM25/DSIR there is no
+    ``ln`` anywhere, which is why the contract query hashes the score
+    VALUES, not just ranks. Recall vs exact top-k is gated by the
+    ``ann_ivfpq_recall`` contract query (the ``ann_lsh_recall``
+    pattern).
+
+    Simplification vs Jégou et al.'s IVFADC: codes quantize the raw
+    normalized vector, not the residual ``x − coarse_centroid`` —
+    residual encoding needs a per-cell LUT (m·ks dots per (query,
+    probed cell) instead of per query), which buys accuracy at 8×
+    LUT cost here; the flat-encoding variant is the standard
+    first rung (it is what FAISS calls ``IVFx,PQy`` without ``+R``).
+    """
+    centroids, assignments = ivf_index(
+        corpus, id_col, vec_col, n_cells, lloyd_iters, seed,
+        hash_family=hash_family, use_checkpoints=use_checkpoints,
+    )
+    codebooks, codes = pq_train(
+        corpus, id_col, vec_col, m, ks, pq_iters, seed, dim,
+        hash_family, use_checkpoints,
+    )
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d_sub = dim // m
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qvec"),
+        _normalize(F.col(vec_col)).alias("qn"),
+    )
+    q_subs = qn.select(
+        "query_id",
+        F.posexplode(
+            F.array(*[F.slice("qn", j * d_sub + 1, d_sub) for j in range(m)])
+        ).alias("j", "qs"),
+    )
+    lut = q_subs.join(F.broadcast(codebooks), "j").select(
+        "query_id", "j", "code",
+        F.aggregate(
+            F.zip_with("qs", "centroid", lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("lt"),
+    )
+    # probe on the RAW double query against the coarse centroids —
+    # the exact arithmetic ivf_topk uses, so the probe CTE is the SAME
+    # computation in both the IVF-flat and IVF-PQ oracles
+    probes = (
+        qn.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", cosine(F.col("qvec"), F.col("centroid")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("sim"), F.asc("cell_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cell_id")
+    )
+    cands = (
+        probes.join(
+            assignments.withColumnRenamed(id_col, "neighbor_id"), "cell_id"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    adc = (
+        cands.join(
+            codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id"
+        )
+        .join(lut, ["query_id", "j", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("j", "lt"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("lt"),
+            ).alias("adc")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    return adc.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

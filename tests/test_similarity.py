@@ -181,3 +181,87 @@ def test_semantic_dedup_matmul_strategy(spark, emb):
         )
 
     assert snap("fold") == snap("matmul")
+
+
+def test_ivfpq_beats_random_and_orders_by_adc(spark):
+    """IVF-PQ recall vs exact must massively beat the random-draw
+    baseline (5/N) despite code distortion on the unstructured
+    synthetic embeddings, and ranks must be consistent with adc."""
+    from pyspark.sql import functions as F
+
+    from hpc_hd_textreuse_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    pq_rows = ivfpq_topk(
+        q, emb, k=5, n_cells=8, n_probe=3, m=8, ks=8, pq_iters=1,
+        hash_family="portable",
+    ).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, emb, k=5).collect()
+    }
+    hits = sum((r["query_id"], r["neighbor_id"]) in exact for r in pq_rows)
+    n = emb.count()
+    assert hits / len(exact) > 10 * (5.0 / n)  # >10x random baseline
+    by_q = {}
+    for r in pq_rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        adcs = [r["adc"] for r in rows]
+        assert adcs == sorted(adcs, reverse=True)
+
+
+def test_pq_train_shapes_and_encode_arrays(spark):
+    from hpc_hd_textreuse_etl_spark.operators.similarity import (
+        pq_encode_arrays,
+        pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb, codes = pq_train(emb, m=8, ks=8, pq_iters=1, hash_family="portable")
+    cb_rows = cb.collect()
+    assert len(cb_rows) <= 64 and all(len(r["centroid"]) == 8 for r in cb_rows)
+    n = emb.count()
+    assert codes.count() == n * 8  # one code per (vector, subspace)
+    arrs = pq_encode_arrays(codes).collect()
+    assert len(arrs) == n
+    assert all(len(r["codes"]) == 8 for r in arrs)
+    # storage layout in subspace order must agree with the long form
+    long = {(r["vec_id"], r["j"]): r["code"] for r in codes.collect()}
+    for r in arrs[:20]:
+        assert r["codes"] == [long[(r["vec_id"], j)] for j in range(8)]
+
+
+def test_pq_validates_divisibility(spark):
+    from hpc_hd_textreuse_etl_spark.operators.similarity import pq_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(emb, m=7)
+
+
+def test_ivfpq_partition_independent(spark):
+    """Sorted ADC fold + deterministic quantizers: identical output
+    bits under any input partitioning."""
+    from pyspark.sql import functions as F
+
+    from hpc_hd_textreuse_etl_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def snap(df):
+        return sorted(
+            tuple(r)
+            for r in ivfpq_topk(
+                df.filter(F.col("vec_id") < 20), df,
+                k=5, n_cells=8, n_probe=2, m=8, ks=8,
+                hash_family="portable",
+            ).collect()
+        )
+
+    assert snap(emb) == snap(emb.repartition(23))
