@@ -399,20 +399,45 @@ def simhash_near_duplicates(
     recall beyond the guarantee for fewer buckets."""
     if hash_family == "portable":
         bits = min(bits, 60)
+    sigs = df.select(
+        F.col(id_col), simhash(text_col, bits, hash_family).alias("sig")
+    )
+    return signature_near_duplicates(
+        sigs, id_col, "sig", max_hamming, band_bits, bits
+    )
+
+
+def signature_near_duplicates(
+    sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    band_bits: int | None = None,
+    bits: int = 64,
+) -> DataFrame:
+    """All pairs within Hamming ``max_hamming`` over ANY precomputed
+    64-bit-or-narrower signature column — the banding engine shared by
+    SimHash text dedup (:func:`simhash_near_duplicates`) and perceptual
+    image dedup (operators/multimodal.py ``perceptual_image_hashes``).
+
+    Pigeonhole blocking: the signature splits into chunks; a pair
+    within radius ``max_hamming`` must agree exactly on at least one of
+    ``max_hamming + 1`` chunks, so candidates come from an equi-join on
+    ``(band, chunk)`` — LOSSLESS within the radius, never all-pairs —
+    then exact ``bit_count(xor)`` verification. The shuffle carries
+    ``(id, sig, band, chunk)`` quadruples (≤ 32 bytes/row × n_bands),
+    never payloads."""
     if band_bits is None:
         n_chunks = min(max_hamming + 1, bits)
         band_bits = max(bits // n_chunks, 1)
     n_bands = bits // band_bits
-    sigs = df.select(
-        F.col(id_col), simhash(text_col, bits, hash_family).alias("sig")
-    )
     chunks = sigs.select(
         F.col(id_col),
-        "sig",
+        F.col(sig_col).alias("sig"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("sig"), b * band_bits).bitwiseAND(
+                    F.shiftright(F.col(sig_col), b * band_bits).bitwiseAND(
                         F.lit((1 << band_bits) - 1)
                     )
                     for b in range(n_bands)

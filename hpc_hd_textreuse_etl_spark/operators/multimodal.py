@@ -289,3 +289,123 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("media_id", "mime", "frame_ms", "payload")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash / aHash) — multimodal × dedup bridge
+# ---------------------------------------------------------------------------
+
+
+def _grayscale(w: int, h: int, c: int, pixels: bytes) -> bytes:
+    """Integer luminance plane (the _pixel_features weights: RGB →
+    (77R + 150G + 29B) >> 8; 1/2-channel images use the first channel).
+    Pure-integer, so bit-reproducible everywhere."""
+    if c == 1:
+        return pixels
+    out = bytearray(w * h)
+    for i in range(w * h):
+        base = i * c
+        if c >= 3:
+            out[i] = (
+                77 * pixels[base] + 150 * pixels[base + 1] + 29 * pixels[base + 2]
+            ) >> 8
+        else:
+            out[i] = pixels[base]
+    return bytes(out)
+
+
+def _pack_bits(bits: list[bool]) -> int:
+    """LSB-first bit pack into a SIGNED 64-bit value (two's-complement
+    wrap — what a Spark/DuckDB BIGINT column holds)."""
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def dhash_bytes(payload: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Difference hash of an encoded image: decode → grayscale →
+    nearest-neighbor resize to (hash_w+1) × hash_h → one bit per
+    horizontal neighbor comparison ``p[r][c] > p[r][c+1]`` (bit index
+    ``r*hash_w + c``, LSB first). Every step is integer arithmetic over
+    the decoded pixels, so the hash is deterministic across platforms —
+    which is what lets the DuckDB oracle recompute it from the pixel
+    formula alone (the PNG encode/decode round-trip cancels)."""
+    from hpc_hd_textreuse_etl_spark.functions.png_codec import resize_nearest
+
+    w, h, c, pixels = _decode_pixels(payload)
+    gray = _grayscale(w, h, c, pixels)
+    small = resize_nearest(w, h, 1, gray, hash_w + 1, hash_h)
+    bits = [
+        small[r * (hash_w + 1) + col] > small[r * (hash_w + 1) + col + 1]
+        for r in range(hash_h)
+        for col in range(hash_w)
+    ]
+    return _pack_bits(bits)
+
+
+def ahash_bytes(payload: bytes, hash_w: int = 8, hash_h: int = 8) -> int:
+    """Average hash: decode → grayscale → resize to hash_w × hash_h →
+    one bit per pixel-above-mean. The mean comparison is the exact
+    integer cross-multiplication ``p * n > Σp`` (no float division), so
+    the hash is bit-deterministic like :func:`dhash_bytes`."""
+    from hpc_hd_textreuse_etl_spark.functions.png_codec import resize_nearest
+
+    w, h, c, pixels = _decode_pixels(payload)
+    gray = _grayscale(w, h, c, pixels)
+    small = resize_nearest(w, h, 1, gray, hash_w, hash_h)
+    n = hash_w * hash_h
+    total = sum(small)
+    bits = [small[i] * n > total for i in range(n)]
+    return _pack_bits(bits)
+
+
+_PHASH_FNS = {"dhash": dhash_bytes, "ahash": ahash_bytes}
+
+
+def perceptual_image_hashes(
+    df: DataFrame,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    method: str = "dhash",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """``(id, phash)`` — 64-bit perceptual hash per image, the dedup
+    key for near-identical images (re-encodes, crops of boilerplate,
+    resized logos) that byte-level sha256 dedup can never catch.
+
+    Arrow-batched ``mapInPandas`` over the binary column (the decode is
+    Python by necessity; everything downstream — banding, pair
+    verification — is Catalyst). At 100 TB the hash pass streams the
+    image bytes ONCE and emits 8-byte signatures; all subsequent dedup
+    shuffles carry (id, phash) pairs only, the same never-shuffle-
+    payloads contract as every other dedup family
+    (reference has no image path at all — beyond-parity; pairs via
+    operators/dedup.py signature_near_duplicates)."""
+    import pandas as pd
+
+    if method not in _PHASH_FNS:
+        raise ValueError(f"unknown perceptual hash method {method!r}")
+    fn = _PHASH_FNS[method]
+    id_sql = "long" if dict(df.dtypes)[id_col] in ("bigint", "int") else "string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "phash": [
+                        fn(bytes(p), hash_w, hash_h) for p in pdf[data_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, data_col).mapInPandas(
+        run, schema=f"{id_col} {id_sql}, phash long"
+    )

@@ -342,3 +342,118 @@ def test_streaming_decayed_counters_match_batch(spark, tmp_path):
         for r in read_decayed_counters(spark, out, ["user_id"]).collect()
     }
     assert again == want
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash / aHash)
+# ---------------------------------------------------------------------------
+
+
+def _flat_png(value: int, w: int = 16, h: int = 16) -> bytes:
+    from hpc_hd_textreuse_etl_spark.functions.png_codec import png_encode
+
+    return png_encode(w, h, 1, bytes([value] * (w * h)))
+
+
+def _gradient_png(w: int = 16, h: int = 16) -> bytes:
+    from hpc_hd_textreuse_etl_spark.functions.png_codec import png_encode
+
+    return png_encode(w, h, 1, bytes(bytearray((c * 255) // (w - 1) for _ in range(h) for c in range(w))))
+
+
+def test_dhash_known_values():
+    """A flat image has no horizontal gradient (all bits 0); a strictly
+    increasing gradient sets every bit → phash == signed -1 wrap of
+    0xFFFF...; both are hand-checkable anchors."""
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import dhash_bytes
+
+    assert dhash_bytes(_flat_png(77)) == 0
+    # gradient: p[r][c] < p[r][c+1] everywhere → every comparison is
+    # False under '>' ... bits 0. Reverse gradient sets all 64 bits.
+    from hpc_hd_textreuse_etl_spark.functions.png_codec import png_encode
+
+    rev = png_encode(
+        16, 16, 1,
+        bytes(bytearray(255 - (c * 255) // 15 for _ in range(16) for c in range(16))),
+    )
+    assert dhash_bytes(_gradient_png()) == 0
+    assert dhash_bytes(rev) == -1  # all 64 bits set, two's-complement
+
+
+def test_ahash_flat_and_split():
+    from hpc_hd_textreuse_etl_spark.functions.png_codec import png_encode
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import ahash_bytes
+
+    assert ahash_bytes(_flat_png(10)) == 0  # p*n > total is strict
+    # left half 0, right half 255: right-half bits set
+    pixels = bytes(bytearray(0 if c < 8 else 255 for _ in range(16) for c in range(16)))
+    ph = ahash_bytes(png_encode(16, 16, 1, pixels))
+    for r in range(8):
+        for c in range(8):
+            bit = (ph >> (r * 8 + c)) & 1 if ph >= 0 else ((ph + (1 << 64)) >> (r * 8 + c)) & 1
+            assert bit == (1 if c >= 4 else 0)
+
+
+def test_perceptual_hashes_operator_and_rgb(spark):
+    """The operator matches the driver-side function per row, and RGB
+    images go through the integer luminance plane."""
+    from hpc_hd_textreuse_etl_spark.functions.png_codec import png_encode
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        dhash_bytes,
+        perceptual_image_hashes,
+    )
+
+    rgb = png_encode(
+        8, 8, 3,
+        bytes(bytearray((c * 30) % 256 for _ in range(8) for c in range(8) for _ in range(3))),
+    )
+    rows = [(1, _flat_png(5)), (2, _gradient_png()), (3, rgb)]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_image_hashes(df, "media_id", "data").collect()
+    }
+    want = {i: dhash_bytes(payload) for i, payload in rows}
+    assert got == want
+    with pytest.raises(ValueError):
+        perceptual_image_hashes(df, "media_id", "data", method="md5")
+
+
+def test_signature_banding_is_lossless(spark):
+    """Pigeonhole guarantee: banded candidate generation recovers every
+    pair within the radius that a brute-force scan finds."""
+    import random
+
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates,
+    )
+
+    rng = random.Random(9)
+    sigs = []
+    for i in range(60):
+        base = rng.getrandbits(63)
+        sigs.append((i, base))
+        # plant near-dups: flip 1-2 bits
+        sigs.append((i + 1000, base ^ (1 << rng.randrange(64))))
+        if i % 3 == 0:
+            sigs.append(
+                (i + 2000, base ^ (1 << rng.randrange(64)) ^ (1 << rng.randrange(64)))
+            )
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    sigs = [(i, signed(s)) for i, s in sigs]
+    df = spark.createDataFrame(sigs, "id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in signature_near_duplicates(df, "id", "sig", max_hamming=2).collect()
+    }
+    want = set()
+    for ia, sa in sigs:
+        for ib, sb in sigs:
+            if ia < ib:
+                hd = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+                if hd <= 2:
+                    want.add((ia, ib, hd))
+    assert got == want
