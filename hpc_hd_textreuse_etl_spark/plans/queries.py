@@ -2768,6 +2768,8 @@ def _curated_corpus_oracle(
     dsir_keep: int | None = None,
     dsir_num_buckets: int = 512,
     dsir_salt: str = "dsir-select-v1",
+    classifier_keep: int | None = None,
+    classifier_num_buckets: int = 512,
 ) -> str:
     """DuckDB oracle recomputing the ENTIRE curation chain
     (plans/curation.py): quality gate → exact dedup (min-id per sha256)
@@ -2776,17 +2778,20 @@ def _curated_corpus_oracle(
     hash-gate split. With ``dsir_keep``, the opt-in DSIR selection
     stage (weights over the clean survivors, Gumbel top-k) is appended
     between decontamination and the split — mirroring
-    ``curate(cfg.dsir_keep, dsir_target_predicate=lang=='en')``."""
+    ``curate(cfg.dsir_keep, dsir_target_predicate=lang=='en')``. With
+    ``classifier_keep``, the discriminative NB quality-filter stage
+    (_nb_sql over the survivors, labels lang=='en', keep the top-N
+    log-odds) is appended in the same slot — mirroring
+    ``curate(cfg.classifier_keep, classifier_label_predicate=...)``."""
     from hpc_hd_textreuse_etl_spark.operators.sampling import threshold
 
     stop = "('the','a','of','and','in','to','is')"
     pairs_sql = _minhash_oracle(
         num_hashes=32, shingle=5, num_bands=8, threshold=0.7, table="e"
     )
-    if dsir_keep is None:
-        split_src = "clean"
-        dsir_ctes = ""
-    else:
+    split_src = "clean"
+    dsir_ctes = ""
+    if dsir_keep is not None:
         split_src = "kept"
         gumbel_h = _DUCK_H.format(
             x=f"'{dsir_salt}|' || CAST(doc_id AS VARCHAR)"
@@ -2800,6 +2805,20 @@ def _curated_corpus_oracle(
     ), kept AS (
       SELECT doc_id FROM pri ORDER BY p DESC, doc_id LIMIT {dsir_keep}
     )"""
+    if classifier_keep is not None:
+        if split_src == "clean":
+            csrc = "clean"
+        else:  # dsir ran first: re-attach text to the kept id set
+            csrc = "csrc"
+            dsir_ctes += """, csrc AS (
+      SELECT c.doc_id, c.text FROM clean c JOIN kept USING (doc_id)
+    )"""
+        dsir_ctes += f""", {_nb_sql(classifier_num_buckets, table=csrc)},
+    ckept AS (
+      SELECT doc_id FROM nbscores
+      ORDER BY log_odds DESC, doc_id LIMIT {classifier_keep}
+    )"""
+        split_src = "ckept"
     return f"""
     WITH RECURSIVE corpus AS (
       SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
@@ -5246,6 +5265,558 @@ def repeated_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nb_sql(num_buckets: int, table: str = "documents",
+            train_pred: str = "TRUE") -> str:
+    """CTE chain recomputing the hashed-feature NB quality classifier
+    (operators/classifier.py, hash_family='portable') in DuckDB, ending
+    in ``nbmodel(bucket, cnt_pos, cnt_neg, log_ratio)`` and
+    ``nbscores(doc_id, log_odds)``. ``table`` supplies (doc_id, text)
+    for BOTH training features and scoring; the training slice is the
+    rows satisfying ``train_pred`` (aliased ``t``), labeled positive
+    iff the document's ``lang`` is 'en' (looked up in documents). The
+    per-document sum is order-fixed (``list(term ORDER BY bucket)``)
+    exactly like the Spark sorted-struct fold."""
+    b = num_buckets
+    bucket = _DUCK_H.format(x="g") + f" % {b}"
+    return f"""nbtok AS (
+      SELECT doc_id, {_TOK} AS w FROM {table}
+    ), nbgrams AS (
+      SELECT doc_id, unnest(w) AS g FROM nbtok
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(w) + 1),
+                                   i -> w[i - 1] || ' ' || w[i])) AS g
+      FROM nbtok WHERE len(w) >= 2
+    ), nbdc AS (
+      SELECT doc_id, CAST({bucket} AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM nbgrams GROUP BY 1, 2
+    ), nbtrain AS (
+      SELECT t.doc_id, (d.lang = 'en') AS is_pos
+      FROM {table} t JOIN documents d USING (doc_id)
+      WHERE {train_pred}
+    ), nbcc AS (
+      SELECT dc.bucket,
+             SUM(CASE WHEN tr.is_pos THEN dc.cnt ELSE 0 END) AS cnt_pos,
+             SUM(CASE WHEN NOT tr.is_pos THEN dc.cnt ELSE 0 END) AS cnt_neg
+      FROM nbdc dc JOIN nbtrain tr USING (doc_id)
+      GROUP BY 1
+    ), nbmodel AS (
+      SELECT r.range AS bucket,
+             CAST(COALESCE(c.cnt_pos, 0) AS BIGINT) AS cnt_pos,
+             CAST(COALESCE(c.cnt_neg, 0) AS BIGINT) AS cnt_neg,
+             (ln((COALESCE(c.cnt_pos, 0) + 1.0)
+                 / ((SELECT SUM(cnt_pos) FROM nbcc) + {float(b)}))
+              - ln((COALESCE(c.cnt_neg, 0) + 1.0)
+                   / ((SELECT SUM(cnt_neg) FROM nbcc) + {float(b)}))) AS log_ratio
+      FROM range({b}) r LEFT JOIN nbcc c ON c.bucket = r.range
+    ), nbprior AS (
+      SELECT ln(CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS DOUBLE))
+             - ln(CAST(SUM(CASE WHEN NOT is_pos THEN 1 ELSE 0 END) AS DOUBLE))
+               AS log_prior
+      FROM nbtrain
+    ), nbs0 AS (
+      SELECT dc.doc_id,
+             list_sum(list(CAST(dc.cnt AS DOUBLE) * m.log_ratio
+                           ORDER BY dc.bucket)) AS ll
+      FROM nbdc dc JOIN nbmodel m USING (bucket)
+      GROUP BY 1
+    ), nbscores AS (
+      SELECT t.doc_id,
+             COALESCE(s.ll, 0.0) + (SELECT log_prior FROM nbprior) AS log_odds
+      FROM {table} t LEFT JOIN nbs0 s USING (doc_id)
+    )"""
+
+
+def _nb_train_docs(spark: SparkSession) -> DataFrame:
+    return (
+        spark.table("documents")
+        .filter(F.col("doc_id") % 10 < 8)
+        .withColumn("is_pos", F.col("lang") == "en")
+    )
+
+
+@query(
+    "quality_classifier_weights",
+    oracle=f"""
+    WITH {_nb_sql(512, train_pred="t.doc_id % 10 < 8")}
+    SELECT bucket, cnt_pos, cnt_neg FROM nbmodel
+    """,
+    tags=("quality-classifier", "beyond-parity"),
+)
+def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained NB quality-filter model (operators/classifier.py
+    nb_quality_model) on the 80% train slice, labels = lang=='en'. The
+    full integer count core — one row per bucket, including untouched
+    buckets — is value-hash-gated bit-exactly; the derived log_ratio
+    doubles carry the libm-ln ulp and are epsilon-tested in
+    tests/test_classifier.py (the DSIR/BM25 residual class)."""
+    from hpc_hd_textreuse_etl_spark.operators.classifier import nb_quality_model
+
+    return nb_quality_model(
+        _nb_train_docs(spark), "doc_id", "text", "is_pos",
+        num_buckets=512, hash_family="portable",
+    ).select("bucket", "cnt_pos", "cnt_neg")
+
+
+@query(
+    "quality_classifier_ranking",
+    oracle=f"""
+    WITH {_nb_sql(512, train_pred="t.doc_id % 10 < 8")}
+    SELECT doc_id, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY log_odds DESC, doc_id) AS rank
+      FROM nbscores
+    ) WHERE rank <= 50
+    """,
+    tags=("quality-classifier", "beyond-parity"),
+)
+def quality_classifier_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployed quality filter: train NB on the 80% slice, score
+    EVERY document (prior + sorted-fold likelihood), rank the 50 most
+    curated-like. Gated on (doc_id, rank) with an id tiebreak — the
+    DuckDB oracle recomputes features, class counts, smoothing, prior,
+    and the order-fixed score fold end to end."""
+    from hpc_hd_textreuse_etl_spark.operators.classifier import nb_quality_scores
+
+    docs = spark.table("documents")
+    w = nb_quality_scores(
+        docs, _nb_train_docs(spark), "doc_id", "text", "is_pos",
+        num_buckets=512, hash_family="portable",
+    )
+    topk = w.orderBy(F.desc("log_odds"), F.asc("doc_id")).limit(50)
+    # rank window AFTER the limit, over <= 50 rows — benign
+    wnd = Window.orderBy(F.desc("log_odds"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(wnd).cast("int")).select(
+        "doc_id", "rank"
+    )
+
+
+@query(
+    "quality_classifier_auc",
+    oracle=f"""
+    WITH {_nb_sql(512, train_pred="t.doc_id % 10 < 8")},
+    per AS (
+      SELECT s.log_odds AS score, count(*) AS n,
+             SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS pos
+      FROM nbscores s JOIN documents d USING (doc_id)
+      GROUP BY 1
+    ), cum AS (
+      SELECT score, n, pos,
+             SUM(pos) OVER (ORDER BY score DESC) AS tp,
+             SUM(n) OVER (ORDER BY score DESC) AS cum_n
+      FROM per
+    ), rank2 AS (
+      SELECT SUM(pos) AS p, SUM(n) - SUM(pos) AS q,
+             SUM(pos * (2 * ((SELECT SUM(n) FROM per) - cum_n) + n + 1)) AS r2
+      FROM cum
+    )
+    SELECT CAST(p AS BIGINT) AS n_pos, CAST(q AS BIGINT) AS n_neg,
+           CAST(r2 - p * (p + 1) AS BIGINT) AS auc_num2,
+           CASE WHEN p > 0 AND q > 0
+                THEN CAST(r2 - p * (p + 1) AS DOUBLE) / (2.0 * p * q)
+           END AS auc
+    FROM rank2
+    """,
+    tags=("quality-classifier", "evaluation", "beyond-parity"),
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How good is the trained filter? Exact tie-aware ROC-AUC of the
+    NB log-odds against the lang=='en' label over ALL documents
+    (train-slice model, operators/evaluation.py roc_auc). The integer
+    rank-sum core is hashed; the auc double is one exact-integer
+    division. Ties (identical texts → bit-identical scores in both
+    engines) share sweep rows under the same RANGE-frame convention."""
+    from hpc_hd_textreuse_etl_spark.operators.classifier import nb_quality_scores
+    from hpc_hd_textreuse_etl_spark.operators.evaluation import roc_auc
+
+    docs = spark.table("documents")
+    w = nb_quality_scores(
+        docs, _nb_train_docs(spark), "doc_id", "text", "is_pos",
+        num_buckets=512, hash_family="portable",
+    )
+    scored = w.join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("label")), "doc_id"
+    )
+    return roc_auc(scored, "log_odds", "label")
+
+
+@query(
+    "curated_corpus_classifier",
+    oracle=_curated_corpus_oracle(classifier_keep=60),
+    tags=("curation-pipeline", "quality-classifier", "beyond-parity"),
+)
+def curated_corpus_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with the opt-in discriminative
+    quality-filter stage: after quality gate → exact dedup → near-dup
+    resolution → decontamination, an NB classifier trains on the
+    survivors (labels lang=='en') and the 60 highest-log-odds survivors
+    proceed to the train/test split — six operator families composed,
+    and the DuckDB oracle recomputes every stage including the
+    classifier's features, class counts, smoothing, prior, score fold,
+    and the keep boundary."""
+    from hpc_hd_textreuse_etl_spark.plans.curation import CurationConfig, curate
+
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return curate(
+        corpus, bench,
+        cfg=CurationConfig(hash_family="portable", classifier_keep=60),
+        classifier_label_predicate=F.col("lang") == "en",
+    )
+
+
+def _ivfpq_oracle(
+    k: int, n_cells: int, n_probe: int, lloyd_iters: int,
+    m: int, ks: int, pq_iters: int, seed: int, dim: int,
+) -> str:
+    """DuckDB SQL mirroring ivfpq_topk(hash_family='portable') END TO
+    END: the shared coarse-quantizer Lloyd unroll (_ivf_lloyd_ctes —
+    bit-identical to the IVF-flat oracle), L2 normalization, subspace
+    split, seeded PQ init, L2-assignment Lloyd rounds with order-fixed
+    means, final codes, the per-query ADC lookup table, and the
+    subspace-ordered ADC fold. PQ arithmetic is pure +/* (no ``ln``),
+    so the adc DOUBLES hash-match — the only ANN family whose scores,
+    not just ranks, sit under the value gate."""
+    cos = _ivf_cos
+    d_sub = dim // m
+    last = lloyd_iters
+    ctes = _ivf_lloyd_ctes(n_cells, lloyd_iters, seed, dim)
+    pq_h = f"('0x' || substr(md5(vec_id || '#pq{seed}'), 1, 15))::BIGINT"
+    ctes.append("""nv AS (
+      SELECT vec_id,
+             CASE WHEN nrm = 0 THEN x
+                  ELSE list_transform(x, e -> e / nrm) END AS vn
+      FROM (
+        SELECT vec_id, v AS x,
+               sqrt(list_sum(list_transform(v, e -> e * e))) AS nrm
+        FROM v
+      )
+    )""")
+    ctes.append(f"""sv AS (
+      SELECT vec_id, r.range AS j,
+             vn[r.range * {d_sub} + 1 : r.range * {d_sub} + {d_sub}] AS s
+      FROM nv CROSS JOIN range({m}) r
+    )""")
+    ctes.append(f"""pinit AS (
+      SELECT row_number() OVER (ORDER BY {pq_h}) AS code, vec_id
+      FROM nv ORDER BY {pq_h} LIMIT {ks}
+    )""")
+    ctes.append("""cb0 AS (
+      SELECT s.j, p.code, s.s AS c FROM sv s JOIN pinit p USING (vec_id)
+    )""")
+    l2 = (
+        "list_sum(list_transform(list_zip(sv.s, cb.c), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    for i in range(pq_iters + 1):
+        ctes.append(f"""pa{i} AS (
+      SELECT vec_id, j, code FROM (
+        SELECT sv.vec_id, sv.j, cb.code,
+               row_number() OVER (PARTITION BY sv.vec_id, sv.j
+                                  ORDER BY {l2} ASC, cb.code) AS rn
+        FROM sv JOIN cb{i} cb ON sv.j = cb.j
+      ) WHERE rn = 1
+    )""")
+        if i < pq_iters:
+            ctes.append(f"""cb{i + 1} AS (
+      SELECT j, code, list(c ORDER BY pos) AS c FROM (
+        SELECT a.j, a.code, p.range AS pos,
+               list_sum(list_sort(list(s.s[p.range + 1]))) / count(*) AS c
+        FROM pa{i} a
+        JOIN sv s ON a.vec_id = s.vec_id AND a.j = s.j
+        CROSS JOIN range({d_sub}) p
+        GROUP BY a.j, a.code, p.range
+      ) GROUP BY j, code
+    )""")
+    ctes.append(f"""probes AS (
+      SELECT query_id, cell_id FROM (
+        SELECT q.vec_id AS query_id, c.cell_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos('q.v', 'c.centroid')} DESC,
+                                           c.cell_id) AS rn
+        FROM v q CROSS JOIN c{last} c WHERE q.vec_id < 20
+      ) WHERE rn <= {n_probe}
+    )""")
+    ctes.append(f"""lut AS (
+      SELECT s.vec_id AS query_id, cb.j, cb.code,
+             list_sum(list_transform(list_zip(s.s, cb.c),
+                                     z -> z[1] * z[2])) AS lt
+      FROM sv s JOIN cb{pq_iters} cb ON s.j = cb.j
+      WHERE s.vec_id < 20
+    )""")
+    ctes.append(f"""cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN a{last} a ON p.cell_id = a.cell_id
+      WHERE a.vec_id <> p.query_id
+    )""")
+    ctes.append(f"""adcs AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_sum(list(l.lt ORDER BY l.j)) AS adc
+      FROM cand c
+      JOIN pa{pq_iters} pc ON pc.vec_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id
+                AND l.j = pc.j AND l.code = pc.code
+      GROUP BY 1, 2
+    )""")
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, neighbor_id, adc, CAST(rank AS INT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc DESC, neighbor_id) AS rank
+      FROM adcs
+    ) WHERE rank <= {k}
+    """
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=_ivfpq_oracle(
+        k=5, n_cells=8, n_probe=3, lloyd_iters=2,
+        m=8, ks=8, pq_iters=1, seed=42, dim=64,
+    ),
+    tags=("similarity-ivfpq", "beyond-parity"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.py ivfpq_topk): coarse IVF
+    probing + product-quantized ADC scoring — the memory-bounded tier
+    (m=8 one-byte codes instead of 64 float32s per candidate). The
+    WHOLE pipeline — coarse quantizer, normalization, subspace
+    codebooks, codes, lookup tables, and the adc score doubles
+    themselves — value-hash-matches the unrolled DuckDB oracle (PQ has
+    no ``ln``, so score values gate exactly, unlike BM25/DSIR)."""
+    from hpc_hd_textreuse_etl_spark.operators.similarity import ivfpq_topk
+
+    emb = spark.table("embeddings")
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
+        k=5, n_cells=8, n_probe=3, lloyd_iters=2,
+        m=8, ks=8, pq_iters=1, hash_family="portable",
+    )
+
+
+def _install_ivfpq_recall_oracle() -> None:
+    QUERIES["ann_ivfpq_recall"].oracle = f"""
+    WITH exact AS (
+      SELECT query_id, neighbor_id FROM ({QUERIES["ann_cosine_topk"].oracle})
+    ), pq AS (
+      SELECT query_id, neighbor_id FROM ({QUERIES["ann_ivfpq_topk"].oracle})
+    )
+    SELECT e.query_id,
+           CAST(count(p.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST(count(p.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM exact e LEFT JOIN pq p USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """
+
+
+@query(
+    "ann_ivfpq_recall",
+    oracle=None,  # composed below from the two gated ANN oracles
+    tags=("ann-eval", "recall", "similarity-ivfpq", "beyond-parity"),
+)
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-PQ path against the exact brute-force
+    ranking, per query — the ship/no-ship metric for the compressed
+    index, AS a gated query (the ann_lsh_recall pattern: both
+    underlying pipelines hash-match standalone and their oracles
+    compose verbatim). PQ recall reflects BOTH probe misses and code
+    distortion, so it lower-bounds the IVF-flat recall at the same
+    probe settings."""
+    from hpc_hd_textreuse_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(q, emb, "vec_id", "embedding", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    pq = (
+        ivfpq_topk(
+            q, emb, "vec_id", "embedding",
+            k=5, n_cells=8, n_probe=3, lloyd_iters=2,
+            m=8, ks=8, pq_iters=1, hash_family="portable",
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").cast("bigint").alias("n_overlap"),
+            (F.count("__hit").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+        )
+    )
+
+
+_install_ivfpq_recall_oracle()
+
+
+def _synthetic_png_docs(spark: SparkSession, limit: int = 300) -> DataFrame:
+    """Deterministic 16×16 single-channel PNGs from the portable pixel
+    formula: ``p(d, r, c) = H(d%50 || '|' || r || '|' || c) % 256``
+    with a per-document one-pixel perturbation at
+    ``(d % 16, (d // 16) % 16)`` (+128 mod 256) — 50 base patterns,
+    each document a near-identical variant. The pixel array is pure
+    Catalyst (oracle-replicable); only the PNG container encode is an
+    Arrow-batched UDF (functions/png_codec.py — stdlib zlib), and the
+    encode→decode round-trip is lossless, so the downstream perceptual
+    hash is provably a function of the FORMULA, which is what lets
+    DuckDB gate an image pipeline it cannot decode."""
+    import pandas as pd
+
+    from hpc_hd_textreuse_etl_spark.functions.hashing import portable_hash64
+
+    docs = spark.table("documents").filter(F.col("doc_id") < limit).select("doc_id")
+    idx = F.sequence(F.lit(0), F.lit(255))
+
+    def pixel(i):
+        r = F.shiftright(i, 4)
+        c = i.bitwiseAND(F.lit(15))
+        h = portable_hash64(
+            F.concat_ws(
+                "|",
+                (F.col("doc_id") % 50).cast("string"),
+                r.cast("string"),
+                c.cast("string"),
+            )
+        ) % 256
+        perturbed = (
+            (r == F.col("doc_id") % 16)
+            & (c == F.shiftright(F.col("doc_id"), 4) % 16)
+        )
+        return F.when(perturbed, (h + 128) % 256).otherwise(h).cast("int")
+
+    with_pix = docs.select("doc_id", F.transform(idx, pixel).alias("pix"))
+
+    def encode(batches):
+        from hpc_hd_textreuse_etl_spark.functions.png_codec import png_encode
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "data": [
+                        png_encode(16, 16, 1, bytes(list(p))) for p in pdf["pix"]
+                    ],
+                }
+            )
+
+    return with_pix.mapInPandas(encode, schema="doc_id long, data binary")
+
+
+def _phash_oracle_select(limit: int = 300) -> str:
+    """DuckDB SQL computing the dHash of the synthetic PNGs DIRECTLY
+    from the pixel formula — the encode/decode round-trip cancels, so
+    matching this is a gate over the whole Spark image chain (pixel
+    gen, PNG encode, stdlib decode, grayscale, 16×16 → 9×8 nearest-
+    neighbor resize, bit pack). Only the 72 SAMPLED pixel positions
+    are materialized; bit 63 wraps to the signed BIGINT the phash
+    column holds."""
+    def h(sr: int, sc: int) -> str:
+        return (
+            f"(('0x' || substr(md5(CAST(doc_id % 50 AS VARCHAR) || "
+            f"'|{sr}|{sc}'), 1, 15))::BIGINT % 256)"
+        )
+
+    def px(sr: int, sc: int) -> str:
+        return (
+            f"(CASE WHEN doc_id % 16 = {sr} AND (doc_id // 16) % 16 = {sc} "
+            f"THEN ({h(sr, sc)} + 128) % 256 ELSE {h(sr, sc)} END)"
+        )
+
+    rows_map = [y * 16 // 8 for y in range(8)]
+    cols_map = [x * 16 // 9 for x in range(9)]
+    pix_cols = ", ".join(
+        f"{px(rows_map[r], cols_map[c])} AS p_{r}_{c}"
+        for r in range(8)
+        for c in range(9)
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN p_{r}_{c} > p_{r}_{c + 1} "
+        f"THEN {1 << (r * 8 + c)}::HUGEINT ELSE 0::HUGEINT END)"
+        for r in range(8)
+        for c in range(8)
+    )
+    return f"""px AS (
+      SELECT doc_id, {pix_cols} FROM documents WHERE doc_id < {limit}
+    ), ph AS (
+      SELECT doc_id,
+             CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                       THEN s - 18446744073709551616::HUGEINT
+                       ELSE s END AS BIGINT) AS phash
+      FROM (SELECT doc_id, ({bit_sum}) AS s FROM px)
+    )"""
+
+
+@query(
+    "perceptual_dhash_codes",
+    oracle=f"""
+    WITH {_phash_oracle_select()}
+    SELECT doc_id, phash FROM ph
+    """,
+    tags=("perceptual-dedup", "multimodal", "beyond-parity"),
+)
+def perceptual_dhash_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash over a synthetic PNG corpus
+    (operators/multimodal.py perceptual_image_hashes): the full image
+    pipeline — Catalyst pixel generation, distributed PNG encode,
+    stdlib decode, grayscale, nearest-neighbor resize, difference-hash
+    bit pack — value-hash-gated against a DuckDB oracle that computes
+    the hash from the pixel formula alone (the lossless container
+    round-trip cancels out)."""
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        perceptual_image_hashes,
+    )
+
+    pngs = _synthetic_png_docs(spark)
+    return perceptual_image_hashes(pngs, "doc_id", "data", method="dhash")
+
+
+@query(
+    "perceptual_near_duplicate_images",
+    oracle=f"""
+    WITH {_phash_oracle_select()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 2
+    """,
+    tags=("perceptual-dedup", "multimodal", "beyond-parity"),
+)
+def perceptual_near_duplicate_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs: dHash codes → Hamming-ball
+    blocking via the pigeonhole banding engine (operators/dedup.py
+    signature_near_duplicates — the SimHash machinery reused on image
+    signatures) → exact bit_count(xor) verification at radius 2. The
+    DuckDB oracle brute-forces ALL pairs within the radius, so the
+    gate proves the banding is lossless, not just plausible."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        perceptual_image_hashes,
+    )
+
+    pngs = _synthetic_png_docs(spark)
+    hashes = perceptual_image_hashes(pngs, "doc_id", "data", method="dhash")
+    return signature_near_duplicates(
+        hashes, "doc_id", "phash", max_hamming=2
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+
+
+
 @query(
     "pareto_frontier_parts",
     oracle="""
@@ -7385,3 +7956,131 @@ def quality_score_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("label"),
     )
     return roc_auc(docs, "score", "label")
+
+
+def _budget_mixture_oracle(rounds: int = 20, max_epochs: float = 4.0) -> str:
+    """DuckDB SQL recomputing the WHOLE token-budget planning chain:
+    BPE-segmented token counts per source (the gated 4-merge replay,
+    _bpe_oracle_rounds), suffix-derived target weights, the
+    water-filling cap cascade of budget_mixture_rates unrolled
+    ``rounds`` times (the cascade stabilizes in ≤ #sources rounds;
+    extra rounds are no-ops, and the final zf over the stable free set
+    is exactly the Python loop's last-round zf), and the
+    mixture_sample draw (floor + fractional hash gate, per-copy
+    explode). Every float in the cascade is either integer-valued in
+    double (budget, remaining, 4.0·n — exact regardless of order) or
+    computed by the same sequential fold order as the Python dict
+    (sorted source), so rates — and therefore thresholds and the drawn
+    row set — are bit-identical. Every cascade CTE is MATERIALIZED:
+    each round references the previous one several times, and inlined
+    re-planning would blow up 3^rounds (the curated-corpus lesson)."""
+    me = max_epochs
+    parts = [f""", tb0 AS MATERIALIZED (
+      SELECT d.source, CAST(SUM(len(string_split(c.t, ' '))) AS BIGINT) AS n
+      FROM c{_BPE_MERGES} c JOIN documents d ON c.id = d.doc_id
+      GROUP BY 1
+    ), tb AS MATERIALIZED (
+      SELECT source, n,
+             CAST(CAST(substr(source, 4) AS INT) + 1 AS DOUBLE) AS wraw
+      FROM tb0
+    ), zt AS MATERIALIZED (
+      SELECT list_sum(list(wraw ORDER BY source)) AS z,
+             CAST(3 * SUM(n) AS DOUBLE) AS budget
+      FROM tb
+    ), r0 AS MATERIALIZED (
+      SELECT source, n, wraw / (SELECT z FROM zt) AS w, FALSE AS capped
+      FROM tb
+    ), rm0 AS MATERIALIZED (SELECT (SELECT budget FROM zt) AS rem)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f""", z{i} AS MATERIALIZED (
+      SELECT list_sum(list(w ORDER BY source)) AS zf
+      FROM r{p} WHERE NOT capped AND w > 0
+    ), o{i} AS MATERIALIZED (
+      SELECT source FROM r{p}
+      WHERE NOT capped AND w > 0
+        AND ((SELECT rem FROM rm{p}) * w) / (SELECT zf FROM z{i}) > {me} * n
+    ), r{i} AS MATERIALIZED (
+      SELECT source, n, w,
+             capped OR source IN (SELECT source FROM o{i}) AS capped
+      FROM r{p}
+    ), rm{i} AS MATERIALIZED (
+      SELECT (SELECT rem FROM rm{p})
+             - COALESCE((SELECT SUM({me} * n) FROM r{p}
+                         WHERE source IN (SELECT source FROM o{i})), 0.0) AS rem
+    )""")
+    h = _DUCK_H.format(x="'budget-v1|' || CAST(d.doc_id AS VARCHAR)")
+    parts.append(f""", zfin AS MATERIALIZED (
+      SELECT list_sum(list(w ORDER BY source)) AS zf
+      FROM r{rounds} WHERE NOT capped AND w > 0
+    ), rates AS MATERIALIZED (
+      SELECT source, n,
+             CASE WHEN capped THEN {me}
+                  ELSE (((SELECT rem FROM rm{rounds}) * w)
+                        / (SELECT zf FROM zfin)) / n END AS rate
+      FROM r{rounds}
+    ), gate AS MATERIALIZED (
+      SELECT d.doc_id, d.source,
+             CAST(trunc(r.rate) AS BIGINT) AS fl,
+             CAST(trunc((r.rate - trunc(r.rate)) * 1152921504606846976.0)
+                  AS BIGINT) AS thr,
+             {h} AS h
+      FROM documents d JOIN rates r USING (source)
+    ), cps AS MATERIALIZED (
+      SELECT doc_id, source,
+             fl + (CASE WHEN h < thr THEN 1 ELSE 0 END) AS copies
+      FROM gate
+    )
+    SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS INT) AS copy
+    FROM cps WHERE copies > 0
+    """)
+    return "".join(parts)
+
+
+@query(
+    "token_budget_mixture",
+    oracle=_bpe_oracle_rounds(_BPE_MERGES) + _budget_mixture_oracle(),
+    tags=("sampling-mixture", "budget-planning", "bpe-training",
+          "beyond-parity"),
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan and DRAW an N-token training mixture end to end: BPE
+    token counts per source (the engine's own gated 4-merge
+    segmentation — real counts, not caller-supplied numbers) →
+    budget_mixture_rates (target weights ∝ source-suffix + 1, budget =
+    3× the corpus, max_epochs = 4 — parameters chosen so the
+    water-filling cap cascade actually fires and redistributes) →
+    mixture_sample (deterministic hash gate + per-copy explode). The
+    DuckDB oracle recomputes token counts, weights, the full cascade,
+    the per-source epochs, the fractional thresholds, and the drawn
+    (doc, copy) set."""
+    from hpc_hd_textreuse_etl_spark.operators.bpe import bpe_train
+    from hpc_hd_textreuse_etl_spark.operators.sampling import (
+        budget_mixture_rates,
+        mixture_sample,
+    )
+
+    docs = spark.table("documents")
+    _, seg = bpe_train(docs, "doc_id", "text", _BPE_MERGES)
+    counts_rows = (
+        seg.select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("n"))
+        .collect()
+    )
+    # sorted source order everywhere: the float folds inside
+    # budget_mixture_rates run in dict-insertion order, and the oracle
+    # mirrors them with list(... ORDER BY source)
+    token_counts = {
+        r["source"]: int(r["n"])
+        for r in sorted(counts_rows, key=lambda r: r["source"])
+    }
+    weights = {s: float(int(s[3:]) + 1) for s in token_counts}
+    budget = 3 * sum(token_counts.values())
+    rates = budget_mixture_rates(
+        token_counts, weights, budget, max_epochs=4.0
+    )
+    return mixture_sample(
+        docs, "source", rates, ["doc_id"], salt="budget-v1"
+    ).select("doc_id", "source", "copy")

@@ -248,3 +248,34 @@ def test_repeated_line_dedup_counts_on_hash_keys(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan
+
+
+def test_nb_classifier_model_broadcasts_and_topk_heaps(spark):
+    """The NB model is bounded by num_buckets (a config) and must reach
+    the per-document scoring join as a broadcast — never a corpus-wide
+    shuffle on bucket; the deployed top-k ranking must read the scores
+    through a TakeOrderedAndProject (per-task heaps, no global sort of
+    the scored corpus)."""
+    plan = executed_plan(spark, "quality_classifier_ranking")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curated_classifier_stage_no_cartesian(spark):
+    """The classifier curation stage composes onto the survivor chain
+    as broadcast/semi joins only — no cartesian product anywhere in
+    the six-stage pipeline."""
+    plan = executed_plan(spark, "curated_corpus_classifier")
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_codebooks_broadcast_no_cartesian(spark):
+    """PQ codebooks and the per-query ADC lookup table are m·ks-row
+    configs — they must reach their joins as broadcasts; the candidate
+    generation is an equi-join on cell_id, never a cartesian product
+    (the probe × centroids step is a broadcast nested loop over
+    n_cells rows, which is the accepted one-small-side shape)."""
+    plan = executed_plan(spark, "ann_ivfpq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
