@@ -1,13 +1,15 @@
-"""Scale probe for the round-8 curation-selection operators.
+"""Scale probe for the curation-selection operators.
 
-Measures the three new operator families — SemDeDup semantic dedup,
-DSIR importance weighting + Gumbel resample, and CCNet-style repeated-
-line dedup — at production settings (xxhash64 hash family, realistic
-bucket/cell counts) across three rungs (sf0.01 / sf0.1 / generated sf1,
-a 100× document-count span), recording wall seconds and shuffle
-read/write bytes per stage and fitting a log-log growth exponent per
-operator, exactly like examples/scale_ladder.py does for the headline
-queries.
+Measures the curation operator families — SemDeDup semantic dedup,
+DSIR importance weighting + Gumbel resample, CCNet-style repeated-
+line dedup, and (round 9) the discriminative NB quality classifier —
+at production settings (xxhash64 hash family, realistic bucket/cell
+counts) across three rungs (sf0.01 / sf0.1 / generated sf1, a 100×
+document-count span) plus a DSIR-only sf2 rung (its round-8 shuffle
+exponent was the repo's only ≥1 at 1.04 — the 4th point confirms
+linear vs inflecting), recording wall seconds and shuffle read/write
+bytes per stage and fitting a log-log growth exponent per operator,
+exactly like examples/scale_ladder.py does for the headline queries.
 
 Scale-semantics notes (why each parameter moves with the rung):
 
@@ -23,8 +25,9 @@ Scale-semantics notes (why each parameter moves with the rung):
   oracle gate uses, with the production hashed=True key.
 
 Usage:
-    python examples/scale_ladder.py --generate   # build sf1 first
-    python examples/curation_scale.py            # writes CURATION_SCALE.json
+    python examples/scale_ladder.py --generate      # build sf1 first
+    python examples/scale_ladder.py --generate-sf2  # build the DSIR rung
+    python examples/curation_scale.py               # writes CURATION_SCALE.json
 """
 
 from __future__ import annotations
@@ -41,10 +44,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+#: (label, dir, sf, only): ``only`` restricts which ops run at that
+#: rung — the sf2 rung exists to give DSIR (the one family whose
+#: round-8 shuffle exponent was ≥ 1, at 1.04) a FOURTH point and
+#: confirm it stays linear rather than inflecting; re-measuring the
+#: sublinear families there would double the probe's cost for rungs
+#: their 3-point fits don't need.
 RUNGS = (
-    ("sf0.01", "/root/testdata/sf0.01", 0.01),
-    ("sf0.1", "/root/testdata/sf0.1", 0.1),
-    ("sf1", os.path.join(REPO, "scale_data", "sf1"), 1.0),
+    ("sf0.01", "/root/testdata/sf0.01", 0.01, None),
+    ("sf0.1", "/root/testdata/sf0.1", 0.1, None),
+    ("sf1", os.path.join(REPO, "scale_data", "sf1"), 1.0, None),
+    ("sf2", os.path.join(REPO, "scale_data", "sf2"), 2.0,
+     {"dsir_weights_resample"}),
 )
 
 
@@ -114,11 +125,25 @@ def _ops(spark, sf_dir: str):
             _segmented_docs(docs), "doc_id", "text", min_count=2, keep="first"
         )
 
+    def run_nb_classifier():
+        from hpc_hd_textreuse_etl_spark.operators.classifier import (
+            nb_quality_scores,
+        )
+
+        labeled = docs.withColumn("is_pos", F.col("lang") == "en")
+        scores = nb_quality_scores(
+            docs, labeled, "doc_id", "text", "is_pos", num_buckets=65536
+        )
+        return scores.orderBy(
+            F.desc("log_odds"), F.asc("doc_id")
+        ).limit(max(50, n_docs // 100))
+
     return {
         "semantic_dedup": run_semantic,
         "semantic_dedup_matmul": run_semantic_matmul,
         "dsir_weights_resample": run_dsir,
         "repeated_line_dedup": run_line_dedup,
+        "nb_classifier": run_nb_classifier,
     }, {"n_docs": n_docs, "n_vecs": n_vecs}
 
 
@@ -150,11 +175,13 @@ def main() -> None:
     )
     loadavg_pre = [round(v, 2) for v in os.getloadavg()]
     out: dict = {"rungs": {}, "loadavg_pre": loadavg_pre, "cpus": cpus}
-    for label, sf_dir, sf in RUNGS:
+    for label, sf_dir, sf, only in RUNGS:
         if not os.path.exists(sf_dir):
             print(f"skipping {label}: {sf_dir} missing", file=sys.stderr)
             continue
         ops, sizes = _ops(spark, sf_dir)
+        if only is not None:
+            ops = {k: v for k, v in ops.items() if k in only}
         rung: dict = {"sf": sf, **sizes, "ops": {}}
         for name, thunk in ops.items():
             # warm pass excluded (parquet footers, JIT), then best-of-2;

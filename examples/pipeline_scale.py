@@ -365,8 +365,15 @@ def build_registry(spark, data_dir: str, cw_stats: dict | None = None):
             builder=lambda s, orig_textreuses, piece_id_mappings: D.defrag_textreuses(
                 orig_textreuses.select("piece1_id", "piece2_id"), piece_id_mappings))
     reg.add("clustered_defrag_pieces", deps=["defrag_textreuses"],
+            # the cw_probe-proven convergence config (round 8): default
+            # tie_freeze=5 plus the 0.001 activity floor, cap high
+            # enough that termination is BY CONVERGENCE (the probe
+            # measured 95/250 at sf1; reference semantics never
+            # converge on this tie-rich graph) — a user copying this
+            # harness config gets converged:true, not cap-termination
             builder=lambda s, defrag_textreuses: TR.cluster_pieces(
-                defrag_textreuses, max_iter=20, stats=cw_stats))
+                defrag_textreuses, max_iter=250, min_active=0.001,
+                stats=cw_stats))
 
     # --- metadata layer ---------------------------------------------------
     reg.add("manifestation_ids", deps=["ecco_core", "eebo_core", "newspapers_core"],

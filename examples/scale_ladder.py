@@ -48,6 +48,7 @@ from pyspark.sql import functions as F  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, "scale_data", "sf1")
+SF2 = os.path.join(REPO, "scale_data", "sf2")
 SF10 = os.path.join(REPO, "scale_data", "sf10")
 SKEW = os.path.join(REPO, "scale_data", "skew")
 ORGANIC = os.path.join(REPO, "scale_data", "sf1_organic")
@@ -794,6 +795,8 @@ def main() -> None:
     ap.add_argument("--run", action="store_true")
     ap.add_argument("--generate-deep", action="store_true",
                     help="build the 100× sf10 set")
+    ap.add_argument("--generate-sf2", action="store_true",
+                    help="build the 20× sf2 set (the DSIR 4th rung)")
     ap.add_argument("--deep", action="store_true",
                     help="run the heavy-query subset at sf0.1/1/10")
     ap.add_argument("--generate-skew", action="store_true",
@@ -824,6 +827,8 @@ def main() -> None:
         generate(spark, SF1, args.replicas)
     if args.generate_deep:
         generate(spark, SF10, 100)
+    if args.generate_sf2:
+        generate(spark, SF2, 20)
     if args.generate_skew:
         generate_skew(spark, SKEW, args.replicas)
     if args.generate_organic:
