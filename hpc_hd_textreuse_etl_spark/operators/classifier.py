@@ -213,3 +213,225 @@ def nb_quality_scores(
             F.col("log_odds"),
         ).alias("log_odds"),
     )
+
+
+def _doc_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int,
+    hash_family: str,
+    seed: int,
+) -> DataFrame:
+    """Length-normalized hashed-gram features ``(id, bucket, x)`` with
+    ``x = cnt / Σ cnt`` per document — bounded to (0, 1], so a fixed
+    learning rate is stable regardless of document length. The division
+    is one exact per-row double op (cross-engine-safe)."""
+    counts = hashed_ngram_counts(
+        df.select(id_col, text_col), id_col, text_col,
+        num_buckets, hash_family, seed,
+    )
+    totals = counts.groupBy(id_col).agg(
+        F.sum("cnt").cast("double").alias("__total")
+    )
+    return counts.join(totals, id_col).select(
+        id_col, "bucket",
+        (F.col("cnt").cast("double") / F.col("__total")).alias("x"),
+    )
+
+
+def _sorted_fold_sum(key_col: str, val_col: str):
+    """Order-fixed double sum: fold ``val`` in ``key`` order — the
+    partition-independent (and DuckDB-reproducible,
+    ``list_sum(list(v ORDER BY k))``) aggregation this module uses
+    everywhere a double sum crosses a groupBy."""
+    return F.aggregate(
+        F.array_sort(F.collect_list(F.struct(key_col, val_col))),
+        F.lit(0.0),
+        lambda acc, s: acc + s.getField(val_col),
+    )
+
+
+def lr_quality_model(
+    labeled: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    num_buckets: int = 512,
+    iters: int = 8,
+    learning_rate: float = 0.5,
+    l2: float = 0.0,
+    hash_family: str = "xxhash64",
+    seed: int = 7,
+    use_checkpoints: bool = True,
+) -> DataFrame:
+    """Train the ITERATIVE member of the CCNet/fastText quality-filter
+    family — logistic regression by full-batch gradient descent over
+    the same hashed bag-of-n-grams features NB and DSIR use — for the
+    "my labels aren't NB-separable" user (NB's closed-form weights
+    assume multinomial likelihoods; LR fits whatever linear boundary
+    the labels actually have). Returns ``(bucket, weight)`` with one
+    row per bucket in ``[0, num_buckets)`` plus ``bucket = -1`` holding
+    the intercept — the same config-sized, always-broadcastable model
+    contract as :func:`nb_quality_model`, persistable through
+    functions/model_store.py.
+
+    Fixed ``iters`` full-batch rounds (no convergence test — a data-
+    dependent stop would make the trained weights unreproducible across
+    engines), each: margins (broadcast model join + per-doc
+    bucket-ordered fold) → sigmoid residuals → per-bucket gradient
+    aggregation → driver-side weight update
+    ``w ← w − lr·(Σ_d resid·x / n + l2·w)`` (no l2 on the intercept).
+    The weights live on the DRIVER between rounds (num_buckets + 1
+    floats — a bounded artifact, the BPE-merge-list class), so each
+    round is a fresh short plan: no lineage nesting, no checkpoint
+    churn, and the update arithmetic is plain IEEE doubles identical
+    in Python and SQL.
+
+    At 100 TB: per round, the corpus-sized work is one broadcast join
+    against the model + one shuffle of ``(bucket, resid·x)`` partials —
+    the same two-shuffle budget as NB scoring, times ``iters``. The
+    feature table is computed once and pinned (tracked localCheckpoint)
+    across rounds; ``use_checkpoints=False`` skips the pin and
+    recomputes features per round (the fully-lazy escape hatch — the
+    per-round driver jobs themselves are inherent to GD).
+
+    Determinism: with ``hash_family="portable"`` every double sum folds
+    in sorted (bucket / doc id) order, so training is bit-reproducible
+    across partitionings and engine-reproducible to libm-``exp`` ulp —
+    the DuckDB gate pins the score RANKING (plans/queries.py
+    ``quality_lr_ranking``, the DSIR/BM25 convention) and
+    tests/test_classifier.py property-tests the weights against a
+    pure-Python recomputation. With the default xxhash64 family the
+    cross-doc gradient sums use plain ``F.sum`` (map-side combinable,
+    the production choice)."""
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        release_checkpoint,
+        tracked_local_checkpoint,
+    )
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if learning_rate <= 0:
+        raise ValueError(f"learning_rate must be positive, got {learning_rate}")
+    spark = labeled.sparkSession
+    lab = F.col(label_col).cast("boolean")
+    y = labeled.select(F.col(id_col), lab.cast("double").alias("__y"))
+    x = _doc_features(labeled, id_col, text_col, num_buckets, hash_family, seed)
+    if use_checkpoints:
+        x = tracked_local_checkpoint(x)
+        y = tracked_local_checkpoint(y)
+    class_counts = y.groupBy("__y").count().collect()
+    n = sum(r["count"] for r in class_counts)
+    if len(class_counts) < 2:
+        raise ValueError(
+            "lr_quality_model: training labels are one-class — the fit "
+            "is a runaway intercept, not a classifier"
+        )
+    sorted_folds = hash_family == "portable"
+    weights = [0.0] * num_buckets
+    bias = 0.0
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(b, w) for b, w in enumerate(weights)], "bucket int, weight double"
+        )
+        ll = (
+            x.join(F.broadcast(wdf), "bucket")
+            .select(id_col, "bucket", (F.col("x") * F.col("weight")).alias("t"))
+            .groupBy(id_col)
+            .agg(_sorted_fold_sum("bucket", "t").alias("ll"))
+        )
+        resid = (
+            y.join(ll, id_col, "left")
+            .select(
+                id_col,
+                (
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(-(F.lit(bias) + F.coalesce("ll", F.lit(0.0))))
+                    )
+                    - F.col("__y")
+                ).alias("r"),
+            )
+        )
+        rx = x.join(resid, id_col).select(
+            "bucket", F.col(id_col), (F.col("r") * F.col("x")).alias("rx")
+        )
+        if sorted_folds:
+            gb = rx.groupBy("bucket").agg(
+                _sorted_fold_sum(id_col, "rx").alias("g")
+            )
+            gbias_df = resid.agg(_sorted_fold_sum(id_col, "r").alias("g"))
+        else:
+            gb = rx.groupBy("bucket").agg(F.sum("rx").alias("g"))
+            gbias_df = resid.agg(F.sum("r").alias("g"))
+        g = {r["bucket"]: r["g"] for r in gb.collect()}  # <= num_buckets rows
+        gbias = gbias_df.collect()[0]["g"]
+        weights = [
+            w - learning_rate * ((g.get(b, 0.0) / n) + l2 * w)
+            for b, w in enumerate(weights)
+        ]
+        bias = bias - learning_rate * (gbias / n)
+    if use_checkpoints:
+        release_checkpoint(x)
+        release_checkpoint(y)
+    return spark.createDataFrame(
+        [(-1, bias)] + [(b, w) for b, w in enumerate(weights)],
+        "bucket int, weight double",
+    )
+
+
+def lr_quality_scores(
+    corpus: DataFrame,
+    labeled: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    num_buckets: int = 512,
+    iters: int = 8,
+    learning_rate: float = 0.5,
+    l2: float = 0.0,
+    hash_family: str = "xxhash64",
+    seed: int = 7,
+    model: DataFrame | None = None,
+    use_checkpoints: bool = True,
+) -> DataFrame:
+    """Score every corpus document under the LR quality model:
+    ``(id, score)`` with ``score = intercept + Σ_b w_b · x_b`` (the
+    log-odds under the fitted model — positive means curated-like, the
+    same deployment semantics as :func:`nb_quality_scores`). Pass
+    ``model=lr_quality_model(...)`` (or a model_store reload) to score
+    without retraining; otherwise it trains here from ``labeled``. A
+    document with an empty feature bag scores the intercept alone. One
+    broadcast join + one per-document bucket-ordered fold — identical
+    scale shape to NB scoring."""
+    if model is None:
+        if labeled is None:
+            raise ValueError("lr_quality_scores: pass labeled or model")
+        model = lr_quality_model(
+            labeled, id_col, text_col, label_col, num_buckets, iters,
+            learning_rate, l2, hash_family, seed, use_checkpoints,
+        )
+    bias = model.filter(F.col("bucket") == -1).select(
+        F.col("weight").alias("__bias")
+    )
+    wdf = model.filter(F.col("bucket") >= 0)
+    x = _doc_features(corpus, id_col, text_col, num_buckets, hash_family, seed)
+    sums = (
+        x.join(F.broadcast(wdf), "bucket")
+        .select(id_col, "bucket", (F.col("x") * F.col("weight")).alias("t"))
+        .groupBy(id_col)
+        .agg(_sorted_fold_sum("bucket", "t").alias("ll"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(sums, id_col, "left")
+        .crossJoin(F.broadcast(bias))  # intercept: exactly one row
+        .select(
+            id_col,
+            (F.coalesce(F.col("ll"), F.lit(0.0)) + F.col("__bias")).alias(
+                "score"
+            ),
+        )
+    )

@@ -49,6 +49,24 @@ def _coin(*args: str) -> str:
     return _COIN.format(args=", ".join(args))
 
 
+def _coin_portable(*args: str) -> str:
+    """The same uniform coin over the md5-based portable 60-bit hash
+    (functions/hashing.py) of the '|'-joined string renderings — DuckDB
+    computes the identical value as
+    ``((('0x' || substr(md5(a || '|' || b ...), 1, 15))::BIGINT
+    % 1000000000) / 1000000000.0)``, which is what lets a
+    bounded-iteration CW run hash-match a SQL oracle
+    (plans/queries.py ``chinese_whispers_portable``). xxhash64 stays the
+    production family: one JVM intrinsic vs an md5 + string round-trip
+    per coin."""
+    joined = ", ".join(f"CAST({a} AS STRING)" for a in args)
+    return (
+        "(pmod(CAST(conv(substr(md5(concat_ws('|', "
+        f"{joined}"
+        ")), 1, 15), 16, 10) AS BIGINT), 1000000000) / 1000000000.0)"
+    )
+
+
 def symmetrize_edges(edges: DataFrame, src: str = "piece1_id", dst: str = "piece2_id") -> DataFrame:
     """Undirected edge list → both directions (reference ``:36-41``)."""
     a = edges.select(F.col(src).alias("piece_id"), F.col(dst).alias("other_piece_id"))
@@ -90,6 +108,7 @@ def chinese_whispers(
     tie_freeze: int | None = 5,
     min_active: int | float = 0,
     materialize_adjacency: bool = True,
+    hash_family: str = "xxhash64",
 ) -> tuple[DataFrame, int]:
     """Run the loop; returns ``(state, iterations)`` where state has
     ``(piece_id, cluster_id, cluster_counts, active, stale)``.
@@ -132,7 +151,28 @@ def chinese_whispers(
     of the deterministic trajectory), and bounded — at most
     ``min_active`` vertices hold a label that one more coin flip might
     still have changed.
+
+    ``hash_family``: ``"xxhash64"`` (default, production) derives coins
+    from the JVM-side xxhash64; ``"portable"`` derives them from the
+    md5-based cross-engine hash (functions/hashing.py) so a
+    bounded-iteration run is reproducible bit-for-bit in DuckDB SQL —
+    the family that puts CW under the full value-hash oracle gate
+    (plans/queries.py ``chinese_whispers_portable``) instead of
+    rows-only. The two families follow different (equally valid)
+    trajectories; everything else about the loop is identical.
     """
+    if hash_family not in ("xxhash64", "portable"):
+        raise ValueError(f"unknown hash_family {hash_family!r}")
+    coin = _coin if hash_family == "xxhash64" else _coin_portable
+    # The tie-break threshold 1/(ties+1): with "portable" it must be a
+    # DOUBLE division — Spark's bare `1.0/n` divides in decimal(13,12),
+    # whose rounding disagrees with DuckDB's double `1.0/n` by one ulp
+    # for some n (measured at n=1923), which would silently fork the
+    # cross-engine trajectory. The xxhash64 family keeps the original
+    # decimal form verbatim: its trajectories are golden-pinned
+    # (plans/queries.py chinese_whispers_clusters) and have no oracle to
+    # agree with.
+    one = "1.0" if hash_family == "xxhash64" else "CAST(1.0 AS DOUBLE)"
     spark = adj.sparkSession
     if checkpoint is None:
         # Durable per-iteration round-trip is mandatory: an in-memory
@@ -218,14 +258,14 @@ def chinese_whispers(
             IF(acc.count <= cluster_counts[y],
               IF(acc.count < cluster_counts[y],
                 (y as cluster_id, cluster_counts[y] as count, 1 as same_count),
-                IF({_coin("piece_id", "y", f"int({it})", f"int({seed})")} < 1.0/greatest(acc.same_count + 1, 1),
+                IF({coin("piece_id", "y", f"int({it})", f"int({seed})")} < {one}/greatest(acc.same_count + 1, 1),
                   (y as cluster_id, acc.count as count, acc.same_count + 1 as same_count),
                   (acc.cluster_id as cluster_id, acc.count as count, acc.same_count + 1 as same_count))),
               acc),
           acc -> (acc.cluster_id as cluster_id, acc.same_count > 1 as tied)
         )
         """
-        gate = f"{_coin('piece_id', f'int({it})', f'int({seed + 1})')} <= {update_prob}"
+        gate = f"{coin('piece_id', f'int({it})', f'int({seed + 1})')} <= {update_prob}"
         updates = (
             state.filter(F.col("active"))
             .select("piece_id", F.col("cluster_id").alias("old_cluster_id"), "cluster_counts")

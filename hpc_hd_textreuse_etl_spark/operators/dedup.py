@@ -427,11 +427,38 @@ def signature_near_duplicates(
     then exact ``bit_count(xor)`` verification. The shuffle carries
     ``(id, sig, band, chunk)`` quadruples (≤ 32 bytes/row × n_bands),
     never payloads."""
+    band_bits, n_bands = _resolve_sig_bands(max_hamming, band_bits, bits)
+    chunks = _sig_chunks(sigs, id_col, sig_col, band_bits, n_bands)
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming_distance(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _resolve_sig_bands(
+    max_hamming: int, band_bits: int | None, bits: int
+) -> tuple[int, int]:
     if band_bits is None:
         n_chunks = min(max_hamming + 1, bits)
         band_bits = max(bits // n_chunks, 1)
-    n_bands = bits // band_bits
-    chunks = sigs.select(
+    return band_bits, bits // band_bits
+
+
+def _sig_chunks(
+    sigs: DataFrame, id_col: str, sig_col: str, band_bits: int, n_bands: int
+) -> DataFrame:
+    """``(id, sig, band, chunk)`` — one row per signature band; the
+    pigeonhole block table both signature dedup legs join on."""
+    return sigs.select(
         F.col(id_col),
         F.col(sig_col).alias("sig"),
         F.posexplode(
@@ -445,16 +472,58 @@ def signature_near_duplicates(
             )
         ).alias("band", "chunk"),
     )
-    a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "chunk"
+
+
+def signature_near_duplicates_delta(
+    base_sigs: DataFrame,
+    delta_sigs: DataFrame,
+    id_col: str,
+    sig_col: str = "sig",
+    max_hamming: int = 3,
+    band_bits: int | None = None,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs INTRODUCED by a delta of new signatures
+    against a corpus whose signature table is already materialized — the
+    daily-ingest leg of :func:`signature_near_duplicates`, and the image
+    sibling of :func:`lsh_candidate_pairs_delta`: new images are hashed
+    (operators/multimodal.py ``perceptual_image_hashes``), their 8-byte
+    signatures appended to the signature table, and only the DELTA is
+    banded against (base ∪ delta) — so the probe side of the bucket join
+    scales with |delta|, not |corpus|, and base-internal pairs (already
+    known from the run that built the base table) are never re-derived.
+
+    Returns the same ``(id_a < id_b, hamming)`` contract as the batch
+    leg, restricted to pairs with at least one delta side (delta–delta
+    pairs included once). Ids must be unique across base ∪ delta; both
+    tables must hold signatures from the SAME hash method and
+    ``(hash_w, hash_h)`` — mixed-parameter signature tables produce
+    garbage Hamming distances, which is why production pipelines version
+    the signature table by its parameters (the
+    :func:`minhash_near_duplicates_delta` contract)."""
+    band_bits, n_bands = _resolve_sig_bands(max_hamming, band_bits, bits)
+    all_chunks = _sig_chunks(
+        base_sigs.unionByName(delta_sigs), id_col, sig_col, band_bits, n_bands
+    ).select(
+        F.col(id_col).alias("id_all"), F.col("sig").alias("sig_all"),
+        "band", "chunk",
     )
-    b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "chunk"
+    new_chunks = _sig_chunks(
+        delta_sigs, id_col, sig_col, band_bits, n_bands
+    ).select(
+        F.col(id_col).alias("id_new"), F.col("sig").alias("sig_new"),
+        "band", "chunk",
     )
     return (
-        a.join(b, ["band", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming_distance(F.col("sig_a"), F.col("sig_b")).alias("hamming"))
+        new_chunks.join(all_chunks, ["band", "chunk"])
+        .filter(F.col("id_new") != F.col("id_all"))
+        .select(
+            F.least("id_new", "id_all").alias("id_a"),
+            F.greatest("id_new", "id_all").alias("id_b"),
+            hamming_distance(F.col("sig_new"), F.col("sig_all")).alias(
+                "hamming"
+            ),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -751,8 +820,16 @@ def semantic_dedup(
     exclusive with ``hash_family="portable"`` (BLAS ulp can flip
     near-tied assignments — ``ivf_index`` raises on the combination).
     ``use_checkpoints=False`` keeps the whole pipeline lazy (no eager
-    pins — see ``ivf_index``); with the default ``True``, looping
+    pins — see ``ivf_index``) — EXCEPT for the one ``n_cells`` derivation
+    count when ``n_cells=None``, which is a plan-construction-time job
+    regardless of this flag; pass an explicit ``n_cells`` for a fully
+    job-free construction. With the default ``True``, looping
     callers must hit a ``release_local_checkpoints()`` hygiene point.
+
+    **Default change in round 9**: ``n_cells`` was previously a fixed
+    16; callers that relied on that must now pass ``n_cells=16``
+    explicitly (the auto default re-blocks the corpus as it grows —
+    see COVERAGE.md's migration notes).
     """
     from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
         tracked_local_checkpoint,
@@ -812,6 +889,7 @@ def dedup_repeated_lines(
     keep: str = "none",
     hashed: bool = True,
     out_col: str = "clean_text",
+    delim_regex: str | None = None,
 ) -> DataFrame:
     """Remove lines/paragraphs that occur ``min_count``-or-more times
     ACROSS the corpus — the CCNet-style paragraph-hash dedup pass
@@ -830,7 +908,14 @@ def dedup_repeated_lines(
     before the split (Java-regex quoting via ``re.escape`` — backslash
     before a non-alphanumeric is literal in ``java.util.regex`` too) so
     a caller passing ``"|"`` or ``". "`` gets per-delimiter splitting,
-    not per-character regex fallout. A NULL ``text_col`` is treated as
+    not per-character regex fallout. **Breaking change in round 9**:
+    before the escape was added, ``delim`` was passed to ``split`` as a
+    raw Java regex — a caller that relied on that (e.g.
+    ``delim="\\r?\\n"``) must now pass ``delim_regex`` instead:
+    when set, the SPLIT uses that pattern verbatim while ``delim``
+    supplies the literal separator the surviving lines are re-joined
+    with (a regex match is not a reusable string, so rejoining needs an
+    explicit one). A NULL ``text_col`` is treated as
     the empty document — the output row still appears, with
     ``(out_col='', n_removed=0)``, keeping the every-input-row contract
     total over null inputs. EMPTY lines are
@@ -856,7 +941,9 @@ def dedup_repeated_lines(
     import re as _re
 
     text = F.coalesce(F.col(text_col), F.lit(""))
-    parts = F.split(text, _re.escape(delim))
+    parts = F.split(
+        text, delim_regex if delim_regex is not None else _re.escape(delim)
+    )
     base = df.select(F.col(id_col), F.posexplode(parts).alias("pos", "line"))
     key = F.xxhash64("line") if hashed else F.col("line")
     lines = base.withColumn("__k", key)

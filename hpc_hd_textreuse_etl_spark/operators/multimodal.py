@@ -385,13 +385,34 @@ def perceptual_image_hashes(
     shuffles carry (id, phash) pairs only, the same never-shuffle-
     payloads contract as every other dedup family
     (reference has no image path at all — beyond-parity; pairs via
-    operators/dedup.py signature_near_duplicates)."""
+    operators/dedup.py signature_near_duplicates).
+
+    Totality: rows with a NULL payload are dropped (an absent image has
+    no hash — callers wanting to treat them as errors should assert on
+    ``data_col`` upstream); integer id dtypes are normalized to long
+    before the Arrow exchange, and any other id dtype except string is
+    rejected here with a clear message instead of failing later inside
+    the Arrow conversion."""
     import pandas as pd
 
     if method not in _PHASH_FNS:
         raise ValueError(f"unknown perceptual hash method {method!r}")
     fn = _PHASH_FNS[method]
-    id_sql = "long" if dict(df.dtypes)[id_col] in ("bigint", "int") else "string"
+    id_dtype = dict(df.dtypes)[id_col]
+    if id_dtype in ("bigint", "int", "smallint", "tinyint"):
+        # cast up front so the pandas values match the declared long
+        # schema (a smallint column declared long would otherwise die in
+        # the Arrow conversion)
+        df = df.withColumn(id_col, F.col(id_col).cast("long"))
+        id_sql = "long"
+    elif id_dtype == "string":
+        id_sql = "string"
+    else:
+        raise ValueError(
+            f"perceptual_image_hashes: unsupported id dtype {id_dtype!r} "
+            f"for {id_col!r} (expected an integer type or string)"
+        )
+    df = df.where(F.col(data_col).isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -778,6 +778,7 @@ def ivfpq_topk(
     dim: int = 64,
     hash_family: str = "xxhash64",
     use_checkpoints: bool = True,
+    index: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: coarse IVF cells bound the candidate
     set (``n_probe`` probed cells per query), PQ codes + ADC score the
@@ -803,17 +804,34 @@ def ivfpq_topk(
     probed cell) instead of per query), which buys accuracy at 8×
     LUT cost here; the flat-encoding variant is the standard
     first rung (it is what FAISS calls ``IVFx,PQy`` without ``+R``).
+
+    ``index=(centroids, assignments, codebooks, codes)`` skips training
+    and scores against a pre-trained index — the train-once /
+    score-many-ingests contract; persist and reload the four frames via
+    functions/model_store.py (``save_model`` / ``load_model``). When
+    ``index`` is given the training knobs (n_cells, lloyd_iters, m, ks,
+    pq_iters, hash_family) are ignored except ``dim``/``m`` for the
+    query-side subspace split — they must match the values the index
+    was trained with (model_store's params check enforces this).
     """
-    centroids, assignments = ivf_index(
-        corpus, id_col, vec_col, n_cells, lloyd_iters, seed,
-        hash_family=hash_family, use_checkpoints=use_checkpoints,
-    )
-    codebooks, codes = pq_train(
-        corpus, id_col, vec_col, m, ks, pq_iters, seed, dim,
-        hash_family, use_checkpoints,
-    )
     if dim % m != 0:
-        raise ValueError(f"dim={dim} not divisible by m={m}")
+        # fail before any work — pq_train would raise the same error,
+        # but only after the (expensive) ivf_index call already ran
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    if index is not None:
+        # a pre-trained index — e.g. reloaded through
+        # functions/model_store.py — so one training run scores many
+        # query batches / ingests across sessions
+        centroids, assignments, codebooks, codes = index
+    else:
+        centroids, assignments = ivf_index(
+            corpus, id_col, vec_col, n_cells, lloyd_iters, seed,
+            hash_family=hash_family, use_checkpoints=use_checkpoints,
+        )
+        codebooks, codes = pq_train(
+            corpus, id_col, vec_col, m, ks, pq_iters, seed, dim,
+            hash_family, use_checkpoints,
+        )
     d_sub = dim // m
     qn = queries.select(
         F.col(id_col).alias("query_id"),

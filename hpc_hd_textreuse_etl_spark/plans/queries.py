@@ -1539,6 +1539,191 @@ def cw_intra_edge_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cw_portable_oracle(
+    iters: int,
+    seed: int = 42,
+    update_prob: float = 0.9,
+    tie_freeze: int = 5,
+    max_custkey: int = 200,
+) -> str:
+    """DuckDB oracle for a bounded-iteration ``hash_family="portable"``
+    Chinese-Whispers run (operators/clustering.py): the full loop —
+    initial neighbor-vote maps, sorted-key arg-max with reservoir
+    tie-breaking, the 0.9 update gate, ±vote delta pushes, stale/freeze
+    bookkeeping — unrolled ``iters`` times as relational state tables
+    ``(votes_i, labels_i)``. Every round CTE is MATERIALIZED (the
+    token_budget_mixture lesson: an unrolled chain whose round ``i``
+    is referenced several times by round ``i+1`` otherwise re-inlines
+    3^rounds).
+
+    Exactness notes: the coins are the md5 portable hash of the
+    '|'-joined args — bit-identical in both engines; the reservoir fold
+    over sorted map keys is equivalent to "among the tied-max keys in
+    key order, key #j replaces the pick iff coin(j) < 1.0/j", so the
+    arg-max is ``arg_max(y, j)`` over the accepted rows; the 1/j
+    threshold divides in DOUBLE on both sides (the engine's portable
+    fold casts — Spark's bare decimal division disagrees with double
+    by one ulp at some n). If the loop converges before ``iters``,
+    further unrolled rounds are no-ops (no active vertices → empty
+    picks), so a fixed unroll matches any early stop."""
+
+    def coin(args: str) -> str:
+        return (
+            f"((('0x' || substr(md5({args}), 1, 15))::BIGINT"
+            " % 1000000000) / 1000000000.0)"
+        )
+
+    parts = [
+        f"""WITH base AS MATERIALIZED (
+      SELECT CAST(c_custkey AS BIGINT) AS cid,
+             CAST(c_nationkey AS BIGINT) AS nid
+      FROM customer WHERE c_custkey <= {max_custkey}
+    ), raw_edges AS MATERIALIZED (
+      SELECT cid AS src, nid + 10000000 AS dst FROM base
+      UNION ALL
+      SELECT cid AS src,
+             lead(cid) OVER (PARTITION BY nid ORDER BY cid) AS dst
+      FROM base
+    ), e AS MATERIALIZED (
+      SELECT src AS piece_id, dst AS other FROM raw_edges WHERE dst IS NOT NULL
+      UNION ALL
+      SELECT dst AS piece_id, src AS other FROM raw_edges WHERE dst IS NOT NULL
+    ), votes_0 AS MATERIALIZED (
+      SELECT piece_id, other AS cluster, CAST(count(*) AS BIGINT) AS votes
+      FROM e GROUP BY 1, 2
+    ), labels_0 AS MATERIALIZED (
+      SELECT DISTINCT piece_id, piece_id AS cluster_id,
+             TRUE AS active, 0 AS stale
+      FROM e
+    )"""
+    ]
+    for i in range(iters):
+        tie_coin = coin(
+            f"a.piece_id::VARCHAR || '|' || a.y::VARCHAR || '|{i}|{seed}'"
+        )
+        gate_coin = coin(f"p.piece_id::VARCHAR || '|{i}|{seed + 1}'")
+        parts.append(f""", act_{i} AS MATERIALIZED (
+      SELECT v.piece_id, v.cluster AS y, v.votes
+      FROM votes_{i} v JOIN labels_{i} l USING (piece_id)
+      WHERE l.active
+    ), mx_{i} AS MATERIALIZED (
+      SELECT piece_id, max(votes) AS mv FROM act_{i} GROUP BY piece_id
+    ), cand_{i} AS MATERIALIZED (
+      SELECT piece_id, y,
+             row_number() OVER (PARTITION BY piece_id ORDER BY y) AS j,
+             count(*) OVER (PARTITION BY piece_id) AS m
+      FROM (
+        SELECT a.piece_id, a.y
+        FROM act_{i} a JOIN mx_{i} x ON a.piece_id = x.piece_id
+        WHERE a.votes = x.mv
+      )
+    ), picks_{i} AS MATERIALIZED (
+      SELECT a.piece_id, arg_max(a.y, a.j) AS new_cluster_id,
+             max(a.m) > 1 AS tied
+      FROM cand_{i} a
+      WHERE a.j = 1 OR {tie_coin} < 1.0/a.j
+      GROUP BY a.piece_id
+    ), upd_{i} AS MATERIALIZED (
+      SELECT p.piece_id, l.cluster_id AS old_cluster_id, p.new_cluster_id,
+             p.tied,
+             (l.cluster_id <> p.new_cluster_id
+              AND {gate_coin} <= {update_prob}) AS do_update
+      FROM picks_{i} p JOIN labels_{i} l USING (piece_id)
+      WHERE p.tied OR (l.cluster_id <> p.new_cluster_id
+                       AND {gate_coin} <= {update_prob})
+    ), dx_{i} AS MATERIALIZED (
+      SELECT e.other AS piece_id, c.old_cluster_id, c.new_cluster_id,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT * FROM upd_{i} WHERE do_update) c
+      JOIN e ON e.piece_id = c.piece_id
+      GROUP BY 1, 2, 3
+    ), deltas_{i} AS MATERIALIZED (
+      SELECT piece_id, cluster, CAST(sum(d) AS BIGINT) AS delta FROM (
+        SELECT piece_id, old_cluster_id AS cluster, -cnt AS d FROM dx_{i}
+        UNION ALL
+        SELECT piece_id, new_cluster_id AS cluster, cnt AS d FROM dx_{i}
+      ) GROUP BY 1, 2
+    ), dset_{i} AS MATERIALIZED (
+      SELECT DISTINCT piece_id FROM deltas_{i}
+    ), votes_{i + 1} AS MATERIALIZED (
+      SELECT piece_id, cluster, CAST(sum(v) AS BIGINT) AS votes FROM (
+        SELECT piece_id, cluster, votes AS v FROM votes_{i}
+        UNION ALL
+        SELECT piece_id, cluster, delta AS v FROM deltas_{i}
+      ) GROUP BY 1, 2
+      HAVING sum(v) <> 0
+    ), labels_{i + 1} AS MATERIALIZED (
+      SELECT l.piece_id,
+             CASE WHEN COALESCE(u.do_update, FALSE)
+                  THEN u.new_cluster_id ELSE l.cluster_id END AS cluster_id,
+             (COALESCE(u.tied, FALSE)
+              AND (CASE WHEN d.piece_id IS NOT NULL
+                        THEN 0 ELSE l.stale + 1 END) < {tie_freeze})
+             OR (d.piece_id IS NOT NULL) AS active,
+             CASE WHEN d.piece_id IS NOT NULL
+                  THEN 0 ELSE l.stale + 1 END AS stale
+      FROM labels_{i} l
+      LEFT JOIN upd_{i} u ON u.piece_id = l.piece_id
+      LEFT JOIN dset_{i} d ON d.piece_id = l.piece_id
+    )""")
+    parts.append(
+        f"""
+    SELECT CAST(piece_id AS BIGINT) AS piece_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM labels_{iters}
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "chinese_whispers_portable",
+    oracle=_cw_portable_oracle(iters=8),
+    tags=("§2.10", "A5", "A6", "iterative-graph"),
+)
+def chinese_whispers_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chinese Whispers under the FULL value-hash gate: the
+    ``hash_family="portable"`` coin variant (md5-based, reproducible in
+    DuckDB) on a bounded star+chain graph (customers ≤ 200 linked to
+    their nation hub and chained within nation — tie-rich, so the
+    reservoir tie-break, the 0.9 gate, and the stale/freeze bookkeeping
+    all fire), max_iter=8 unrolled exactly in the oracle. This retires
+    the registry's only rows-only entry: the stochastic PRODUCTION
+    query (``chinese_whispers_clusters``, xxhash64 coins) keeps its
+    golden pins + the two oracle-green invariants, while this twin
+    proves the LOOP — vote maps, arg-max fold, delta pushes,
+    convergence bookkeeping — against an independent relational
+    recomputation, iteration by iteration."""
+    from hpc_hd_textreuse_etl_spark.operators.clustering import (
+        adjacency_list,
+        chinese_whispers,
+        clustered_pieces,
+    )
+
+    base = (
+        spark.table("customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select(
+            F.col("c_custkey").cast("long").alias("cid"),
+            F.col("c_nationkey").cast("long").alias("nid"),
+        )
+    )
+    star = base.select(
+        F.col("cid").alias("piece1_id"),
+        (F.col("nid") + 10_000_000).alias("piece2_id"),
+    )
+    w = Window.partitionBy("nid").orderBy("cid")
+    chain = base.select(
+        F.col("cid").alias("piece1_id"),
+        F.lead("cid").over(w).alias("piece2_id"),
+    ).filter(F.col("piece2_id").isNotNull())
+    state, _ = chinese_whispers(
+        adjacency_list(star.unionAll(chain)),
+        max_iter=8, seed=42, hash_family="portable",
+    )
+    return clustered_pieces(state)
+
+
 @query(
     "earliest_consistency_check",
     oracle="""
@@ -5442,6 +5627,198 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_classifier_ranking_reloaded",
+    oracle=f"""
+    WITH {_nb_sql(512, train_pred="t.doc_id % 10 < 8")}
+    SELECT doc_id, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY log_odds DESC, doc_id) AS rank
+      FROM nbscores
+    ) WHERE rank <= 50
+    """,
+    tags=("quality-classifier", "model-persistence", "beyond-parity"),
+)
+def quality_classifier_ranking_reloaded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The train-once / score-later contract
+    (functions/model_store.py): the NB model trains, round-trips
+    through save_model → parquet → load_model (sidecar kind + params
+    validated), and the RELOADED model scores the corpus — gated by
+    the SAME oracle as the train-in-session twin
+    (quality_classifier_ranking), so any bit drift through the
+    persistence layer (double truncation, row loss, column reorder)
+    fails the value-hash."""
+    import tempfile
+
+    from hpc_hd_textreuse_etl_spark.functions.model_store import (
+        load_model,
+        save_model,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.classifier import (
+        nb_quality_model,
+        nb_quality_scores,
+    )
+
+    params = dict(num_buckets=512, alpha=1.0, hash_family="portable", seed=7)
+    model = nb_quality_model(
+        _nb_train_docs(spark), "doc_id", "text", "is_pos",
+        num_buckets=512, hash_family="portable",
+    )
+    path = tempfile.mkdtemp(prefix="nb-model-")
+    save_model(model, path, "nb_quality_model", params)
+    reloaded = load_model(spark, path, "nb_quality_model", params)
+    w = nb_quality_scores(
+        spark.table("documents"), _nb_train_docs(spark),
+        "doc_id", "text", "is_pos",
+        num_buckets=512, hash_family="portable", model=reloaded,
+    )
+    topk = w.orderBy(F.desc("log_odds"), F.asc("doc_id")).limit(50)
+    wnd = Window.orderBy(F.desc("log_odds"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(wnd).cast("int")).select(
+        "doc_id", "rank"
+    )
+
+
+def _lr_sql(
+    num_buckets: int,
+    iters: int,
+    lr: float,
+    l2: float,
+    train_pred: str = "TRUE",
+) -> str:
+    """CTE chain recomputing the logistic-regression quality filter
+    (operators/classifier.py lr_quality_model / lr_quality_scores,
+    hash_family='portable') in DuckDB, ending in
+    ``lrscores(doc_id, score)``: length-normalized hashed-gram features
+    over ALL documents, the training slice labeled ``lang='en'``, and
+    ``iters`` full-batch gradient rounds UNROLLED as weight tables
+    ``lrw_i`` (every round CTE MATERIALIZED — the unrolled-cascade
+    inlining lesson). Every double sum is order-fixed
+    (``list_sum(list(v ORDER BY k))`` ≡ the Spark sorted-struct folds);
+    the only cross-engine residue is libm-``exp`` ulp in the sigmoid,
+    which is why the gate pins the score RANKING, not values (the
+    DSIR/BM25 convention)."""
+    b = num_buckets
+    bucket = _DUCK_H.format(x="g") + f" % {b}"
+    zero = "CAST(0 AS DOUBLE)"
+    parts = [f"""lrtok AS (
+      SELECT doc_id, {_TOK} AS w FROM documents
+    ), lrgrams AS (
+      SELECT doc_id, unnest(w) AS g FROM lrtok
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(w) + 1),
+                                   i -> w[i - 1] || ' ' || w[i])) AS g
+      FROM lrtok WHERE len(w) >= 2
+    ), lrdc AS (
+      SELECT doc_id, CAST({bucket} AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lrgrams GROUP BY 1, 2
+    ), lrx AS MATERIALIZED (
+      SELECT dc.doc_id, dc.bucket, CAST(dc.cnt AS DOUBLE) / t.total AS x
+      FROM lrdc dc JOIN (
+        SELECT doc_id, CAST(sum(cnt) AS DOUBLE) AS total
+        FROM lrdc GROUP BY doc_id
+      ) t ON dc.doc_id = t.doc_id
+    ), lrtrain AS MATERIALIZED (
+      SELECT t.doc_id, (t.lang = 'en') AS is_pos
+      FROM documents t WHERE {train_pred}
+    ), lrn AS MATERIALIZED (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM lrtrain
+    ), lrw_0 AS MATERIALIZED (
+      SELECT CAST(r.range AS INT) AS bucket, {zero} AS weight
+      FROM range(-1, {b}) r
+    )"""]
+    for i in range(iters):
+        parts.append(f""", lrs_{i} AS MATERIALIZED (
+      SELECT x.doc_id,
+             list_sum(list(x.x * w.weight ORDER BY x.bucket)) AS t
+      FROM lrx x JOIN lrw_{i} w ON x.bucket = w.bucket
+      GROUP BY x.doc_id
+    ), lrr_{i} AS MATERIALIZED (
+      SELECT tr.doc_id,
+             (1.0 / (1.0 + exp(-(wb.bias + COALESCE(s.t, {zero}))))
+              - (CASE WHEN tr.is_pos THEN 1.0 ELSE 0.0 END)) AS r
+      FROM lrtrain tr
+      LEFT JOIN lrs_{i} s ON s.doc_id = tr.doc_id
+      CROSS JOIN (SELECT weight AS bias FROM lrw_{i} WHERE bucket = -1) wb
+    ), lrg_{i} AS MATERIALIZED (
+      SELECT x.bucket,
+             list_sum(list(r.r * x.x ORDER BY x.doc_id)) AS g
+      FROM lrx x JOIN lrr_{i} r ON x.doc_id = r.doc_id
+      GROUP BY x.bucket
+    ), lrgb_{i} AS MATERIALIZED (
+      SELECT list_sum(list(r ORDER BY doc_id)) AS g FROM lrr_{i}
+    ), lrw_{i + 1} AS MATERIALIZED (
+      SELECT w.bucket,
+             CASE WHEN w.bucket = -1
+                  THEN w.weight - {lr!r} * ((SELECT g FROM lrgb_{i})
+                                            / (SELECT n FROM lrn))
+                  ELSE w.weight - {lr!r} * ((COALESCE(g.g, {zero})
+                                             / (SELECT n FROM lrn))
+                                            + {l2!r} * w.weight)
+             END AS weight
+      FROM lrw_{i} w LEFT JOIN lrg_{i} g ON w.bucket = g.bucket
+    )""")
+    parts.append(f""", lrscores AS MATERIALIZED (
+      SELECT d.doc_id, wb.bias + COALESCE(s.t, {zero}) AS score
+      FROM documents d
+      LEFT JOIN (
+        SELECT x.doc_id,
+               list_sum(list(x.x * w.weight ORDER BY x.bucket)) AS t
+        FROM lrx x JOIN lrw_{iters} w ON x.bucket = w.bucket
+        GROUP BY x.doc_id
+      ) s ON s.doc_id = d.doc_id
+      CROSS JOIN (SELECT weight AS bias FROM lrw_{iters} WHERE bucket = -1) wb
+    )""")
+    return "".join(parts)
+
+
+@query(
+    "quality_lr_ranking",
+    oracle=f"""
+    WITH {_lr_sql(512, iters=8, lr=0.5, l2=0.0, train_pred="t.doc_id % 10 < 8")}
+    SELECT doc_id, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM lrscores
+    ) WHERE rank <= 50
+    """,
+    tags=("quality-classifier", "iterative", "beyond-parity"),
+)
+def quality_lr_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATIVE quality filter deployed end to end: logistic
+    regression trains by 8 full-batch gradient rounds on the 80% slice
+    (labels lang=='en', operators/classifier.py lr_quality_model),
+    scores EVERY document, ranks the 50 most curated-like. The DuckDB
+    oracle re-runs the entire optimization — features, margins,
+    sigmoids, per-bucket gradients, weight updates — unrolled round by
+    round, so a drift anywhere in the training loop (fold order, the
+    intercept's no-l2 exemption, the n divisor, the update expression
+    tree) reorders the ranking and fails the value-hash. NB
+    (quality_classifier_ranking) is the closed-form sibling; this is
+    the fastText/CCNet-style trainer for labels NB's multinomial
+    assumption can't separate."""
+    from hpc_hd_textreuse_etl_spark.operators.classifier import (
+        lr_quality_scores,
+    )
+
+    docs = spark.table("documents")
+    w = lr_quality_scores(
+        docs, _nb_train_docs(spark), "doc_id", "text", "is_pos",
+        num_buckets=512, iters=8, learning_rate=0.5, l2=0.0,
+        hash_family="portable",
+    )
+    topk = w.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+    # rank window AFTER the limit, over <= 50 rows — benign
+    wnd = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(wnd).cast("int")).select(
+        "doc_id", "rank"
+    )
+
+
+@query(
     "curated_corpus_classifier",
     oracle=_curated_corpus_oracle(classifier_keep=60),
     tags=("curation-pipeline", "quality-classifier", "beyond-parity"),
@@ -5463,6 +5840,36 @@ def curated_corpus_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(
         corpus, bench,
         cfg=CurationConfig(hash_family="portable", classifier_keep=60),
+        classifier_label_predicate=F.col("lang") == "en",
+    )
+
+
+@query(
+    "curated_corpus_dsir_classifier",
+    oracle=_curated_corpus_oracle(dsir_keep=90, classifier_keep=45),
+    tags=("curation-pipeline", "dsir", "quality-classifier",
+          "beyond-parity"),
+)
+def curated_corpus_dsir_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH opt-in selection stages composed: DSIR keeps the 90 most
+    target-like survivors of the clean chain, then the NB quality
+    filter trains on THAT kept set (labels lang=='en') and keeps its 45
+    highest-log-odds members before the split — seven operator families
+    end to end. This exercises the oracle's re-attach branch (the
+    classifier's feature/training source is the DSIR-kept id set joined
+    back to the survivor texts), which the dsir-only and
+    classifier-only twins never touch."""
+    from hpc_hd_textreuse_etl_spark.plans.curation import CurationConfig, curate
+
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return curate(
+        corpus, bench,
+        cfg=CurationConfig(
+            hash_family="portable", dsir_keep=90, classifier_keep=45
+        ),
+        dsir_target_predicate=F.col("lang") == "en",
         classifier_label_predicate=F.col("lang") == "en",
     )
 
@@ -5594,6 +6001,61 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
         k=5, n_cells=8, n_probe=3, lloyd_iters=2,
         m=8, ks=8, pq_iters=1, hash_family="portable",
+    )
+
+
+@query(
+    "ann_ivfpq_topk_reloaded",
+    oracle=_ivfpq_oracle(
+        k=5, n_cells=8, n_probe=3, lloyd_iters=2,
+        m=8, ks=8, pq_iters=1, seed=42, dim=64,
+    ),
+    tags=("similarity-ivfpq", "model-persistence", "beyond-parity"),
+)
+def ann_ivfpq_topk_reloaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ scored from a PERSISTED index: coarse centroids,
+    assignments, PQ codebooks and codes all round-trip through
+    functions/model_store.py, and ivfpq_topk(index=...) scores from
+    the reloaded frames — against the same unrolled oracle as the
+    train-in-session twin (ann_ivfpq_topk), adc doubles and all. This
+    is the index-build-nightly / query-all-day deployment shape; the
+    sidecar's params check is what stops a query batch from probing an
+    index trained with different (m, ks, seed) knobs."""
+    import tempfile
+
+    from hpc_hd_textreuse_etl_spark.functions.model_store import (
+        load_model,
+        save_model,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    knobs = dict(n_cells=8, lloyd_iters=2, m=8, ks=8, pq_iters=1,
+                 seed=42, dim=64, hash_family="portable")
+    emb = spark.table("embeddings")
+    centroids, assignments = ivf_index(
+        emb, "vec_id", "embedding", 8, 2, 42, hash_family="portable"
+    )
+    codebooks, codes = pq_train(
+        emb, "vec_id", "embedding", 8, 8, 1, 42, 64, "portable"
+    )
+    base = tempfile.mkdtemp(prefix="ivfpq-index-")
+    parts = {
+        "centroids": centroids, "assignments": assignments,
+        "codebooks": codebooks, "codes": codes,
+    }
+    for part, df in parts.items():
+        save_model(df, f"{base}/{part}", f"ivfpq_{part}", knobs)
+    index = tuple(
+        load_model(spark, f"{base}/{part}", f"ivfpq_{part}", knobs)
+        for part in parts
+    )
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 20), emb, "vec_id", "embedding",
+        k=5, n_probe=3, dim=64, m=8, index=index,
     )
 
 
@@ -5814,6 +6276,46 @@ def perceptual_near_duplicate_images(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "perceptual_near_duplicate_images_delta",
+    oracle=f"""
+    WITH {_phash_oracle_select()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 2
+      AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+    """,
+    tags=("perceptual-dedup", "multimodal", "incremental", "beyond-parity"),
+)
+def perceptual_near_duplicate_images_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The daily-ingest leg of perceptual image dedup
+    (operators/dedup.py signature_near_duplicates_delta): the corpus's
+    signature table is already materialized (every doc_id % 5 != 0
+    image), a delta of new images (doc_id % 5 == 0) is hashed and
+    banded against base ∪ delta. The DuckDB oracle brute-forces all
+    within-radius pairs TOUCHING the delta — so the gate proves both
+    the pigeonhole banding's losslessness on the ingest path and that
+    base-internal pairs are never re-derived (they are absent from the
+    oracle's answer, so re-deriving any would fail the value-hash)."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates_delta,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        perceptual_image_hashes,
+    )
+
+    pngs = _synthetic_png_docs(spark)
+    hashes = perceptual_image_hashes(pngs, "doc_id", "data", method="dhash")
+    base = hashes.filter(F.col("doc_id") % 5 != 0)
+    delta = hashes.filter(F.col("doc_id") % 5 == 0)
+    return signature_near_duplicates_delta(
+        base, delta, "doc_id", "phash", max_hamming=2
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 

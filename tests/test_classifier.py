@@ -213,3 +213,135 @@ def test_validates_alpha(tables):
         nb_quality_model(
             _labeled(tables), "doc_id", "text", "is_pos", alpha=0.0
         )
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression quality filter (lr_quality_model / lr_quality_scores)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def py_lr_reference(tables):
+    """Pure-Python full-batch GD on the same length-normalized hashed
+    features, labels lang=='en' — 8 rounds, lr=0.5, l2=0.0, replicating
+    lr_quality_model's update expression tree exactly."""
+    rows = tables.table("documents").select("doc_id", "text", "lang").collect()
+    feats = {}
+    for r in rows:
+        c = _py_counts(r["text"])
+        total = float(sum(c.values()))
+        feats[r["doc_id"]] = {b: n / total for b, n in c.items()} if total else {}
+    y = {r["doc_id"]: 1.0 if r["lang"] == "en" else 0.0 for r in rows}
+    n = len(rows)
+    w = [0.0] * NUM_BUCKETS
+    bias = 0.0
+    lr, l2 = 0.5, 0.0
+    for _ in range(8):
+        resid = {}
+        for d, x in feats.items():
+            # margin folds in bucket order, like the engine
+            m = bias + sum(
+                (x[b] * w[b] for b in sorted(x)), start=0.0
+            )
+            resid[d] = 1.0 / (1.0 + math.exp(-m)) - y[d]
+        g = [0.0] * NUM_BUCKETS
+        per_bucket = {}
+        for d, x in feats.items():
+            for b, v in x.items():
+                per_bucket.setdefault(b, []).append((d, resid[d] * v))
+        for b, terms in per_bucket.items():
+            s = 0.0
+            for _, t in sorted(terms):  # doc-id order, like the engine
+                s += t
+            g[b] = s
+        gbias = 0.0
+        for d in sorted(resid):
+            gbias += resid[d]
+        w = [wi - lr * ((g[b] / n) + l2 * wi) for b, wi in enumerate(w)]
+        bias = bias - lr * (gbias / n)
+    scores = {
+        d: bias + sum((x[b] * w[b] for b in sorted(x)), start=0.0)
+        for d, x in feats.items()
+    }
+    return w, bias, scores
+
+
+def test_lr_weights_match_python_gd(tables, py_lr_reference):
+    from hpc_hd_textreuse_etl_spark.operators.classifier import lr_quality_model
+
+    w_ref, bias_ref, _ = py_lr_reference
+    model = {
+        r.bucket: r.weight
+        for r in lr_quality_model(
+            _labeled(tables), "doc_id", "text", "is_pos",
+            num_buckets=NUM_BUCKETS, iters=8, learning_rate=0.5,
+            hash_family="portable",
+        ).collect()
+    }
+    assert len(model) == NUM_BUCKETS + 1
+    assert model[-1] == pytest.approx(bias_ref, abs=1e-12)
+    for b in range(NUM_BUCKETS):
+        assert model[b] == pytest.approx(w_ref[b], abs=1e-12), b
+    # the fit moved: at least some weights are nonzero
+    assert sum(1 for v in model.values() if v != 0.0) > 10
+
+
+def test_lr_scores_match_python_and_separate_classes(tables, py_lr_reference):
+    from hpc_hd_textreuse_etl_spark.operators.classifier import lr_quality_scores
+
+    _, _, scores_ref = py_lr_reference
+    got = {
+        r.doc_id: r.score
+        for r in lr_quality_scores(
+            _labeled(tables), _labeled(tables), "doc_id", "text", "is_pos",
+            num_buckets=NUM_BUCKETS, iters=8, learning_rate=0.5,
+            hash_family="portable",
+        ).collect()
+    }
+    assert set(got) == set(scores_ref)
+    for d, s in scores_ref.items():
+        assert got[d] == pytest.approx(s, abs=1e-12), d
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in tables.table("documents").select("doc_id", "lang").collect()
+    }
+    pos = [got[d] for d, l in langs.items() if l == "en"]
+    neg = [got[d] for d, l in langs.items() if l != "en"]
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_lr_model_reuse_and_validations(tables, spark):
+    from hpc_hd_textreuse_etl_spark.operators.classifier import (
+        lr_quality_model,
+        lr_quality_scores,
+    )
+
+    lab = _labeled(tables)
+    model = lr_quality_model(
+        lab, "doc_id", "text", "is_pos", num_buckets=64, iters=2,
+        hash_family="portable",
+    )
+    reused = lr_quality_scores(
+        lab, None, "doc_id", "text", "is_pos", num_buckets=64,
+        hash_family="portable", model=model,
+    )
+    inline = lr_quality_scores(
+        lab, lab, "doc_id", "text", "is_pos", num_buckets=64, iters=2,
+        hash_family="portable",
+    )
+    assert sorted(map(tuple, reused.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+    with pytest.raises(ValueError, match="one-class"):
+        lr_quality_model(
+            lab.withColumn("is_pos", F.lit(True)), "doc_id", "text",
+            "is_pos", num_buckets=64, iters=1,
+        )
+    with pytest.raises(ValueError, match="iters"):
+        lr_quality_model(lab, "doc_id", "text", "is_pos", iters=0)
+    with pytest.raises(ValueError, match="learning_rate"):
+        lr_quality_model(
+            lab, "doc_id", "text", "is_pos", learning_rate=0.0
+        )
+    with pytest.raises(ValueError, match="labeled or model"):
+        lr_quality_scores(lab, None, "doc_id", "text", "is_pos")

@@ -127,3 +127,25 @@ def test_adjacency_materialization_is_trajectory_neutral(spark):
     )
     assert c_mat == c_lazy
     assert it_mat == it_lazy
+
+
+def test_portable_hash_family_matches_contract(spark):
+    """hash_family='portable' (the DuckDB-reproducible coin family,
+    plans/queries.py chinese_whispers_portable) converges on the clique
+    fixture, reproduces bit-for-bit across runs, and rejects unknown
+    families before any work."""
+    import pytest
+
+    edges = _clique(range(1, 6)) + _clique(range(10, 15))
+    clusters, iters = _run(
+        spark, edges, max_iter=30, seed=42, hash_family="portable"
+    )
+    assert iters < 30
+    assert len(clusters) == 10
+    a = {clusters[n] for n in range(1, 6)}
+    b = {clusters[n] for n in range(10, 15)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    again, _ = _run(spark, edges, max_iter=30, seed=42, hash_family="portable")
+    assert again == clusters
+    with pytest.raises(ValueError, match="hash_family"):
+        _run(spark, edges, hash_family="sha1")

@@ -886,3 +886,56 @@ def test_semantic_dedup_lazy_escape_hatch(spark):
         hash_family="portable",
     )
     assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, eager.collect()))
+
+
+def test_signature_delta_matches_batch_restricted_to_delta(spark):
+    """The image-dedup ingest leg: signature_near_duplicates_delta must
+    emit exactly the batch pairs that touch a delta signature — same
+    hamming values, no re-derived base-internal pairs."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates,
+        signature_near_duplicates_delta,
+    )
+
+    base_rows = [(1, 0b0000), (2, 0b0011), (7, 0x00FF000000000000)]
+    delta_rows = [(3, 0b0001), (4, 0x00FF000000000001)]
+    base = spark.createDataFrame(base_rows, "media_id long, sig long")
+    delta = spark.createDataFrame(delta_rows, "media_id long, sig long")
+    got = sorted(
+        tuple(r)
+        for r in signature_near_duplicates_delta(
+            base, delta, "media_id", "sig", max_hamming=2
+        ).collect()
+    )
+    full = signature_near_duplicates(
+        base.unionByName(delta), "media_id", "sig", max_hamming=2
+    )
+    delta_ids = {i for i, _ in delta_rows}
+    want = sorted(
+        tuple(r) for r in full.collect()
+        if r.id_a in delta_ids or r.id_b in delta_ids
+    )
+    assert got == want
+    # the delta-touching pairs exist: 3 near 1 and 2, 4 near 7
+    assert {(a, b) for a, b, _ in got} == {(1, 3), (2, 3), (4, 7)}
+    # base-internal (1, 2) is already known and must NOT reappear
+    assert not any(a == 1 and b == 2 for a, b, _ in got)
+
+
+def test_dedup_repeated_lines_delim_regex(spark):
+    """Regex callers displaced by the round-9 literal-escape fix use
+    delim_regex: split on the pattern, rejoin with the literal delim."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import dedup_repeated_lines
+
+    docs = spark.createDataFrame(
+        [(1, "dup\r\nuniq one"), (2, "dup\nuniq two")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in dedup_repeated_lines(
+            docs, "doc_id", "text", min_count=2, delim="\n",
+            delim_regex="\\r?\\n", hashed=False,
+        ).collect()
+    }
+    assert got == {1: ("uniq one", 1), 2: ("uniq two", 1)}

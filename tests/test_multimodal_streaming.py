@@ -457,3 +457,27 @@ def test_signature_banding_is_lossless(spark):
                 if hd <= 2:
                     want.add((ia, ib, hd))
     assert got == want
+
+
+def test_perceptual_hashes_null_payloads_and_id_dtypes(spark):
+    """NULL image payloads are dropped (not a TypeError mid-batch);
+    narrow integer ids are normalized to long before the Arrow exchange;
+    non-integer non-string id dtypes fail fast with a clear message."""
+    from hpc_hd_textreuse_etl_spark.functions.png_codec import png_encode
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        dhash_bytes,
+        perceptual_image_hashes,
+    )
+
+    png = png_encode(8, 8, 1, bytes(range(64)))
+    df = spark.createDataFrame(
+        [(1, png), (2, None)], "media_id smallint, data binary"
+    )
+    rows = perceptual_image_hashes(df, "media_id", "data").collect()
+    assert [(r.media_id, r.phash) for r in rows] == [(1, dhash_bytes(png))]
+    assert dict(
+        perceptual_image_hashes(df, "media_id", "data").dtypes
+    )["media_id"] == "bigint"
+    bad = df.withColumn("media_id", F.col("media_id").cast("double"))
+    with pytest.raises(ValueError, match="id dtype"):
+        perceptual_image_hashes(bad, "media_id", "data")
