@@ -2,14 +2,15 @@
 
 Measures the curation operator families — SemDeDup semantic dedup,
 DSIR importance weighting + Gumbel resample, CCNet-style repeated-
-line dedup, and (round 9) the discriminative NB quality classifier —
-at production settings (xxhash64 hash family, realistic bucket/cell
-counts) across three rungs (sf0.01 / sf0.1 / generated sf1, a 100×
-document-count span) plus a DSIR-only sf2 rung (its round-8 shuffle
-exponent was the repo's only ≥1 at 1.04 — the 4th point confirms
-linear vs inflecting), recording wall seconds and shuffle read/write
-bytes per stage and fitting a log-log growth exponent per operator,
-exactly like examples/scale_ladder.py does for the headline queries.
+line dedup, the discriminative NB quality classifier, and (round 10)
+the iterative LR quality filter — at production settings (xxhash64
+hash family, realistic bucket/cell counts) across three rungs
+(sf0.01 / sf0.1 / generated sf1, a 100× document-count span) plus an
+sf2 rung for every family whose 3-point shuffle exponent read ≥ ~1
+(dsir / nb / line dedup — the 4th point distinguishes linear from
+inflecting), recording wall seconds and shuffle read/write bytes per
+stage and fitting a log-log growth exponent per operator, exactly
+like examples/scale_ladder.py does for the headline queries.
 
 Scale-semantics notes (why each parameter moves with the rung):
 
@@ -54,8 +55,17 @@ RUNGS = (
     ("sf0.01", "/root/testdata/sf0.01", 0.01, None),
     ("sf0.1", "/root/testdata/sf0.1", 0.1, None),
     ("sf1", os.path.join(REPO, "scale_data", "sf1"), 1.0, None),
+    # the sf2 rung gives a FOURTH point to every family whose 3-point
+    # shuffle exponent read ≥ ~1 (dsir 1.04, nb 1.04, line-dedup 0.99 —
+    # the round-9 verdict's symmetric-treatment ask) plus the cheap
+    # matmul family; plain semantic_dedup (wall exponent 0.56, clearly
+    # sublinear, and the fold-assign path is not the production choice
+    # for wide embeddings) and the LR trainer (per-round driver jobs
+    # make it the probe's most expensive family; its 3-point fit is
+    # fresh this round) are excluded to keep the probe's cost bounded.
     ("sf2", os.path.join(REPO, "scale_data", "sf2"), 2.0,
-     {"dsir_weights_resample"}),
+     {"dsir_weights_resample", "nb_classifier", "repeated_line_dedup",
+      "semantic_dedup_matmul"}),
 )
 
 
@@ -138,12 +148,31 @@ def _ops(spark, sf_dir: str):
             F.desc("log_odds"), F.asc("doc_id")
         ).limit(max(50, n_docs // 100))
 
+    def run_lr_classifier():
+        from hpc_hd_textreuse_etl_spark.operators.classifier import (
+            lr_quality_scores,
+        )
+
+        labeled = docs.withColumn("is_pos", F.col("lang") == "en")
+        # iters=2 keeps the probe bounded — the exponent measures how
+        # one fixed optimization scales with the corpus, and every GD
+        # round is the same two corpus passes, so the fit is
+        # iteration-count-invariant
+        scores = lr_quality_scores(
+            docs, labeled, "doc_id", "text", "is_pos",
+            num_buckets=65536, iters=2,
+        )
+        return scores.orderBy(
+            F.desc("score"), F.asc("doc_id")
+        ).limit(max(50, n_docs // 100))
+
     return {
         "semantic_dedup": run_semantic,
         "semantic_dedup_matmul": run_semantic_matmul,
         "dsir_weights_resample": run_dsir,
         "repeated_line_dedup": run_line_dedup,
         "nb_classifier": run_nb_classifier,
+        "lr_classifier": run_lr_classifier,
     }, {"n_docs": n_docs, "n_vecs": n_vecs}
 
 

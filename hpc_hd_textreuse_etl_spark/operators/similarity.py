@@ -624,6 +624,14 @@ def pq_train(
     codebook (its members reassign) — both engines drop it
     identically, so the oracle stays exact.
 
+    ``pq_iters=1`` is a QUALITY FLOOR, not a typical operating point:
+    one Lloyd round after the seeded init is the cheapest codebook that
+    still clears the recall gate (``ann_ivfpq_recall``), and it keeps
+    the oracle's unroll small. Production codebooks usually run Lloyd
+    to near-stationarity — pass ``pq_iters≈10`` (each extra round is
+    one more broadcast-join + means pass over the corpus; train once
+    and persist via functions/model_store.py rather than re-deriving).
+
     Why this is THE memory-bounded ANN tier at 100 TB: a candidate's
     footprint during scanning falls from ``dim·4`` bytes of floats to
     ``m`` small codes (64-dim float32 → 8 bytes at m=8: 32×), and
