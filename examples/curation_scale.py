@@ -200,7 +200,17 @@ def main() -> None:
         app_name="curation_scale",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # _stage_totals sums the UI's retained stages; the default
+            # 1000-stage retention EVICTS early stages once the probe's
+            # cumulative stage count passes it, making the before/after
+            # totals non-monotonic (measured: NEGATIVE shuffle deltas on
+            # the sf2 rung of the 6-family round-10 probe). Retain more
+            # stages than the whole probe can create.
+            "spark.ui.retainedStages": "200000",
+            "spark.ui.retainedJobs": "200000",
+        },
     )
     loadavg_pre = [round(v, 2) for v in os.getloadavg()]
     out: dict = {"rungs": {}, "loadavg_pre": loadavg_pre, "cpus": cpus}

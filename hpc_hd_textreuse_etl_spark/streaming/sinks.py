@@ -268,6 +268,96 @@ def streaming_minhash_dedup(
     return writer.start()
 
 
+def streaming_signature_dedup(
+    media_stream: DataFrame,
+    sigs_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    method: str = "dhash",
+    max_hamming: int = 3,
+    band_bits: int | None = None,
+    bits: int = 64,
+    trigger_available_now: bool = True,
+    compact_every_n_batches: int | None = None,
+):
+    """Streaming PERCEPTUAL IMAGE dedup at ingest — the image sibling of
+    :func:`streaming_minhash_dedup`, completing the batch → delta →
+    streaming ladder for the signature family: each micro-batch of
+    ``(id, image bytes)`` is hashed once
+    (operators/multimodal.perceptual_image_hashes — the image bytes
+    never touch a shuffle), and the batch's 8-byte signatures run the
+    delta leg (operators/dedup.signature_near_duplicates_delta) against
+    the signature table accumulated from all PRIOR batches.
+
+    Same two ``batch_id=N``-keyed outputs and the same replay rule as
+    the minhash sink: the base side reads ``batch_id < N`` only
+    (partition-pruned), so a replayed batch never sees its own failed
+    attempt and converges to identical pairs; the union of pair
+    partitions equals the batch pipeline's pairs in arrival order,
+    each pair exactly once in the LATER image's batch.
+    ``compact_every_n_batches`` bounds both trees' partition counts via
+    the same committed-frontier concatenate compaction (signatures and
+    pairs are both immutable rows — no fold needed)."""
+    from pyspark.sql import functions as F
+
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates_delta,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        perceptual_image_hashes,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        from hpc_hd_textreuse_etl_spark.catalog import path_exists
+
+        delta_sigs = perceptual_image_hashes(
+            batch_df.select(id_col, data_col), id_col, data_col, method
+        ).withColumnRenamed("phash", "sig").persist()
+        if path_exists(spark, sigs_path):
+            base = (
+                spark.read.option("basePath", sigs_path).parquet(sigs_path)
+                .filter(F.col("batch_id") < batch_id)
+                .drop("batch_id")
+            )
+        else:
+            base = delta_sigs.limit(0)
+        pairs = signature_near_duplicates_delta(
+            base, delta_sigs, id_col, "sig", max_hamming, band_bits, bits
+        )
+        pairs.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(pairs_path, f"batch_id={batch_id}")
+        )
+        delta_sigs.write.mode("overwrite").option("compression", "zstd").parquet(
+            os.path.join(sigs_path, f"batch_id={batch_id}")
+        )
+        delta_sigs.unpersist()
+        if (
+            compact_every_n_batches
+            and batch_id > 0
+            and batch_id % compact_every_n_batches == 0
+        ):
+            from hpc_hd_textreuse_etl_spark.streaming.compaction import (
+                compact_minhash_state,
+            )
+
+            # both trees are immutable rows — the minhash concatenate
+            # compaction applies verbatim
+            compact_minhash_state(
+                spark, sigs_path, pairs_path,
+                upto_batch=batch_id - 1, checkpoint=checkpoint,
+            )
+
+    writer = media_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_span_dedup(
     docs_stream: DataFrame,
     state_path: str,

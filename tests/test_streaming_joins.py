@@ -195,3 +195,81 @@ def test_streaming_span_dedup_matches_batch_and_replays(spark, tmp_path):
     assert got == want
     assert (1, 0, 8, 8, 4) in got  # doc 1's span extended across batches
     assert run("ckpt_b") == want   # fresh-checkpoint replay converges
+
+
+def test_streaming_signature_dedup_matches_batch_and_replays(spark, tmp_path):
+    """The image-ingest sink: each micro-batch of images is perceptually
+    hashed once and its signatures banded against the accumulated table;
+    the union of per-batch pair partitions must equal the batch
+    signature pipeline over all images (each pair exactly once, in the
+    later image's batch), and a fresh-checkpoint replay must converge."""
+    from hpc_hd_textreuse_etl_spark.functions.png_codec import png_encode
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        perceptual_image_hashes,
+    )
+    from hpc_hd_textreuse_etl_spark.streaming.sinks import (
+        streaming_signature_dedup,
+    )
+
+    def flat(v):
+        return png_encode(8, 8, 1, bytes([v] * 64))
+
+    def gradient(reverse=False):
+        px = [(r * 8 + c) * 4 % 256 for r in range(8) for c in range(8)]
+        if reverse:
+            px = px[::-1]
+        return png_encode(8, 8, 1, bytes(px))
+
+    chunks = [
+        [(1, flat(5)), (2, flat(7))],          # identical dhash (all-zero)
+        [(3, flat(9)), (5, gradient())],
+        [(4, flat(11)), (6, gradient(True))],
+    ]
+    src = str(tmp_path / "media")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, "media_id long, data binary").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run(ckpt_name):
+        stream = (
+            spark.readStream.schema("media_id long, data binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_signature_dedup(
+            stream,
+            sigs_path=str(tmp_path / "sigs"),
+            pairs_path=str(tmp_path / "pairs"),
+            checkpoint=str(tmp_path / ckpt_name),
+            max_hamming=2,
+        )
+        q.awaitTermination()
+        return {
+            (r.id_a, r.id_b, r.hamming)
+            for r in spark.read.option("basePath", str(tmp_path / "pairs"))
+            .parquet(str(tmp_path / "pairs"))
+            .collect()
+        }
+
+    got = run("ckpt_a")
+    all_media = spark.createDataFrame(
+        [m for c in chunks for m in c], "media_id long, data binary"
+    )
+    hashes = perceptual_image_hashes(all_media, "media_id", "data").select(
+        "media_id", F.col("phash").alias("sig")
+    )
+    want = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in signature_near_duplicates(
+            hashes, "media_id", "sig", max_hamming=2
+        ).collect()
+    }
+    assert got == want
+    # all four flat images are mutual dups at Hamming 0
+    assert {(a, b) for a, b, _ in got} >= {(1, 2), (1, 3), (2, 3), (1, 4)}
+    # replay from a fresh checkpoint converges to the same pair set
+    assert run("ckpt_b") == want
