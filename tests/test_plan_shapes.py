@@ -279,3 +279,35 @@ def test_ivfpq_codebooks_broadcast_no_cartesian(spark):
     plan = executed_plan(spark, "ann_ivfpq_topk")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lr_classifier_model_broadcasts_and_topk_heaps(spark):
+    """The LR model is num_buckets+1 rows (a config) and must reach the
+    per-document scoring join as a broadcast; the deployed top-k
+    ranking reads the scores through a TakeOrderedAndProject (per-task
+    heaps); nothing in the train-then-score pipeline is a cartesian
+    product (the 1-row intercept crossJoin is an explicit broadcast —
+    the accepted one-row shape, rendered as BroadcastNestedLoopJoin)."""
+    plan = executed_plan(spark, "quality_lr_ranking")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_signature_delta_joins_on_band_chunk(spark):
+    """The image-ingest delta leg's candidate generation must be an
+    equi-join keyed on (band, chunk) — the pigeonhole block key — never
+    a cartesian product or a signature-wide theta join."""
+    plan = executed_plan(spark, "perceptual_near_duplicate_images_delta")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b", plan)
+
+
+def test_reloaded_model_scoring_plan_matches_in_session(spark):
+    """Scoring from a model_store reload must keep the in-session plan
+    shape: the reloaded NB model (a parquet scan now) still reaches the
+    scoring join as a broadcast, and the top-k still heaps."""
+    plan = executed_plan(spark, "quality_classifier_ranking_reloaded")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
