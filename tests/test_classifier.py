@@ -345,3 +345,27 @@ def test_lr_model_reuse_and_validations(tables, spark):
         )
     with pytest.raises(ValueError, match="labeled or model"):
         lr_quality_scores(lab, None, "doc_id", "text", "is_pos")
+
+
+def test_lr_training_partition_independent(tables):
+    """With portable folds, the trained LR weights are a pure function
+    of the data — bit-identical regardless of input partitioning (the
+    sorted-struct fold contract every gated double sum follows)."""
+    from hpc_hd_textreuse_etl_spark.operators.classifier import lr_quality_model
+
+    lab = _labeled(tables)
+    kw = dict(num_buckets=64, iters=3, learning_rate=0.5,
+              hash_family="portable")
+    one = {
+        r.bucket: r.weight
+        for r in lr_quality_model(
+            lab.coalesce(1), "doc_id", "text", "is_pos", **kw
+        ).collect()
+    }
+    many = {
+        r.bucket: r.weight
+        for r in lr_quality_model(
+            lab.repartition(17), "doc_id", "text", "is_pos", **kw
+        ).collect()
+    }
+    assert one == many

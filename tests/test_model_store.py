@@ -144,3 +144,37 @@ def test_future_schema_version_refused(spark, labeled, tmp_path):
     ).write.mode("overwrite").parquet(f"{path}/meta")
     with pytest.raises(ModelStoreError, match="schema_version"):
         load_model(spark, path, "nb_quality_model")
+
+
+def test_lr_model_roundtrip_scores_bit_identical(spark, labeled, tmp_path):
+    from hpc_hd_textreuse_etl_spark.operators.classifier import (
+        lr_quality_model,
+        lr_quality_scores,
+    )
+
+    params = dict(num_buckets=64, iters=3, learning_rate=0.5,
+                  hash_family="portable", seed=7)
+    model = lr_quality_model(
+        labeled, "doc_id", "text", "is_pos",
+        num_buckets=64, iters=3, learning_rate=0.5,
+        hash_family="portable", seed=7,
+    )
+    in_session = {
+        r.doc_id: r.score
+        for r in lr_quality_scores(
+            labeled, None, "doc_id", "text", "is_pos",
+            num_buckets=64, hash_family="portable", model=model,
+        ).collect()
+    }
+    path = str(tmp_path / "lr")
+    save_model(model, path, "lr_quality_model", params)
+    reloaded = load_model(spark, path, "lr_quality_model", params)
+    again = {
+        r.doc_id: r.score
+        for r in lr_quality_scores(
+            labeled, None, "doc_id", "text", "is_pos",
+            num_buckets=64, hash_family="portable", model=reloaded,
+        ).collect()
+    }
+    assert again == in_session  # bit-identical through parquet
+    assert any(v != in_session[1] for k, v in in_session.items() if k != 1)
