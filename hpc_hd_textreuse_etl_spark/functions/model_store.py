@@ -38,11 +38,19 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hpc_hd_textreuse_etl_spark.catalog import snapshot_is_valid
+from hpc_hd_textreuse_etl_spark.catalog import delete_path, snapshot_is_valid
 
 #: bump when the meta layout changes; load_model refuses newer versions
 #: (an old engine reading a future model is the unrecoverable direction)
 MODEL_SCHEMA_VERSION = 1
+
+#: frames at or below this row count are compacted to one file on save
+#: (config-sized models: NB/LR weights, centroids, codebooks); above it
+#: the frame keeps its own partitioning — IVF assignments and PQ codes
+#: are one row per corpus vector, and funnelling a corpus-proportional
+#: table through a single write task is an hours-long single-threaded
+#: bottleneck (plus executor-memory risk) at 100 TB
+SINGLE_FILE_ROW_LIMIT = 100_000
 
 
 class ModelStoreError(ValueError):
@@ -58,6 +66,7 @@ def save_model(
     path: str,
     kind: str,
     params: dict | None = None,
+    single_file: bool | None = None,
 ) -> DataFrame:
     """Persist a trained model frame at ``path``; returns the re-read
     (lineage-truncated) frame, so callers can keep scoring in-session
@@ -66,17 +75,38 @@ def save_model(
     ``params`` the training knobs the scorer must match (num_buckets,
     hash_family, seed, ...). Overwrites any existing model at ``path``
     — models are derived artifacts, the training data is the source of
-    truth."""
+    truth.
+
+    ``single_file`` controls the data layout: True compacts to one
+    file (right for config-sized weight tables), False keeps the
+    frame's own partitioning (right for corpus-proportional artifacts —
+    IVF assignments, PQ codes — where a one-task write is the
+    bottleneck), None (default) probes the row count with a bounded
+    ``limit(N+1).count()`` job and compacts only at or below
+    :data:`SINGLE_FILE_ROW_LIMIT`. Callers that know the frame's class
+    should pass the flag and skip the probe job.
+
+    Crash ordering — the meta sidecar is the COMMIT MARKER: it is
+    deleted before anything else is touched and rewritten only after
+    the data write completes, so a save that dies at ANY point leaves
+    the model meta-less and :func:`load_model` refuses it. Neither
+    direction of the stale pairing can occur: old data is never served
+    under new params (meta was deleted first), new data is never
+    served under old params (old meta is gone before data is
+    overwritten)."""
     spark = df.sparkSession
+    delete_path(spark, f"{path}/meta")
+    if single_file is None:
+        n_probe = df.limit(SINGLE_FILE_ROW_LIMIT + 1).count()
+        single_file = n_probe <= SINGLE_FILE_ROW_LIMIT
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(f"{path}/data")
     spark.createDataFrame(
         [(MODEL_SCHEMA_VERSION, kind, _params_json(params))],
         "schema_version int, kind string, params_json string",
     ).write.mode("overwrite").parquet(f"{path}/meta")
-    # models are config-sized: one file beats a per-shuffle-partition
-    # spray of tiny files in every case this store is for
-    df.coalesce(1).write.mode("overwrite").option(
-        "compression", "zstd"
-    ).parquet(f"{path}/data")
     return spark.read.parquet(f"{path}/data")
 
 

@@ -318,64 +318,78 @@ def lr_quality_model(
     lab = F.col(label_col).cast("boolean")
     y = labeled.select(F.col(id_col), lab.cast("double").alias("__y"))
     x = _doc_features(labeled, id_col, text_col, num_buckets, hash_family, seed)
-    if use_checkpoints:
-        x = tracked_local_checkpoint(x)
-        y = tracked_local_checkpoint(y)
+    # validate BEFORE pinning anything: a raise here must not leak
+    # localCheckpoints (they survive until an external hygiene point)
     class_counts = y.groupBy("__y").count().collect()
+    if any(r["__y"] is None for r in class_counts):
+        raise ValueError(
+            "lr_quality_model: NULL labels in training data — under "
+            "xxhash64 F.sum would silently drop their residuals "
+            "(biasing every update), under portable the sorted fold "
+            "would poison the whole gradient; filter or fix them "
+            "upstream"
+        )
     n = sum(r["count"] for r in class_counts)
     if len(class_counts) < 2:
         raise ValueError(
             "lr_quality_model: training labels are one-class — the fit "
             "is a runaway intercept, not a classifier"
         )
+    if use_checkpoints:
+        x = tracked_local_checkpoint(x)
+        y = tracked_local_checkpoint(y)
     sorted_folds = hash_family == "portable"
     weights = [0.0] * num_buckets
     bias = 0.0
-    for _ in range(iters):
-        wdf = spark.createDataFrame(
-            [(b, w) for b, w in enumerate(weights)], "bucket int, weight double"
-        )
-        ll = (
-            x.join(F.broadcast(wdf), "bucket")
-            .select(id_col, "bucket", (F.col("x") * F.col("weight")).alias("t"))
-            .groupBy(id_col)
-            .agg(_sorted_fold_sum("bucket", "t").alias("ll"))
-        )
-        resid = (
-            y.join(ll, id_col, "left")
-            .select(
-                id_col,
-                (
-                    F.lit(1.0)
-                    / (
+    try:
+        for _ in range(iters):
+            wdf = spark.createDataFrame(
+                [(b, w) for b, w in enumerate(weights)], "bucket int, weight double"
+            )
+            ll = (
+                x.join(F.broadcast(wdf), "bucket")
+                .select(id_col, "bucket", (F.col("x") * F.col("weight")).alias("t"))
+                .groupBy(id_col)
+                .agg(_sorted_fold_sum("bucket", "t").alias("ll"))
+            )
+            resid = (
+                y.join(ll, id_col, "left")
+                .select(
+                    id_col,
+                    (
                         F.lit(1.0)
-                        + F.exp(-(F.lit(bias) + F.coalesce("ll", F.lit(0.0))))
-                    )
-                    - F.col("__y")
-                ).alias("r"),
+                        / (
+                            F.lit(1.0)
+                            + F.exp(-(F.lit(bias) + F.coalesce("ll", F.lit(0.0))))
+                        )
+                        - F.col("__y")
+                    ).alias("r"),
+                )
             )
-        )
-        rx = x.join(resid, id_col).select(
-            "bucket", F.col(id_col), (F.col("r") * F.col("x")).alias("rx")
-        )
-        if sorted_folds:
-            gb = rx.groupBy("bucket").agg(
-                _sorted_fold_sum(id_col, "rx").alias("g")
+            rx = x.join(resid, id_col).select(
+                "bucket", F.col(id_col), (F.col("r") * F.col("x")).alias("rx")
             )
-            gbias_df = resid.agg(_sorted_fold_sum(id_col, "r").alias("g"))
-        else:
-            gb = rx.groupBy("bucket").agg(F.sum("rx").alias("g"))
-            gbias_df = resid.agg(F.sum("r").alias("g"))
-        g = {r["bucket"]: r["g"] for r in gb.collect()}  # <= num_buckets rows
-        gbias = gbias_df.collect()[0]["g"]
-        weights = [
-            w - learning_rate * ((g.get(b, 0.0) / n) + l2 * w)
-            for b, w in enumerate(weights)
-        ]
-        bias = bias - learning_rate * (gbias / n)
-    if use_checkpoints:
-        release_checkpoint(x)
-        release_checkpoint(y)
+            if sorted_folds:
+                gb = rx.groupBy("bucket").agg(
+                    _sorted_fold_sum(id_col, "rx").alias("g")
+                )
+                gbias_df = resid.agg(_sorted_fold_sum(id_col, "r").alias("g"))
+            else:
+                gb = rx.groupBy("bucket").agg(F.sum("rx").alias("g"))
+                gbias_df = resid.agg(F.sum("r").alias("g"))
+            g = {r["bucket"]: r["g"] for r in gb.collect()}  # <= num_buckets rows
+            gbias = gbias_df.collect()[0]["g"]
+            weights = [
+                w - learning_rate * ((g.get(b, 0.0) / n) + l2 * w)
+                for b, w in enumerate(weights)
+            ]
+            bias = bias - learning_rate * (gbias / n)
+    finally:
+        # a mid-training failure (a killed stage, a driver error)
+        # must not leak the pinned feature/label frames
+        if use_checkpoints:
+            release_checkpoint(x)
+            release_checkpoint(y)
     return spark.createDataFrame(
         [(-1, bias)] + [(b, w) for b, w in enumerate(weights)],
         "bucket int, weight double",
@@ -413,6 +427,23 @@ def lr_quality_scores(
             labeled, id_col, text_col, label_col, num_buckets, iters,
             learning_rate, l2, hash_family, seed, use_checkpoints,
         )
+    else:
+        # a model trained with a different num_buckets silently
+        # part-joins against the re-hashed features and scores garbage;
+        # the model_store params check only guards the RELOAD path, so
+        # guard direct DataFrame reuse here too (the nb footgun
+        # convention). The model is config-sized — one tiny job.
+        model_buckets = model.agg(
+            F.max("bucket").alias("mx")
+        ).collect()[0]["mx"] + 1
+        if model_buckets != num_buckets:
+            raise ValueError(
+                f"lr_quality_scores: model was trained with "
+                f"num_buckets={model_buckets} but scoring features hash "
+                f"into num_buckets={num_buckets} — pass the matching "
+                "num_buckets (mixed bucket spaces score garbage, not an "
+                "error)"
+            )
     bias = model.filter(F.col("bucket") == -1).select(
         F.col("weight").alias("__bias")
     )

@@ -6047,8 +6047,10 @@ def ann_ivfpq_topk_reloaded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "centroids": centroids, "assignments": assignments,
         "codebooks": codebooks, "codes": codes,
     }
+    corpus_sized = {"assignments", "codes"}  # one row per corpus vector
     for part, df in parts.items():
-        save_model(df, f"{base}/{part}", f"ivfpq_{part}", knobs)
+        save_model(df, f"{base}/{part}", f"ivfpq_{part}", knobs,
+                   single_file=part not in corpus_sized)
     index = tuple(
         load_model(spark, f"{base}/{part}", f"ivfpq_{part}", knobs)
         for part in parts

@@ -347,6 +347,62 @@ def test_lr_model_reuse_and_validations(tables, spark):
         lr_quality_scores(lab, None, "doc_id", "text", "is_pos")
 
 
+def test_lr_null_labels_raise_before_pinning(tables):
+    """NULL labels would silently bias (xxhash64) or poison (portable)
+    the gradient — the trainer must refuse them loudly, and the refusal
+    must not leak localCheckpoints (validation runs before pinning)."""
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        live_checkpoint_count,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.classifier import lr_quality_model
+
+    lab = _labeled(tables).withColumn(
+        "is_pos", F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("is_pos"))
+    )
+    before = live_checkpoint_count()
+    with pytest.raises(ValueError, match="NULL labels"):
+        lr_quality_model(lab, "doc_id", "text", "is_pos", num_buckets=64, iters=1)
+    assert live_checkpoint_count() == before  # nothing was pinned
+
+
+def test_lr_one_class_refusal_leaks_no_checkpoints(tables):
+    from hpc_hd_textreuse_etl_spark.functions.checkpoints import (
+        live_checkpoint_count,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.classifier import lr_quality_model
+
+    lab = _labeled(tables)
+    before = live_checkpoint_count()
+    with pytest.raises(ValueError, match="one-class"):
+        lr_quality_model(
+            lab.withColumn("is_pos", F.lit(False)), "doc_id", "text",
+            "is_pos", num_buckets=64, iters=1,
+        )
+    assert live_checkpoint_count() == before
+
+
+def test_lr_scores_refuse_mismatched_bucket_space(tables):
+    """A model trained with num_buckets=64 must not silently part-join
+    against features hashed into 128 buckets (the model_store params
+    check only guards the reload path; direct DataFrame reuse needs its
+    own guard)."""
+    from hpc_hd_textreuse_etl_spark.operators.classifier import (
+        lr_quality_model,
+        lr_quality_scores,
+    )
+
+    lab = _labeled(tables)
+    model = lr_quality_model(
+        lab, "doc_id", "text", "is_pos", num_buckets=64, iters=1,
+        hash_family="portable",
+    )
+    with pytest.raises(ValueError, match="num_buckets"):
+        lr_quality_scores(
+            lab, None, "doc_id", "text", "is_pos", num_buckets=128,
+            hash_family="portable", model=model,
+        )
+
+
 def test_lr_training_partition_independent(tables):
     """With portable folds, the trained LR weights are a pure function
     of the data — bit-identical regardless of input partitioning (the

@@ -178,3 +178,64 @@ def test_lr_model_roundtrip_scores_bit_identical(spark, labeled, tmp_path):
     }
     assert again == in_session  # bit-identical through parquet
     assert any(v != in_session[1] for k, v in in_session.items() if k != 1)
+
+
+def _data_files(path):
+    import glob
+
+    return [
+        f for f in glob.glob(f"{path}/data/part-*")
+        if not f.endswith(".crc")
+    ]
+
+
+def test_small_frame_compacts_to_one_file(spark, labeled, tmp_path):
+    path = str(tmp_path / "small")
+    save_model(labeled, path, "nb_quality_model")  # auto-probe path
+    assert len(_data_files(path)) == 1
+
+
+def test_large_frame_save_is_partition_aware(spark, tmp_path):
+    from hpc_hd_textreuse_etl_spark.functions.model_store import (
+        SINGLE_FILE_ROW_LIMIT,
+    )
+
+    big = spark.range(SINGLE_FILE_ROW_LIMIT + 10).repartition(4)
+    path = str(tmp_path / "big")
+    out = save_model(big, path, "ivfpq_codes")  # auto-probe path
+    # corpus-proportional frames must NOT funnel through one write task
+    assert len(_data_files(path)) > 1
+    assert out.count() == SINGLE_FILE_ROW_LIMIT + 10
+    # the explicit flag skips the probe and forces the layout
+    path2 = str(tmp_path / "big_explicit")
+    save_model(big, path2, "ivfpq_codes", single_file=False)
+    assert len(_data_files(path2)) > 1
+
+
+def test_crashed_save_leaves_no_loadable_model(spark, labeled, tmp_path):
+    """Meta is the commit marker: a save that dies mid-write must leave
+    the model refusable under BOTH the old and the new params — the
+    stale-read window where fresh meta sits beside an old _SUCCESS data
+    snapshot (or vice versa) must not exist."""
+    path = str(tmp_path / "crash")
+    save_model(labeled, path, "nb_quality_model", {"v": 1})
+    poison = spark.range(1).select(
+        F.assert_true(F.lit(False)).alias("boom")
+    )
+    with pytest.raises(Exception):
+        save_model(poison, path, "nb_quality_model", {"v": 2})
+    for params in ({"v": 1}, {"v": 2}, None):
+        with pytest.raises(ModelStoreError, match="no complete model"):
+            load_model(spark, path, "nb_quality_model", params)
+
+
+def test_data_without_meta_refused(spark, labeled, tmp_path):
+    """The crash window between the data write and the meta commit:
+    data is complete (_SUCCESS) but meta never landed — load refuses."""
+    from hpc_hd_textreuse_etl_spark.catalog import delete_path
+
+    path = str(tmp_path / "nometa")
+    save_model(labeled, path, "nb_quality_model")
+    delete_path(spark, f"{path}/meta")
+    with pytest.raises(ModelStoreError, match="no complete model"):
+        load_model(spark, path, "nb_quality_model")
