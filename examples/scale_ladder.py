@@ -901,28 +901,49 @@ def run_skew(spark, out_path: str) -> None:
         sigs_u, "media_id", "sig", max_hamming=2))
     band_h = _best(lambda: signature_near_duplicates(
         sigs_h, "media_id", "sig", max_hamming=2))
+    band_s = _best(lambda: signature_near_duplicates(
+        sigs_h, "media_id", "sig", max_hamming=2, collapse_identical=True))
     n_flat = sigs_h.where(F.col("sig") == 0).count()
     n_pairs = (
         signature_near_duplicates(sigs_h, "media_id", "sig", max_hamming=2)
         .where(F.col("hamming") == 0).count()
     )
+    n_star = (
+        signature_near_duplicates(
+            sigs_h, "media_id", "sig", max_hamming=2, collapse_identical=True
+        ).where(F.col("hamming") == 0).count()
+    )
     curation["signature_banding_hot_band"] = {
         "uniform_sec": band_u, "hot_sec": band_h,
         "hot_over_uniform": round(band_h / max(band_u, 1e-9), 2),
+        "star_hot_sec": band_s,
+        "star_over_uniform": round(band_s / max(band_u, 1e-9), 2),
         "identical_sigs": n_flat,
         "identical_pairs_ok": n_pairs == n_flat * (n_flat - 1) // 2,
-        "note": "5% bit-identical signatures: every band collides, so the "
-                "candidate join emits the full clique once per band before "
-                "the distinct — output-quadratic in the flat-image count, "
-                "like 4b an intrinsic-output cost. At 100 TB the guard is "
-                "an occurrence cap per (band, chunk) bucket (drop or "
-                "side-channel buckets past a bound — a known-boilerplate "
-                "sink), since a million byte-identical images should be "
-                "exact-deduped by sha256 upstream for free",
+        "star_rows_linear_ok": n_star == n_flat - 1,
+        "note": "5% bit-identical signatures. All-pairs contract: every "
+                "band collides and the candidate join emits the full "
+                "clique once per band before the distinct — "
+                "output-quadratic in the flat-image count (the hot_sec "
+                "column). collapse_identical=True is the engineered "
+                "fix: the clique collapses to n-1 star rows to the "
+                "min-id representative and only DISTINCT signatures "
+                "band, so output and runtime are linear in the group "
+                "size (star_hot_sec; star_rows_linear_ok asserts n-1). "
+                "Connectivity-equivalent for resolve_duplicates "
+                "(tests/test_dedup.py) and value-hash-gated "
+                "(perceptual_near_duplicate_images_star). All-pairs "
+                "stays available for callers that score per-member "
+                "pair distances",
     }
     if n_pairs != n_flat * (n_flat - 1) // 2:
         failures.append("hot-band clique pair count wrong")
-    print(f"banding hot band: uniform {band_u}s / hot {band_h}s", flush=True)
+    if n_star != n_flat - 1:
+        failures.append("hot-band star collapse not linear")
+    print(
+        f"banding hot band: uniform {band_u}s / hot {band_h}s / "
+        f"star {band_s}s", flush=True,
+    )
     demo["curation_families"] = curation
 
     payload = {

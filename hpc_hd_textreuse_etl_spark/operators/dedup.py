@@ -387,6 +387,7 @@ def simhash_near_duplicates(
     band_bits: int | None = None,
     bits: int = 64,
     hash_family: str = "xxhash64",
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """SimHash near-dup with banded blocking: split the ``bits``-wide
     signature into chunks; by pigeonhole, pairs within Hamming ≤
@@ -403,7 +404,7 @@ def simhash_near_duplicates(
         F.col(id_col), simhash(text_col, bits, hash_family).alias("sig")
     )
     return signature_near_duplicates(
-        sigs, id_col, "sig", max_hamming, band_bits, bits
+        sigs, id_col, "sig", max_hamming, band_bits, bits, collapse_identical
     )
 
 
@@ -414,6 +415,7 @@ def signature_near_duplicates(
     max_hamming: int = 3,
     band_bits: int | None = None,
     bits: int = 64,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """All pairs within Hamming ``max_hamming`` over ANY precomputed
     64-bit-or-narrower signature column — the banding engine shared by
@@ -426,7 +428,43 @@ def signature_near_duplicates(
     ``(band, chunk)`` — LOSSLESS within the radius, never all-pairs —
     then exact ``bit_count(xor)`` verification. The shuffle carries
     ``(id, sig, band, chunk)`` quadruples (≤ 32 bytes/row × n_bands),
-    never payloads."""
+    never payloads.
+
+    ``collapse_identical=True`` is the duplicate-heavy-corpus scale
+    path: a group of g bit-identical signatures (flat images, templated
+    pages) otherwise emits the full g·(g−1)/2 clique — quadratic in the
+    group size, and duplicate-heavy corpora are exactly where dedup
+    runs. Collapsed, each identical-sig group emits a STAR to its
+    min-id representative (g−1 hamming-0 rows, linear) and only
+    DISTINCT signatures enter the banding join, so cross-signature
+    pairs are emitted once per signature pair, not once per member
+    pair. The star output is connectivity-equivalent to the all-pairs
+    output (every clique is connected through its representative), so
+    :func:`resolve_duplicates`' connected-component verdicts — the
+    downstream consumer in every curation pipeline — are IDENTICAL
+    (tests/test_dedup.py gates this); only per-member-pair hamming
+    listings are dropped. Default stays all-pairs: that listing is the
+    documented contract of the gated queries and of callers that score
+    pair distances."""
+    if collapse_identical:
+        groups = sigs.groupBy(F.col(sig_col).alias("__sig")).agg(
+            F.min(id_col).alias("__rep")
+        )
+        stars = (
+            sigs.join(groups, F.col(sig_col) == F.col("__sig"))
+            .filter(F.col(id_col) != F.col("__rep"))
+            .select(
+                F.col("__rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        reps = groups.select(F.col("__rep").alias(id_col), F.col("__sig").alias("sig"))
+        cross = signature_near_duplicates(
+            reps, id_col, "sig", max_hamming, band_bits, bits,
+            collapse_identical=False,
+        ).filter(F.col("hamming") > 0)  # distinct sigs: never 0, kept explicit
+        return stars.unionByName(cross)
     band_bits, n_bands = _resolve_sig_bands(max_hamming, band_bits, bits)
     chunks = _sig_chunks(sigs, id_col, sig_col, band_bits, n_bands)
     a = chunks.select(
@@ -482,6 +520,7 @@ def signature_near_duplicates_delta(
     max_hamming: int = 3,
     band_bits: int | None = None,
     bits: int = 64,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs INTRODUCED by a delta of new signatures
     against a corpus whose signature table is already materialized — the
@@ -500,7 +539,56 @@ def signature_near_duplicates_delta(
     ``(hash_w, hash_h)`` — mixed-parameter signature tables produce
     garbage Hamming distances, which is why production pipelines version
     the signature table by its parameters (the
-    :func:`minhash_near_duplicates_delta` contract)."""
+    :func:`minhash_near_duplicates_delta` contract).
+
+    ``collapse_identical=True`` mirrors the batch leg's star collapse
+    on the ingest path: every delta member attaches by a hamming-0 star
+    edge to its signature's ANCHOR (the min base id holding that
+    signature if one exists — so a re-ingested duplicate connects
+    straight into the existing cluster — else the min delta id), and
+    only signatures NEW to the corpus enter the banding join against
+    the corpus's distinct signatures. Output stays linear in the delta
+    even when the delta is one viral image re-uploaded 10⁶ times, and
+    the union of a star base run + star delta runs is connectivity-
+    equivalent to all-pairs over base ∪ delta (gated in
+    tests/test_dedup.py). Anchors deliberately match the batch leg's
+    min-id representatives so incremental runs compose with a batch
+    base run."""
+    if collapse_identical:
+        base_groups = base_sigs.groupBy(F.col(sig_col).alias("__sig")).agg(
+            F.min(id_col).alias("__base_rep")
+        )
+        delta_groups = delta_sigs.groupBy(F.col(sig_col).alias("__sig")).agg(
+            F.min(id_col).alias("__delta_rep")
+        )
+        anchors = delta_groups.join(base_groups, "__sig", "left").select(
+            "__sig",
+            F.coalesce("__base_rep", "__delta_rep").alias("__anchor"),
+            F.col("__base_rep").isNotNull().alias("__sig_in_base"),
+        )
+        stars = (
+            delta_sigs.join(anchors, F.col(sig_col) == F.col("__sig"))
+            .filter(F.col(id_col) != F.col("__anchor"))
+            .select(
+                F.least(id_col, "__anchor").alias("id_a"),
+                F.greatest(id_col, "__anchor").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        new_reps = anchors.filter(~F.col("__sig_in_base")).select(
+            F.col("__anchor").alias(id_col), F.col("__sig").alias("sig")
+        )
+        base_reps = base_groups.select(
+            F.col("__base_rep").alias(id_col), F.col("__sig").alias("sig")
+        )
+        # new sigs are by construction absent from base, so base_reps
+        # and new_reps are disjoint — the plain delta machinery applies:
+        # probe = new-signature reps, build = distinct corpus signatures
+        cross = signature_near_duplicates_delta(
+            base_reps, new_reps, id_col, "sig",
+            max_hamming, band_bits, bits, collapse_identical=False,
+        ).filter(F.col("hamming") > 0)
+        return stars.unionByName(cross)
     band_bits, n_bands = _resolve_sig_bands(max_hamming, band_bits, bits)
     all_chunks = _sig_chunks(
         base_sigs.unionByName(delta_sigs), id_col, sig_col, band_bits, n_bands

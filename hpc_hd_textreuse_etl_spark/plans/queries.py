@@ -5819,6 +5819,60 @@ def quality_lr_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_lr_ranking_reloaded",
+    oracle=f"""
+    WITH {_lr_sql(512, iters=8, lr=0.5, l2=0.0, train_pred="t.doc_id % 10 < 8")}
+    SELECT doc_id, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM lrscores
+    ) WHERE rank <= 50
+    """,
+    tags=("quality-classifier", "iterative", "model-persistence",
+          "beyond-parity"),
+)
+def quality_lr_ranking_reloaded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LR filter's train-once / score-later leg: the trained
+    weights round-trip through save_model → parquet → load_model
+    (sidecar kind + params validated) and the RELOADED model ranks the
+    corpus — against the SAME full-GD-unroll oracle as the in-session
+    twin (quality_lr_ranking), so any bit drift through the persistence
+    layer reorders the ranking and fails the hash. Completes the
+    reloaded-gate symmetry: NB (quality_classifier_ranking_reloaded),
+    IVF-PQ (ann_ivfpq_topk_reloaded), LR (here)."""
+    import tempfile
+
+    from hpc_hd_textreuse_etl_spark.functions.model_store import (
+        load_model,
+        save_model,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.classifier import (
+        lr_quality_model,
+        lr_quality_scores,
+    )
+
+    params = dict(num_buckets=512, iters=8, learning_rate=0.5, l2=0.0,
+                  hash_family="portable", seed=7)
+    model = lr_quality_model(
+        _nb_train_docs(spark), "doc_id", "text", "is_pos",
+        num_buckets=512, iters=8, learning_rate=0.5, l2=0.0,
+        hash_family="portable",
+    )
+    path = tempfile.mkdtemp(prefix="lr-model-")
+    save_model(model, path, "lr_quality_model", params)
+    reloaded = load_model(spark, path, "lr_quality_model", params)
+    w = lr_quality_scores(
+        spark.table("documents"), None, "doc_id", "text", "is_pos",
+        num_buckets=512, hash_family="portable", model=reloaded,
+    )
+    topk = w.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+    wnd = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(wnd).cast("int")).select(
+        "doc_id", "rank"
+    )
+
+
+@query(
     "curated_corpus_classifier",
     oracle=_curated_corpus_oracle(classifier_keep=60),
     tags=("curation-pipeline", "quality-classifier", "beyond-parity"),
@@ -6319,6 +6373,136 @@ def perceptual_near_duplicate_images_delta(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 
+
+@query(
+    "perceptual_near_duplicate_images_star",
+    oracle=f"""
+    WITH {_phash_oracle_select()},
+    sig_groups AS (
+      SELECT phash AS sig, min(doc_id) AS rep FROM ph GROUP BY phash
+    ),
+    stars AS (
+      SELECT g.rep AS id_a, p.doc_id AS id_b, 0 AS hamming
+      FROM ph p JOIN sig_groups g ON p.phash = g.sig
+      WHERE p.doc_id <> g.rep
+    ),
+    cross_pairs AS (
+      SELECT least(a.rep, b.rep) AS id_a, greatest(a.rep, b.rep) AS id_b,
+             bit_count(xor(a.sig, b.sig)) AS hamming
+      FROM sig_groups a JOIN sig_groups b ON a.sig < b.sig
+      WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    )
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM stars
+    UNION ALL
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM cross_pairs
+    """,
+    tags=("perceptual-dedup", "multimodal", "scale-path", "beyond-parity"),
+)
+def perceptual_near_duplicate_images_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The duplicate-heavy-corpus scale path of perceptual image dedup
+    (operators/dedup.py signature_near_duplicates
+    ``collapse_identical=True``): identical-signature groups emit a
+    linear STAR to their min-id representative instead of the
+    quadratic clique, and only distinct signatures enter the banding
+    join — connectivity-equivalent for resolve_duplicates, output
+    linear in the duplicate-group size. The DuckDB oracle recomputes
+    the exact star representation (per-signature min-id groups, star
+    edges, representative cross pairs within radius 2), so the
+    collapsed output is value-hash-gated, not just
+    equivalence-tested."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        perceptual_image_hashes,
+    )
+
+    pngs = _synthetic_png_docs(spark)
+    hashes = perceptual_image_hashes(pngs, "doc_id", "data", method="dhash")
+    return signature_near_duplicates(
+        hashes, "doc_id", "phash", max_hamming=2, collapse_identical=True
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@query(
+    "perceptual_near_duplicate_images_delta_star",
+    oracle=f"""
+    WITH {_phash_oracle_select()},
+    base AS (SELECT * FROM ph WHERE doc_id % 5 <> 0),
+    delta AS (SELECT * FROM ph WHERE doc_id % 5 = 0),
+    base_groups AS (
+      SELECT phash AS sig, min(doc_id) AS base_rep FROM base GROUP BY phash
+    ),
+    delta_groups AS (
+      SELECT phash AS sig, min(doc_id) AS delta_rep FROM delta GROUP BY phash
+    ),
+    anchors AS (
+      SELECT d.sig, coalesce(b.base_rep, d.delta_rep) AS anchor,
+             b.base_rep IS NOT NULL AS sig_in_base
+      FROM delta_groups d LEFT JOIN base_groups b ON d.sig = b.sig
+    ),
+    stars AS (
+      SELECT least(a.anchor, p.doc_id) AS id_a,
+             greatest(a.anchor, p.doc_id) AS id_b, 0 AS hamming
+      FROM delta p JOIN anchors a ON p.phash = a.sig
+      WHERE p.doc_id <> a.anchor
+    ),
+    new_reps AS (
+      SELECT anchor AS id, sig FROM anchors WHERE NOT sig_in_base
+    ),
+    all_reps AS (
+      SELECT base_rep AS id, sig FROM base_groups
+      UNION ALL SELECT id, sig FROM new_reps
+    ),
+    cross_pairs AS (
+      SELECT DISTINCT least(n.id, r.id) AS id_a,
+             greatest(n.id, r.id) AS id_b,
+             bit_count(xor(n.sig, r.sig)) AS hamming
+      FROM new_reps n JOIN all_reps r ON n.sig <> r.sig
+      WHERE bit_count(xor(n.sig, r.sig)) <= 2
+    )
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM stars
+    UNION ALL
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM cross_pairs
+    """,
+    tags=("perceptual-dedup", "multimodal", "incremental", "scale-path",
+          "beyond-parity"),
+)
+def perceptual_near_duplicate_images_delta_star(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ingest leg under the star collapse
+    (signature_near_duplicates_delta ``collapse_identical=True``):
+    every delta image attaches by a hamming-0 star to its signature's
+    anchor (the existing base representative when the signature is
+    already in the corpus — so a re-uploaded duplicate joins its
+    cluster with ONE row — else the delta minimum), and only
+    NEW-to-the-corpus signatures band against the corpus's distinct
+    signatures. A viral image re-ingested a million times costs a
+    million star rows, not a half-trillion pairs. The oracle
+    recomputes anchors, stars, and new-signature cross pairs
+    relationally."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates_delta,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        perceptual_image_hashes,
+    )
+
+    pngs = _synthetic_png_docs(spark)
+    hashes = perceptual_image_hashes(pngs, "doc_id", "data", method="dhash")
+    base = hashes.filter(F.col("doc_id") % 5 != 0)
+    delta = hashes.filter(F.col("doc_id") % 5 == 0)
+    return signature_near_duplicates_delta(
+        base, delta, "doc_id", "phash", max_hamming=2,
+        collapse_identical=True,
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 @query(

@@ -281,6 +281,7 @@ def streaming_signature_dedup(
     bits: int = 64,
     trigger_available_now: bool = True,
     compact_every_n_batches: int | None = None,
+    collapse_identical: bool = False,
 ):
     """Streaming PERCEPTUAL IMAGE dedup at ingest — the image sibling of
     :func:`streaming_minhash_dedup`, completing the batch → delta →
@@ -299,7 +300,15 @@ def streaming_signature_dedup(
     each pair exactly once in the LATER image's batch.
     ``compact_every_n_batches`` bounds both trees' partition counts via
     the same committed-frontier concatenate compaction (signatures and
-    pairs are both immutable rows — no fold needed)."""
+    pairs are both immutable rows — no fold needed).
+
+    ``collapse_identical=True`` applies the delta star collapse per
+    micro-batch (see signature_near_duplicates_delta): a re-ingested
+    duplicate emits ONE star row to the earliest prior holder of its
+    signature (the global prior minimum — every later batch anchors to
+    the same id, so the per-batch outputs stay connectivity-equivalent
+    to the batch pipeline's components), and only signatures new to
+    the accumulated table band."""
     from pyspark.sql import functions as F
 
     from hpc_hd_textreuse_etl_spark.operators.dedup import (
@@ -325,7 +334,8 @@ def streaming_signature_dedup(
         else:
             base = delta_sigs.limit(0)
         pairs = signature_near_duplicates_delta(
-            base, delta_sigs, id_col, "sig", max_hamming, band_bits, bits
+            base, delta_sigs, id_col, "sig", max_hamming, band_bits, bits,
+            collapse_identical,
         )
         pairs.write.mode("overwrite").option("compression", "zstd").parquet(
             os.path.join(pairs_path, f"batch_id={batch_id}")

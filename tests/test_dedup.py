@@ -922,6 +922,127 @@ def test_signature_delta_matches_batch_restricted_to_delta(spark):
     assert not any(a == 1 and b == 2 for a, b, _ in got)
 
 
+def _components(pairs):
+    """Driver-side union-find over (id_a, id_b) rows — the reference
+    implementation the star-collapse equivalence gates compare against."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_signature_star_collapse_connectivity_equivalent(spark):
+    """collapse_identical=True must change the OUTPUT SHAPE (linear
+    stars instead of quadratic cliques) without changing what
+    resolve_duplicates would conclude: connected components over the
+    star output equal components over the all-pairs output."""
+    import random
+
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    # three identical-sig cliques (sizes 40, 7, 2), some near-identical
+    # satellites within radius, and uniform background noise
+    for i in range(40):
+        rows.append((100 + i, 0x0F0F0F0F))
+    for i in range(7):
+        rows.append((200 + i, 0x70FF00FF00FF00FF))
+    rows += [(300, -5), (301, -5)]
+    rows.append((400, 0x0F0F0F0E))          # hamming 1 from clique 1
+    rows.append((401, 0x70FF00FF00FF00FD))  # hamming 2 from clique 2
+    for i in range(60):
+        rows.append((500 + i, rng.getrandbits(63)))
+    sigs = spark.createDataFrame(rows, "media_id long, sig long")
+    pairs = signature_near_duplicates(
+        sigs, "media_id", "sig", max_hamming=2
+    ).collect()
+    star = signature_near_duplicates(
+        sigs, "media_id", "sig", max_hamming=2, collapse_identical=True
+    ).collect()
+    assert _components([(r.id_a, r.id_b) for r in pairs]) == _components(
+        [(r.id_a, r.id_b) for r in star]
+    )
+    # output is linear in the clique sizes: the 40-clique contributes 39
+    # star rows (not 780 pairs), and every hamming-0 row is a star edge
+    # anchored at a group minimum
+    zero = [(r.id_a, r.id_b) for r in star if r.hamming == 0]
+    assert len(zero) == 39 + 6 + 1
+    assert {a for a, _ in zero if a >= 100 and a < 200} == {100}
+    n_zero_pairs = sum(1 for r in pairs if r.hamming == 0)
+    assert n_zero_pairs == 40 * 39 // 2 + 7 * 6 // 2 + 1
+    # cross-signature near-dups survive via representatives
+    star_edges = {(r.id_a, r.id_b) for r in star}
+    assert (100, 400) in star_edges
+    assert (200, 401) in star_edges
+
+
+def test_signature_delta_star_composes_with_batch_star(spark):
+    """Incremental contract under collapse_identical: (star base run) +
+    (star delta run) must resolve to the same connected components as
+    all-pairs over base ∪ delta — re-ingested duplicates attach to the
+    EXISTING base anchor, new-signature groups to their delta minimum."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates,
+        signature_near_duplicates_delta,
+    )
+
+    base_rows = (
+        [(i, 0x1111) for i in range(10, 30)]      # base clique, anchor 10
+        + [(40, 0x2222), (41, 0x2223)]            # near pair in base
+        + [(50, 0x7000DEAD0000BEEF)]
+    )
+    delta_rows = (
+        [(100 + i, 0x1111) for i in range(15)]    # re-ingested duplicates
+        + [(200, 0x3333), (201, 0x3333), (202, 0x3333)]  # new-sig clique
+        + [(210, 0x2222)]                          # duplicate of base 40
+        + [(220, 0x7000DEAD0000BEEE)]              # hamming 1 from base 50
+    )
+    base = spark.createDataFrame(base_rows, "media_id long, sig long")
+    delta = spark.createDataFrame(delta_rows, "media_id long, sig long")
+    base_star = signature_near_duplicates(
+        base, "media_id", "sig", max_hamming=2, collapse_identical=True
+    ).collect()
+    delta_star = signature_near_duplicates_delta(
+        base, delta, "media_id", "sig", max_hamming=2,
+        collapse_identical=True,
+    ).collect()
+    full = signature_near_duplicates(
+        base.unionByName(delta), "media_id", "sig", max_hamming=2
+    ).collect()
+    got = _components(
+        [(r.id_a, r.id_b) for r in base_star]
+        + [(r.id_a, r.id_b) for r in delta_star]
+    )
+    assert got == _components([(r.id_a, r.id_b) for r in full])
+    # delta output is linear: 15 re-ingested dups -> 15 stars to base
+    # anchor 10, not 15x20 cross pairs; the new-sig clique stars to 200
+    edges = {(r.id_a, r.id_b) for r in delta_star}
+    assert {(10, 100 + i) for i in range(15)} <= edges
+    assert (200, 201) in edges and (200, 202) in edges
+    assert (40, 210) in edges                      # base anchor, not 41
+    assert (50, 220) in edges                      # cross-sig via banding
+    assert len([r for r in delta_star if r.hamming == 0]) == 15 + 2 + 1
+    # base-internal pairs never re-derived: every delta-leg row has a
+    # delta side (stars anchor delta members; cross probes new sigs)
+    base_ids = {i for i, _ in base_rows}
+    assert not any(
+        r.id_a in base_ids and r.id_b in base_ids for r in delta_star
+    )
+
+
 def test_dedup_repeated_lines_delim_regex(spark):
     """Regex callers displaced by the round-9 literal-escape fix use
     delim_regex: split on the pattern, rejoin with the literal delim."""

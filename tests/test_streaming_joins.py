@@ -273,3 +273,78 @@ def test_streaming_signature_dedup_matches_batch_and_replays(spark, tmp_path):
     assert {(a, b) for a, b, _ in got} >= {(1, 2), (1, 3), (2, 3), (1, 4)}
     # replay from a fresh checkpoint converges to the same pair set
     assert run("ckpt_b") == want
+
+
+def test_streaming_signature_dedup_star_collapse(spark, tmp_path):
+    """Star-collapsed image ingest: re-ingested duplicates attach by one
+    hamming-0 row to the EARLIEST prior holder of their signature, and
+    the union of per-batch star outputs resolves to the same connected
+    components as the batch all-pairs pipeline."""
+    from hpc_hd_textreuse_etl_spark.functions.png_codec import png_encode
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        perceptual_image_hashes,
+    )
+    from hpc_hd_textreuse_etl_spark.streaming.sinks import (
+        streaming_signature_dedup,
+    )
+    from tests.test_dedup import _components
+
+    def flat(v):
+        return png_encode(8, 8, 1, bytes([v] * 64))
+
+    def gradient(reverse=False):
+        px = [(r * 8 + c) * 4 % 256 for r in range(8) for c in range(8)]
+        if reverse:
+            px = px[::-1]
+        return png_encode(8, 8, 1, bytes(px))
+
+    chunks = [
+        [(1, flat(5)), (2, flat(7))],
+        [(3, flat(9)), (5, gradient())],
+        [(4, flat(11)), (6, gradient(True))],
+    ]
+    src = str(tmp_path / "media")
+    for chunk in chunks:
+        spark.createDataFrame(chunk, "media_id long, data binary").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("media_id long, data binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_signature_dedup(
+        stream,
+        sigs_path=str(tmp_path / "sigs"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint=str(tmp_path / "ckpt"),
+        max_hamming=2,
+        collapse_identical=True,
+    )
+    q.awaitTermination()
+    star = [
+        (r.id_a, r.id_b, r.hamming)
+        for r in spark.read.option("basePath", str(tmp_path / "pairs"))
+        .parquet(str(tmp_path / "pairs"))
+        .collect()
+    ]
+    all_media = spark.createDataFrame(
+        [m for c in chunks for m in c], "media_id long, data binary"
+    )
+    hashes = perceptual_image_hashes(all_media, "media_id", "data").select(
+        "media_id", F.col("phash").alias("sig")
+    )
+    pairs = signature_near_duplicates(
+        hashes, "media_id", "sig", max_hamming=2
+    ).collect()
+    assert _components([(a, b) for a, b, _ in star]) == _components(
+        [(r.id_a, r.id_b) for r in pairs]
+    )
+    # linear: the 4-member flat clique emits exactly 3 star rows, each
+    # anchored at the earliest holder (id 1), never the 6-pair clique
+    zero = [(a, b) for a, b, h in star if h == 0]
+    flat_zero = [e for e in zero if e[1] in (2, 3, 4)]
+    assert sorted(flat_zero) == [(1, 2), (1, 3), (1, 4)]
