@@ -430,3 +430,172 @@ def perceptual_image_hashes(
     return df.select(id_col, data_col).mapInPandas(
         run, schema=f"{id_col} {id_sql}, phash long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: WAV/PCM fingerprinting (the audio leg of the multimodal ladder)
+# ---------------------------------------------------------------------------
+
+
+def audio_fingerprint_bytes(payload: bytes, n_segments: int = 64) -> int:
+    """64-bit energy-contour fingerprint of an encoded WAV clip: decode
+    (functions/wav_codec.py, stdlib struct) → integer mono downmix →
+    ``n_segments`` equal time segments → per-segment summed absolute
+    amplitude → dHash-style ring comparison (bit i set iff
+    ``energy[i] > energy[(i + 1) % n_segments]``), LSB-first packed
+    into a signed BIGINT. Every step is integer arithmetic, so the
+    fingerprint is bit-reproducible across engines and partitionings —
+    the same property the image dHash has, which is what lets a DuckDB
+    oracle gate the audio chain end to end when the samples come from
+    a portable formula (plans/queries.py audio_fingerprint_codes).
+
+    Robust to the transforms a near-dup audio pipeline meets (volume
+    is monotone in the comparisons' inputs only through segment sums,
+    re-containering cancels entirely); NOT a music-recognition
+    chromaprint — it is the dedup key for re-encoded/re-uploaded
+    clips, the audio twin of the image dHash."""
+    from hpc_hd_textreuse_etl_spark.functions.wav_codec import (
+        pcm_samples,
+        wav_decode,
+    )
+
+    _rate, channels, width, frames = wav_decode(payload)
+    samples = pcm_samples(channels, width, frames)
+    n = len(samples)
+    energy = [0] * n_segments
+    for i, s in enumerate(samples):
+        energy[i * n_segments // n] += abs(s)
+    return _pack_bits(
+        [
+            energy[i] > energy[(i + 1) % n_segments]
+            for i in range(n_segments)
+        ]
+    )
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "media_id",
+    data_col: str = "data",
+    n_segments: int = 64,
+) -> DataFrame:
+    """``(id, afp, sample_rate, n_samples)`` — 64-bit energy-contour
+    fingerprint per WAV clip (:func:`audio_fingerprint_bytes`) plus the
+    decoded header facts, the audio entry point of the signature-dedup
+    family: feed ``afp`` to operators/dedup.py
+    ``signature_near_duplicates`` (batch, delta, star-collapse and
+    streaming legs all apply unchanged — the banding engine is
+    signature-agnostic).
+
+    Same contract as :func:`perceptual_image_hashes`: Arrow-batched
+    ``mapInPandas`` streams the audio bytes ONCE and emits 8-byte
+    signatures; every downstream dedup shuffle carries (id, afp) pairs,
+    never payloads. NULL payloads are dropped; integer id dtypes are
+    normalized to long before the Arrow exchange; other id dtypes
+    except string are rejected loudly."""
+    import pandas as pd
+
+    from hpc_hd_textreuse_etl_spark.functions.wav_codec import (
+        pcm_samples,
+        wav_decode,
+    )
+
+    if n_segments < 2 or n_segments > 64:
+        raise ValueError(
+            f"n_segments must be in [2, 64] (one BIGINT), got {n_segments}"
+        )
+    id_dtype = dict(df.dtypes)[id_col]
+    if id_dtype in ("bigint", "int", "smallint", "tinyint"):
+        df = df.withColumn(id_col, F.col(id_col).cast("long"))
+        id_sql = "long"
+    elif id_dtype == "string":
+        id_sql = "string"
+    else:
+        raise ValueError(
+            f"audio_fingerprints: unsupported id dtype {id_dtype!r} "
+            f"for {id_col!r} (expected an integer type or string)"
+        )
+    df = df.where(F.col(data_col).isNotNull())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {id_col: [], "afp": [], "sample_rate": [], "n_samples": []}
+            for mid, payload in zip(pdf[id_col], pdf[data_col]):
+                rate, channels, width, frames = wav_decode(bytes(payload))
+                samples = pcm_samples(channels, width, frames)
+                n = len(samples)
+                energy = [0] * n_segments
+                for i, s in enumerate(samples):
+                    energy[i * n_segments // n] += abs(s)
+                rows[id_col].append(mid)
+                rows["afp"].append(
+                    _pack_bits(
+                        [
+                            energy[i] > energy[(i + 1) % n_segments]
+                            for i in range(n_segments)
+                        ]
+                    )
+                )
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, data_col).mapInPandas(
+        run,
+        schema=f"{id_col} {id_sql}, afp long, sample_rate int, n_samples long",
+    )
+
+
+def audio_metadata(
+    df: DataFrame, id_col: str = "media_id", data_col: str = "data"
+) -> DataFrame:
+    """``(id, sample_rate, channels, sample_width, n_frames,
+    duration_ms)`` per WAV clip — header-only facts for QC dashboards
+    and partition planning (bucket clips by duration before feature
+    extraction). NULL payloads are dropped, mirroring
+    :func:`audio_fingerprints`."""
+    import pandas as pd
+
+    from hpc_hd_textreuse_etl_spark.functions.wav_codec import wav_decode
+
+    id_dtype = dict(df.dtypes)[id_col]
+    if id_dtype in ("bigint", "int", "smallint", "tinyint"):
+        df = df.withColumn(id_col, F.col(id_col).cast("long"))
+        id_sql = "long"
+    elif id_dtype == "string":
+        id_sql = "string"
+    else:
+        raise ValueError(
+            f"audio_metadata: unsupported id dtype {id_dtype!r} for "
+            f"{id_col!r} (expected an integer type or string)"
+        )
+    df = df.where(F.col(data_col).isNotNull())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                id_col: [], "sample_rate": [], "channels": [],
+                "sample_width": [], "n_frames": [], "duration_ms": [],
+            }
+            for mid, payload in zip(pdf[id_col], pdf[data_col]):
+                rate, channels, width, frames = wav_decode(bytes(payload))
+                n_frames = len(frames) // (channels * width)
+                rows[id_col].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(channels)
+                rows["sample_width"].append(width)
+                rows["n_frames"].append(n_frames)
+                rows["duration_ms"].append(n_frames * 1000.0 / rate)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, data_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_sql}, sample_rate int, channels int, "
+            "sample_width int, n_frames long, duration_ms double"
+        ),
+    )

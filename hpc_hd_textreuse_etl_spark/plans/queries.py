@@ -6505,6 +6505,172 @@ def perceptual_near_duplicate_images_delta_star(
     )
 
 
+def _synthetic_wav_docs(spark: SparkSession, limit: int = 200) -> DataFrame:
+    """Deterministic 1024-sample 16-bit mono WAV clips from the
+    portable sample formula:
+    ``u(d, i) = H(d%40 || '|' || i) % 65536`` and
+    ``s = u - 32768``, with a per-document one-sample perturbation at
+    ``i = d % 1024`` (``u + 16384 mod 65536``) — 40 base waveforms,
+    each document a near-identical variant. The sample array is pure
+    Catalyst; only the WAV container encode is an Arrow-batched UDF
+    (functions/wav_codec.py — stdlib struct), and the encode→decode
+    round-trip is lossless, so the downstream energy-contour
+    fingerprint is provably a function of the FORMULA — the PNG
+    precedent (_synthetic_png_docs) transferred to audio, letting
+    DuckDB gate an audio pipeline it cannot decode."""
+    import pandas as pd
+
+    from hpc_hd_textreuse_etl_spark.functions.hashing import portable_hash64
+
+    docs = spark.table("documents").filter(F.col("doc_id") < limit).select("doc_id")
+    idx = F.sequence(F.lit(0), F.lit(1023))
+
+    def sample(i):
+        u = portable_hash64(
+            F.concat_ws(
+                "|",
+                (F.col("doc_id") % 40).cast("string"),
+                i.cast("string"),
+            )
+        ) % 65536
+        u2 = F.when(
+            i == F.col("doc_id") % 1024, (u + 16384) % 65536
+        ).otherwise(u)
+        return (u2 - 32768).cast("int")
+
+    with_samples = docs.select("doc_id", F.transform(idx, sample).alias("smp"))
+
+    def encode(batches):
+        import struct
+
+        from hpc_hd_textreuse_etl_spark.functions.wav_codec import wav_encode
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "data": [
+                        wav_encode(
+                            8000, 1, 2,
+                            struct.pack(f"<{len(s)}h", *list(s)),
+                        )
+                        for s in pdf["smp"]
+                    ],
+                }
+            )
+
+    return with_samples.mapInPandas(encode, schema="doc_id long, data binary")
+
+
+def _afp_oracle_select(limit: int = 200) -> str:
+    """DuckDB SQL computing the energy-contour fingerprint of the
+    synthetic WAVs DIRECTLY from the sample formula — the WAV
+    encode/decode round-trip cancels, so matching this gates the whole
+    Spark audio chain (sample gen, WAV encode, stdlib decode, mono
+    samples, 64-segment energy sums, ring-comparison bit pack). Unlike
+    the 72-pixel image oracle this one materializes ALL 1024 samples
+    per document via a relational ``range`` cross join (the energy sum
+    needs every sample); bit 63 wraps to the signed BIGINT the afp
+    column holds."""
+    return f"""wav_u AS (
+      SELECT d.doc_id, r.i,
+             (('0x' || substr(md5(CAST(d.doc_id % 40 AS VARCHAR) || '|' ||
+               CAST(r.i AS VARCHAR)), 1, 15))::BIGINT % 65536) AS u
+      FROM (SELECT doc_id FROM documents WHERE doc_id < {limit}) d
+      CROSS JOIN (SELECT range AS i FROM range(1024)) r
+    ), wav_s AS (
+      SELECT doc_id, i,
+             CASE WHEN i = doc_id % 1024
+                  THEN ((u + 16384) % 65536) - 32768
+                  ELSE u - 32768 END AS s
+      FROM wav_u
+    ), wav_seg AS (
+      SELECT doc_id, i // 16 AS seg, sum(abs(s)) AS e
+      FROM wav_s GROUP BY doc_id, i // 16
+    ), afp AS (
+      SELECT doc_id,
+             CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                       THEN s - 18446744073709551616::HUGEINT
+                       ELSE s END AS BIGINT) AS afp
+      FROM (
+        SELECT a.doc_id,
+               sum(CASE WHEN a.e > b.e
+                        THEN CAST(power(2, a.seg) AS HUGEINT)
+                        ELSE 0::HUGEINT END) AS s
+        FROM wav_seg a JOIN wav_seg b
+          ON a.doc_id = b.doc_id AND b.seg = (a.seg + 1) % 64
+        GROUP BY a.doc_id
+      )
+    )"""
+
+
+@query(
+    "audio_fingerprint_codes",
+    oracle=f"""
+    WITH {_afp_oracle_select()}
+    SELECT doc_id, afp, 8000 AS sample_rate,
+           CAST(1024 AS BIGINT) AS n_samples
+    FROM afp
+    """,
+    tags=("audio-dedup", "multimodal", "beyond-parity"),
+)
+def audio_fingerprint_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio modality's fingerprint pass end to end: synthetic WAV
+    clips (pure-Catalyst sample formula → stdlib WAV encode) →
+    operators/multimodal.py audio_fingerprints (decode → integer mono →
+    64 segment energies → ring-comparison bit pack) — value-hash-gated
+    against a DuckDB oracle that computes the fingerprint from the
+    sample formula alone (the lossless container round-trip cancels).
+    The gated sample_rate / n_samples columns additionally pin the
+    header round-trip."""
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        audio_fingerprints,
+    )
+
+    wavs = _synthetic_wav_docs(spark)
+    return audio_fingerprints(wavs, "doc_id", "data").select(
+        "doc_id", "afp", "sample_rate", "n_samples"
+    )
+
+
+@query(
+    "audio_near_duplicate_clips",
+    oracle=f"""
+    WITH {_afp_oracle_select()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+    FROM afp a JOIN afp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.afp, b.afp)) <= 4
+    """,
+    tags=("audio-dedup", "multimodal", "beyond-parity"),
+)
+def audio_near_duplicate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs: energy-contour fingerprints → the SAME
+    pigeonhole banding engine the image and SimHash families use
+    (operators/dedup.py signature_near_duplicates — signature-agnostic
+    by design, so the audio modality inherits batch, delta,
+    star-collapse and streaming legs for free) → exact bit_count(xor)
+    verification at radius 4. The DuckDB oracle brute-forces all pairs
+    within the radius, proving the banding lossless on audio
+    signatures."""
+    from hpc_hd_textreuse_etl_spark.operators.dedup import (
+        signature_near_duplicates,
+    )
+    from hpc_hd_textreuse_etl_spark.operators.multimodal import (
+        audio_fingerprints,
+    )
+
+    wavs = _synthetic_wav_docs(spark)
+    fps = audio_fingerprints(wavs, "doc_id", "data").select("doc_id", "afp")
+    return signature_near_duplicates(
+        fps, "doc_id", "afp", max_hamming=4
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 @query(
     "pareto_frontier_parts",
     oracle="""
