@@ -69,6 +69,11 @@ def main() -> None:
 
     loadavg_post = [round(v, 2) for v in os.getloadavg()]
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # the idle-artifact gate (BENCH_IDLE.json convention): a 1-minute
+    # loadavg above 1.0 before the run means other work shared the
+    # machine — totals from such a run are upper bounds, and
+    # BENCH_IDLE.json (loadavg-gated, repeats=5) is the authoritative
+    # number for round-over-round comparison
     print(
         json.dumps(
             {
@@ -81,6 +86,7 @@ def main() -> None:
                 "master": master,
                 "loadavg_pre": loadavg_pre,
                 "loadavg_post": loadavg_post,
+                "busy_host_warning": loadavg_pre[0] > 1.0,
                 "cpus": cpus,
                 "query_stddev": stddevs,
             }
