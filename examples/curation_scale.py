@@ -57,15 +57,16 @@ RUNGS = (
     ("sf1", os.path.join(REPO, "scale_data", "sf1"), 1.0, None),
     # the sf2 rung gives a FOURTH point to every family whose 3-point
     # shuffle exponent read ≥ ~1 (dsir 1.04, nb 1.04, line-dedup 0.99 —
-    # the round-9 verdict's symmetric-treatment ask) plus the cheap
-    # matmul family; plain semantic_dedup (wall exponent 0.56, clearly
+    # the round-9 verdict's symmetric-treatment ask, extended to the LR
+    # trainer in round 11: its 3-point shuffle exponent read 1.026, the
+    # same ≥ 1 band that earned dsir and nb their confirming 4th
+    # points); plain semantic_dedup (wall exponent 0.56, clearly
     # sublinear, and the fold-assign path is not the production choice
-    # for wide embeddings) and the LR trainer (per-round driver jobs
-    # make it the probe's most expensive family; its 3-point fit is
-    # fresh this round) are excluded to keep the probe's cost bounded.
+    # for wide embeddings) stays excluded to keep the probe's cost
+    # bounded.
     ("sf2", os.path.join(REPO, "scale_data", "sf2"), 2.0,
      {"dsir_weights_resample", "nb_classifier", "repeated_line_dedup",
-      "semantic_dedup_matmul"}),
+      "semantic_dedup_matmul", "lr_classifier"}),
 )
 
 
