@@ -311,3 +311,43 @@ def test_reloaded_model_scoring_plan_matches_in_session(spark):
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_star_collapse_bands_distinct_sigs_no_cartesian(spark):
+    """The star-collapse scale path: identical-signature groups
+    aggregate to representatives BEFORE the banding join (a
+    HashAggregate feeding the band-keyed equi-join), and nothing in
+    stars ∪ cross is a cartesian product."""
+    plan = executed_plan(spark, "perceptual_near_duplicate_images_star")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert re.search(r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b", plan)
+
+
+def test_delta_star_probe_is_new_sigs_only(spark):
+    """The ingest-path star collapse: candidate generation stays a
+    (band, chunk)-keyed equi-join (probe = corpus-NEW signatures only),
+    never a cartesian product."""
+    plan = executed_plan(spark, "perceptual_near_duplicate_images_delta_star")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b", plan)
+
+
+def test_audio_near_dup_plan_is_banded_equi_join(spark):
+    """The audio modality rides the same banding engine: fingerprints
+    come out of ONE Arrow-batched pass (mapInPandas — audio bytes never
+    shuffle) and the pair generation is the band-keyed equi-join."""
+    plan = executed_plan(spark, "audio_near_duplicate_clips")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\b(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\b", plan)
+    assert "MapInPandas" in plan
+
+
+def test_lr_reloaded_scoring_plan_matches_in_session(spark):
+    """LR's reloaded-model leg keeps the in-session shape: the reloaded
+    weight table (a parquet scan) still broadcasts into the scoring
+    join and the deployed ranking still heaps."""
+    plan = executed_plan(spark, "quality_lr_ranking_reloaded")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
