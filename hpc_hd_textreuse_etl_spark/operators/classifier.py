@@ -433,9 +433,12 @@ def lr_quality_scores(
         # the model_store params check only guards the RELOAD path, so
         # guard direct DataFrame reuse here too (the nb footgun
         # convention). The model is config-sized — one tiny job.
-        model_buckets = model.agg(
-            F.max("bucket").alias("mx")
-        ).collect()[0]["mx"] + 1
+        mx = model.agg(F.max("bucket").alias("mx")).collect()[0]["mx"]
+        if mx is None:
+            raise ValueError(
+                "lr_quality_scores: the passed model frame is empty"
+            )
+        model_buckets = mx + 1
         if model_buckets != num_buckets:
             raise ValueError(
                 f"lr_quality_scores: model was trained with "
