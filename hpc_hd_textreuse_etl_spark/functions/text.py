@@ -66,12 +66,32 @@ def char_shingles_of(colname: str, n: int = 5) -> Column:
 
 
 def token_shingles(col: Column | str, n: int = 3) -> Column:
-    """Token n-grams joined by a separator (array<string>)."""
+    """Token n-grams joined by a separator (array<string>).
+
+    Built by zipping the token array with its own shifted suffixes
+    (``zip_with`` chain) instead of a positional ``transform`` whose
+    lambda re-slices a *tokenization expression*: higher-order lambdas
+    evaluate interpreted, so ``slice(tokens(c), i+1, n)`` inside the
+    lambda re-ran the tokenizer regex over the WHOLE document once per
+    position — O(tokens × doc_len) per row (measured as the hot stack
+    in the corpus-audit profile). The zip form evaluates ``tokens``
+    O(n) times per row and the lambda touches only its two operands.
+    Semantics are unchanged (property-tested against the positional
+    formulation): ``concat_ws`` drops the null padding ``zip_with``
+    adds beyond the shorter side, exactly like the clamped ``slice``;
+    empty token lists still yield the single degenerate ``[""]``."""
     toks = tokens(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = toks
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, F.size(toks)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    grams = F.slice(grams, 1, F.greatest(F.size(toks) - n, F.lit(0)) + 1)
+    # empty OR NULL token lists both yield [""] — the degenerate gram the
+    # positional formulation produced (greatest() skips the NULL size)
+    return F.when(F.size(toks) > 0, grams).otherwise(F.array(F.lit("")))
 
 
 # ---------------------------------------------------------------------------
@@ -90,12 +110,17 @@ def token_stats(col: Column | str) -> dict[str, Column]:
         "n_chars": F.length(c),
         "n_tokens": n,
         "n_unique_tokens": F.size(F.array_distinct(toks)),
-        "avg_token_len": F.when(
-            n > 0,
-            F.aggregate(
-                toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
-            )
-            / n,
+        # one fold computes count and char total together (the regex
+        # tokenizer backing ``toks`` runs once for this column, not
+        # three times); same left-to-right double accumulation order
+        "avg_token_len": F.aggregate(
+            toks,
+            F.struct(F.lit(0).alias("n"), F.lit(0.0).alias("chars")),
+            lambda a, t: F.struct(
+                (a["n"] + 1).alias("n"),
+                (a["chars"] + F.length(t).cast("double")).alias("chars"),
+            ),
+            lambda a: F.when(a["n"] > 0, a["chars"] / a["n"].cast("double")),
         ),
         "type_token_ratio": F.when(
             n > 0, F.size(F.array_distinct(toks)).cast("double") / n
@@ -106,9 +131,27 @@ def token_stats(col: Column | str) -> dict[str, Column]:
 def stopword_ratio(
     col: Column | str, stopwords: tuple[str, ...] = DEFAULT_STOPWORDS
 ) -> Column:
+    """Stopword hits / token count (NULL for token-less docs).
+
+    One ``aggregate`` fold counting hits and tokens together, so the
+    tokenizer regex runs ONCE per document — the previous
+    ``size(filter(toks))/size(toks)`` spelling referenced the
+    tokenization expression three times and (being interpreted
+    higher-order inputs) re-ran the regex for each reference. Same
+    integers, same division, identical output."""
     toks = tokens(col)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks))
+    acc = F.aggregate(
+        toks,
+        F.struct(F.lit(0).alias("n"), F.lit(0).alias("hits")),
+        lambda a, t: F.struct(
+            (a["n"] + 1).alias("n"),
+            (a["hits"] + F.when(t.isin(*stopwords), 1).otherwise(0)).alias("hits"),
+        ),
+        lambda a: F.when(
+            a["n"] > 0, a["hits"].cast("double") / a["n"].cast("double")
+        ),
+    )
+    return acc
 
 
 def repetition_stats(col: Column | str) -> dict[str, Column]:
@@ -122,54 +165,117 @@ def repetition_stats(col: Column | str) -> dict[str, Column]:
       frequent word bigram / total characters.
 
     Pure Catalyst higher-order folds, one pass per document, no shuffle
-    and no Python — per-row cost is O(lines + bigrams²) on bounded
-    per-document arrays, independent of corpus size."""
+    and no Python.
+
+    Occurrence counting runs as a single sorted-run fold per array
+    (``array_sort`` + one ``aggregate`` scan tracking the current run):
+    O(k log k) per document. The previous spelling counted each
+    distinct element with a fresh ``filter`` over the whole array AND
+    — because higher-order lambdas evaluate interpreted, re-evaluating
+    any non-trivial expression they close over — re-derived the
+    line/bigram arrays themselves per element, which made the bigram
+    leg effectively cubic in document length (profiled as minutes per
+    document batch on the corpus audit; the hot stack was the
+    tokenizer regex re-running inside nested lambdas). Same counts,
+    same divisions, bit-identical fractions (equivalence-pinned in
+    tests/test_text_functions.py)."""
     c = F.col(col) if isinstance(col, str) else col
     lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
     n_lines = F.size(lines)
-    uniq = F.array_distinct(lines)
-    # lines occurring 2+ times, with their occurrence counts
-    dup_counts = F.filter(
-        F.transform(
-            uniq,
-            lambda l: F.struct(
-                F.length(l).alias("len"),
-                F.size(F.filter(lines, lambda x: x == l)).alias("n"),
+
+    def _dup_totals(arr: Column) -> Column:
+        """Fold over the sorted array: total members of runs of length
+        ≥ 2 (``dn``) and their character mass (``dc``) — exactly
+        Σ_{v: count(v)>1} count(v) and Σ count(v)·len(v)."""
+        close_dn = lambda a: a["dn"] + F.when(a["run"] > 1, a["run"]).otherwise(0)
+        close_dc = lambda a: a["dc"] + F.when(
+            a["run"] > 1, a["run"] * F.length(a["prev"])
+        ).otherwise(0)
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("dn"),
+                F.lit(0).alias("dc"),
             ),
-        ),
-        lambda s: s["n"] > 1,
-    )
-    n_dup_lines = F.aggregate(
-        dup_counts, F.lit(0), lambda acc, s: acc + s["n"]
-    )
-    dup_line_chars = F.aggregate(
-        dup_counts, F.lit(0), lambda acc, s: acc + s["len"] * s["n"]
-    )
+            lambda a, x: F.when(
+                x.eqNullSafe(a["prev"]),
+                F.struct(
+                    a["prev"].alias("prev"),
+                    (a["run"] + 1).alias("run"),
+                    a["dn"].alias("dn"),
+                    a["dc"].alias("dc"),
+                ),
+            ).otherwise(
+                F.struct(
+                    x.alias("prev"),
+                    F.lit(1).alias("run"),
+                    close_dn(a).alias("dn"),
+                    close_dc(a).alias("dc"),
+                )
+            ),
+            lambda a: F.struct(close_dn(a).alias("dn"), close_dc(a).alias("dc")),
+        )
+
+    line_dups = _dup_totals(lines)
     total_line_chars = F.aggregate(
         lines, F.lit(0), lambda acc, l: acc + F.length(l)
     )
     bigrams = token_shingles(c, 2)
-    top_bigram = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda g: F.struct(
-                F.size(F.filter(bigrams, lambda x: x == g)).alias("n"),
-                F.length(g).alias("len"),
+    # most-frequent-bigram char product n·len via the same sorted-run
+    # fold; ties resolve by larger len, matching array_max over
+    # struct(n, len) lexicographic ordering
+    top_bigram_prod = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("bn"),
+            F.lit(0).alias("bl"),
+        ),
+        lambda a, x: F.when(
+            x.eqNullSafe(a["prev"]),
+            F.struct(
+                a["prev"].alias("prev"),
+                (a["run"] + 1).alias("run"),
+                a["bn"].alias("bn"),
+                a["bl"].alias("bl"),
             ),
-        )
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).alias("run"),
+                F.when(
+                    (a["run"] > a["bn"])
+                    | ((a["run"] == a["bn"]) & (F.length(a["prev"]) > a["bl"])),
+                    a["run"],
+                ).otherwise(a["bn"]).alias("bn"),
+                F.when(
+                    (a["run"] > a["bn"])
+                    | ((a["run"] == a["bn"]) & (F.length(a["prev"]) > a["bl"])),
+                    F.length(a["prev"]),
+                ).otherwise(a["bl"]).alias("bl"),
+            )
+        ),
+        lambda a: F.when(
+            (a["run"] > a["bn"])
+            | ((a["run"] == a["bn"]) & (F.length(a["prev"]) > a["bl"])),
+            a["run"] * F.length(a["prev"]),
+        ).otherwise(a["bn"] * a["bl"]),
     )
     n_chars = F.length(c)
     return {
         "dup_line_fraction": F.when(
-            n_lines > 0, n_dup_lines.cast("double") / n_lines
+            n_lines > 0, line_dups["dn"].cast("double") / n_lines
         ).otherwise(F.lit(0.0)),
         "dup_line_char_fraction": F.when(
             total_line_chars > 0,
-            dup_line_chars.cast("double") / total_line_chars,
+            line_dups["dc"].cast("double") / total_line_chars,
         ).otherwise(F.lit(0.0)),
         "top_bigram_char_fraction": F.when(
             (n_chars > 0) & (F.size(bigrams) > 0),
-            (top_bigram["n"] * top_bigram["len"]).cast("double") / n_chars,
+            top_bigram_prod.cast("double") / n_chars,
         ).otherwise(F.lit(0.0)),
     }
 
@@ -200,21 +306,51 @@ def lang_guess(
     default: str = "unknown",
 ) -> Column:
     """Arg-max language over stopword-hit counts; ``default`` when no
-    profile scores > 0. Deterministic tie-break: profile order."""
-    scores = lang_scores(col, profiles)
-    langs = list(scores)
-    best = None
-    for lang in langs:
-        cond = F.lit(True)
-        seen_before = langs[: langs.index(lang)]
-        after = langs[langs.index(lang) + 1 :]
-        for o in seen_before:  # earlier profiles win ties
-            cond = cond & (scores[lang] > scores[o])
-        for o in after:
-            cond = cond & (scores[lang] >= scores[o])
-        cond = cond & (scores[lang] > 0)
-        best = F.when(cond, lang) if best is None else best.when(cond, lang)
-    return best.otherwise(default)
+    profile scores > 0. Deterministic tie-break: profile order.
+
+    All profile counts accumulate in ONE ``aggregate`` fold over the
+    token array and the arg-max when-chain runs in the fold's finish
+    lambda over the accumulator fields — so the tokenizer regex runs
+    once per document. The previous per-profile ``size(filter(...))``
+    columns were each referenced once per branch of the when-chain,
+    re-running the regex ~k² times per row (interpreted higher-order
+    inputs are re-evaluated per reference). Identical counts,
+    identical tie-break, identical output (equivalence-pinned)."""
+    toks = tokens(col)
+    langs = list(profiles)
+
+    def _merge(a: Column, t: Column) -> Column:
+        return F.struct(
+            *[
+                (
+                    a[f"s{i}"]
+                    + F.when(t.isin(*profiles[lang]), 1).otherwise(0)
+                ).alias(f"s{i}")
+                for i, lang in enumerate(langs)
+            ]
+        )
+
+    def _finish(a: Column) -> Column:
+        best = None
+        for i, lang in enumerate(langs):
+            cond = F.lit(True)
+            for j in range(i):  # earlier profiles win ties
+                cond = cond & (a[f"s{i}"] > a[f"s{j}"])
+            for j in range(i + 1, len(langs)):
+                cond = cond & (a[f"s{i}"] >= a[f"s{j}"])
+            cond = cond & (a[f"s{i}"] > 0)
+            best = F.when(cond, lang) if best is None else best.when(cond, lang)
+        return best.otherwise(default)
+
+    agg = F.aggregate(
+        toks,
+        F.struct(*[F.lit(0).alias(f"s{i}") for i in range(len(langs))]),
+        _merge,
+        _finish,
+    )
+    # NULL text: the fold yields NULL where the filter-count spelling
+    # yielded ``default`` — restore that contract
+    return F.coalesce(agg, F.lit(default))
 
 
 # ---------------------------------------------------------------------------

@@ -207,3 +207,96 @@ def test_scrub_pii_clean_text_untouched(spark):
     assert (r["url_count"], r["email_count"], r["ip_count"], r["phone_count"]) == (
         0, 0, 0, 0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-run fold formulations (round-11 optimization) vs the naive
+# quadratic per-distinct-element spellings they replaced
+# ---------------------------------------------------------------------------
+
+
+def test_fold_formulations_match_naive_quadratic_spellings(spark):
+    """The round-11 rewrite replaced interpreted higher-order spellings
+    that re-evaluated the tokenizer regex per array element (token
+    n-grams via positional slice; per-distinct-element filter counts in
+    repetition_stats; per-profile filter counts in stopword_ratio /
+    lang_guess) with single sorted-run ``aggregate`` folds. This pins
+    the new forms bit-for-bit to the original formulations on edge
+    cases: NULL, empty, whitespace-only, single-token, all-duplicate,
+    tie-ridden bigram counts, and multi-line documents."""
+    from hpc_hd_textreuse_etl_spark.functions.text import (
+        DEFAULT_STOPWORDS,
+        repetition_stats,
+        stopword_ratio,
+        token_shingles,
+        tokens,
+    )
+
+    docs = [
+        None, "", " ", "\n", "one", "a b", "the the the", "x\nx\nx",
+        "nav\nnav\nbody text here\n\n nav", "a b a b c d c d",
+        "der die das und der die", "t1 t2 t1 t2 t1 t3",
+    ]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "id long, text string"
+    )
+    c = F.col("text")
+    toks = tokens("text")
+
+    # naive originals, inlined
+    naive_sh2 = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+    )
+    naive_sr = F.when(
+        F.size(toks) > 0,
+        F.size(F.filter(toks, lambda t: t.isin(*DEFAULT_STOPWORDS))).cast(
+            "double"
+        )
+        / F.size(toks),
+    )
+    lines = F.filter(F.split(c, r"\n"), lambda l: F.trim(l) != "")
+    uniq = F.array_distinct(lines)
+    dup_counts = F.filter(
+        F.transform(
+            uniq,
+            lambda l: F.struct(
+                F.length(l).alias("len"),
+                F.size(F.filter(lines, lambda x: x == l)).alias("n"),
+            ),
+        ),
+        lambda s: s["n"] > 1,
+    )
+    naive_dn = F.aggregate(dup_counts, F.lit(0), lambda acc, s: acc + s["n"])
+    bigrams = token_shingles(c, 2)
+    naive_top = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.struct(
+                F.size(F.filter(bigrams, lambda x: x == g)).alias("n"),
+                F.length(g).alias("len"),
+            ),
+        )
+    )
+    stats = repetition_stats("text")
+    rows = df.select(
+        "id",
+        token_shingles(c, 2).alias("sh2"),
+        naive_sh2.alias("nsh2"),
+        stopword_ratio("text").alias("sr"),
+        naive_sr.alias("nsr"),
+        stats["dup_line_fraction"].alias("dlf"),
+        F.when(
+            F.size(lines) > 0, naive_dn.cast("double") / F.size(lines)
+        ).otherwise(F.lit(0.0)).alias("ndlf"),
+        stats["top_bigram_char_fraction"].alias("tbcf"),
+        F.when(
+            (F.length(c) > 0) & (F.size(bigrams) > 0),
+            (naive_top["n"] * naive_top["len"]).cast("double") / F.length(c),
+        ).otherwise(F.lit(0.0)).alias("ntbcf"),
+    ).collect()
+    for r in rows:
+        assert repr(r["sh2"]) == repr(r["nsh2"]), (r["id"], docs[r["id"]])
+        assert repr(r["sr"]) == repr(r["nsr"]), (r["id"], docs[r["id"]])
+        assert repr(r["dlf"]) == repr(r["ndlf"]), (r["id"], docs[r["id"]])
+        assert repr(r["tbcf"]) == repr(r["ntbcf"]), (r["id"], docs[r["id"]])
