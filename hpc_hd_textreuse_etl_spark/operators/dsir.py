@@ -56,11 +56,23 @@ def _grams(text_col: str) -> F.Column:
     ops; bigrams joined with a single space, matching the DuckDB oracle
     expression token for token)."""
     w = tokens(F.col(text_col))
+    # zip the token array with its shifted self instead of a positional
+    # transform whose lambda re-evaluates the tokenization expression
+    # per element (interpreted higher-order lambdas re-run closed-over
+    # expressions each call — O(tokens × doc_len) per row; profiled as
+    # the classifier-stage hot path). concat_ws drops the null padding
+    # beyond the shorter side; the slice trims the degenerate last
+    # element, reproducing the positional result token for token.
     bigrams = F.when(
         F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        F.slice(
+            F.zip_with(
+                w,
+                F.slice(w, 2, F.size(w)),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            1,
+            F.size(w) - 1,
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(w, bigrams)

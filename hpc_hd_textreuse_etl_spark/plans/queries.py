@@ -5435,7 +5435,13 @@ def repeated_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpc_hd_textreuse_etl_spark.operators.dedup import dedup_repeated_lines
 
     docs = spark.table("documents")
-    w = tokens(F.col("text"))
+    # bind the token array to a real column first: a positional
+    # transform whose lambda slices the tokenization EXPRESSION would
+    # re-run the tokenizer regex once per segment (interpreted
+    # higher-order lambdas re-evaluate closed-over expressions); over a
+    # bound column the slice is a cheap row access
+    tokked = docs.select("doc_id", tokens(F.col("text")).alias("__w"))
+    w = F.col("__w")
     nseg = F.ceil(F.size(w) / F.lit(12.0)).cast("int")
     segs = F.when(
         F.size(w) > 0,
@@ -5444,7 +5450,7 @@ def repeated_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda j: F.concat_ws(" ", F.slice(w, j * 12 + 1, 12)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    seg_docs = docs.select("doc_id", F.concat_ws("\n", segs).alias("text"))
+    seg_docs = tokked.select("doc_id", F.concat_ws("\n", segs).alias("text"))
     return dedup_repeated_lines(
         seg_docs, "doc_id", "text", min_count=2, keep="first", hashed=False
     )
