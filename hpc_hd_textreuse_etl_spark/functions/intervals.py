@@ -124,13 +124,25 @@ def prefix_sums(
     value_cols: Sequence[str],
     out_cols: Sequence[str],
     num_buckets: int = 32,
+    total_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """:func:`prefix_sum` over several value columns at once: all the
     local cumulative windows share one range-repartition and one sort,
     and the per-partition offset table carries every column — N running
-    sums for the price of one (vs N chained calls = N repartitions)."""
+    sums for the price of one (vs N chained calls = N repartitions).
+
+    ``total_cols`` (same length as ``value_cols``) additionally attaches
+    the GLOBAL sum of each value column to every output row, derived
+    from the per-partition totals table (≤ ``num_buckets`` rows) and
+    broadcast back. Callers that need grand totals alongside the running
+    sums (threshold sweeps: ``fn = P - tp``) would otherwise aggregate
+    ``df`` in a separate branch — at corpus scale that is a second full
+    scan + shuffle of the input subtree; here it is a ≤ num_buckets-row
+    aggregate of partials the prefix pass computes anyway."""
     if len(value_cols) != len(out_cols) or not value_cols:
         raise ValueError("value_cols and out_cols must be same non-zero length")
+    if total_cols is not None and len(total_cols) != len(value_cols):
+        raise ValueError("total_cols must align with value_cols")
     parts = df.repartitionByRange(num_buckets, F.col(order_col)).withColumn(
         "__pid", F.spark_partition_id()
     )
@@ -153,8 +165,20 @@ def prefix_sums(
         F.col("__pid").alias("__ppid"),
         *[F.col(f"__tot{i}").alias(f"__ptot{i}") for i in range(len(value_cols))],
     )
+    # Theta-join the broadcast totals against the STATIC pid domain
+    # 0..num_buckets-1 (repartition(num_buckets) partition ids), not
+    # against `totals` itself: as the left side, `totals` is column-
+    # pruned to a keys-only distinct whose canonical plan no longer
+    # matches the totals exchange, so the planner re-ran the ENTIRE
+    # input subtree a second time just to list the pids (verified:
+    # executed threshold-sweep plan had a duplicate full scan). Pids of
+    # empty partitions get an offset row that the final inner join
+    # simply never matches.
+    pid_domain = df.sparkSession.range(num_buckets).select(
+        F.col("id").cast("int").alias("__pid")
+    )
     offsets = (
-        totals.join(
+        pid_domain.join(
             F.broadcast(prior), F.col("__ppid") < F.col("__pid"), "left"
         )
         .groupBy("__pid")
@@ -168,6 +192,16 @@ def prefix_sums(
     out = local.join(F.broadcast(offsets), "__pid")
     for i, o in enumerate(out_cols):
         out = out.withColumn(o, F.col(f"__run{i}") + F.col(f"__off{i}"))
+    if total_cols is not None:
+        # empty input: the 1-row agg yields NULL sums, but `out` is
+        # empty then too, so the coalesce-to-0 never surfaces a row
+        grand = totals.agg(
+            *[
+                F.coalesce(F.sum(f"__tot{i}"), F.lit(0)).alias(c)
+                for i, c in enumerate(total_cols)
+            ]
+        )
+        out = out.crossJoin(F.broadcast(grand))
     return out.drop(
         "__pid",
         *[f"__run{i}" for i in range(len(value_cols))],

@@ -133,25 +133,38 @@ def stopword_ratio(
 ) -> Column:
     """Stopword hits / token count (NULL for token-less docs).
 
-    One ``aggregate`` fold counting hits and tokens together, so the
-    tokenizer regex runs ONCE per document — the previous
-    ``size(filter(toks))/size(toks)`` spelling referenced the
-    tokenization expression three times and (being interpreted
-    higher-order inputs) re-ran the regex for each reference. Same
-    integers, same division, identical output."""
-    toks = tokens(col)
-    acc = F.aggregate(
-        toks,
-        F.struct(F.lit(0).alias("n"), F.lit(0).alias("hits")),
-        lambda a, t: F.struct(
-            (a["n"] + 1).alias("n"),
-            (a["hits"] + F.when(t.isin(*stopwords), 1).otherwise(0)).alias("hits"),
-        ),
-        lambda a: F.when(
-            a["n"] > 0, a["hits"].cast("double") / a["n"].cast("double")
-        ),
+    Two compiled-regex passes, no interpreted lambda: token count is
+    ``size(regexp_extract_all('\\S+'))`` and the hit count matches each
+    stopword as a COMPLETE whitespace-delimited token via lookarounds
+    (``(?:(?<=\\s)|^)(?:w1|w2|…)(?=\\s|$)``) — exactly the "whole token
+    equals a stopword" predicate the previous ``aggregate`` fold
+    applied per element. The fold ran interpreted (higher-order
+    lambdas sit outside whole-stage codegen, allocating a struct per
+    token), and because scorer callers filter on ``score IS NOT NULL``
+    the pushed-down filter made every row pay it twice; the regex
+    passes stay inside the JVM's compiled-pattern loop. Same integers,
+    same division, identical output (equivalence property-tested
+    against the fold in tests/test_text_functions.py).
+
+    Stopwords containing whitespace (or empty strings) can never equal
+    a ``\\S+`` token and are dropped from the pattern; alternation is
+    ordered longest-first so a prefix word cannot shadow a longer one.
+    """
+    import re as _re
+
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.size(tokens(c))
+    words = [
+        w for w in stopwords if w and not any(ch.isspace() for ch in w)
+    ]
+    if not words:
+        return F.when(n > 0, F.lit(0.0))
+    alts = "|".join(
+        _re.escape(w) for w in sorted(set(words), key=lambda w: (-len(w), w))
     )
-    return acc
+    pattern = r"(?:(?<=\s)|^)(?:" + alts + r")(?=\s|$)"
+    hits = F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+    return F.when(n > 0, hits.cast("double") / n.cast("double"))
 
 
 def repetition_stats(col: Column | str) -> dict[str, Column]:

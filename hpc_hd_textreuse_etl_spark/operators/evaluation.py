@@ -56,12 +56,16 @@ def threshold_sweep(
         # highest score down — "predict positive iff score >= s"
         .withColumn("__ns", -F.col(score_col))
     )
-    cum = prefix_sums(per, "__ns", ["pos", "n"], ["tp", "__cum_n"], num_buckets)
-    tot = per.agg(
-        F.sum("pos").alias("__p"), F.sum("n").alias("__t")
+    # grand totals ride along from the prefix pass's own per-partition
+    # totals (total_cols) instead of a separate `per.agg(...)` branch —
+    # which planned a SECOND full scan + tokenize of the input subtree
+    # (verified: executed plan had 2 parquet scans before, 1 after)
+    cum = prefix_sums(
+        per, "__ns", ["pos", "n"], ["tp", "__cum_n"], num_buckets,
+        total_cols=["__p", "__t"],
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
+        cum
         .select(
             F.col(score_col),
             F.col("n"),

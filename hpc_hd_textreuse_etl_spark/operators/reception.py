@@ -55,13 +55,42 @@ def reception_edges(
     group_col: str,
     member_key: str,
     order_col: str,
+    unique_keys: bool = False,
 ) -> DataFrame:
     """Edges from each earliest member to every later member per group.
 
     Returns ``(group_col, src_<member_key>, dst_<member_key>)``. Groups
     whose members are all "earliest" produce no edges (matching the
     reference's semantics for single-source clusters).
+
+    ``unique_keys=True`` asserts ``member_key`` values are globally
+    unique (one row per key — true for order keys and piece ids). Then
+    "key absent from the earliest set" reduces to "this row is not tied
+    for its group minimum", so the anti-join collapses into a filter on
+    the SAME min-window output both edge sides already share: one
+    group-key exchange drives the whole operator, and the src/dst fan-
+    out join sees both inputs already partitioned by the group (no
+    re-shuffle, no second window subtree). NULL ``order_col`` rows are
+    never earliest and always non-source — exactly the anti-join's
+    treatment (the null-safe filter below preserves it). With duplicate
+    keys the two formulations differ (the anti-join removes EVERY row
+    of a key that is earliest anywhere), so the default stays on the
+    generic anti-join path.
     """
+    if unique_keys:
+        w = Window.partitionBy(F.col(group_col))
+        marked = members.withColumn(
+            "__min_order", F.min(order_col).over(w)
+        )
+        src = marked.filter(
+            F.col(order_col) == F.col("__min_order")
+        ).select(F.col(group_col), F.col(member_key).alias(f"src_{member_key}"))
+        dst = marked.filter(
+            F.coalesce(
+                F.col(order_col) != F.col("__min_order"), F.lit(True)
+            )
+        ).select(F.col(group_col), F.col(member_key).alias(f"dst_{member_key}"))
+        return src.join(dst, group_col)
     earliest = earliest_in_group(members, [group_col], order_col)
     non_source = non_source_members(
         members, earliest.select(member_key), [member_key]

@@ -1001,7 +1001,12 @@ def order_reception_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hpc_hd_textreuse_etl_spark.operators.reception import reception_edges
 
     members = spark.table("orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    edges = reception_edges(members, "o_custkey", "o_orderkey", "o_orderdate")
+    # o_orderkey is unique ⇒ the anti-join formulation collapses to a
+    # filter on the shared min-window (one exchange total, equivalence
+    # documented at the operator)
+    edges = reception_edges(
+        members, "o_custkey", "o_orderkey", "o_orderdate", unique_keys=True
+    )
     return edges.select(
         F.col("o_custkey").alias("custkey"), "src_o_orderkey", "dst_o_orderkey"
     )
@@ -1036,7 +1041,9 @@ def _order_reception_edges_df(spark: SparkSession) -> DataFrame:
     from hpc_hd_textreuse_etl_spark.operators.reception import reception_edges
 
     members = spark.table("orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    return reception_edges(members, "o_custkey", "o_orderkey", "o_orderdate").select(
+    return reception_edges(
+        members, "o_custkey", "o_orderkey", "o_orderdate", unique_keys=True
+    ).select(
         "o_custkey", "src_o_orderkey", "dst_o_orderkey"
     )
 

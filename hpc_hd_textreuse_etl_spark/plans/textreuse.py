@@ -167,6 +167,42 @@ def textreuse_source_lengths(sources: DataFrame, trs_ids: DataFrame) -> DataFram
     )
 
 
+def _island_run_cols(
+    part_cols: list[str], start: str, end: str, adjacency_gap: int = 1
+) -> tuple[F.Column, F.Column]:
+    """Per-ROW island contributions over one pair-partitioned sorted
+    window: ``(new_island_flag, extent_contribution)``.
+
+    The per-island extent sum telescopes onto rows: the row that OPENS
+    an island contributes its own span ``e - s``; every later row of the
+    island contributes ``max(0, e - running_max_e_before)`` (extending
+    the island's right edge or nothing). Summing per pair reproduces
+    ``SUM(island_end - island_start)`` over merged islands exactly —
+    including the reference's extent (not union) semantics, where
+    ≤``adjacency_gap`` holes inside an island count as covered. Summing
+    the flags reproduces the island count. This turns the two-level
+    islands aggregation into pure window expressions, so BOTH coverage
+    directions run on the same rows under ONE pair-keyed exchange
+    (second direction = one extra sort, no shuffle) and the per-side
+    aggregate branches + their join disappear from the plan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in part_cols]).orderBy(
+        F.col(start), F.col(end)
+    )
+    prev_end = F.max(F.col(end)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_end.isNull() | (prev_end + F.lit(adjacency_gap) < F.col(start)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    contrib = F.when(
+        new_island == 1, F.col(end) - F.col(start)
+    ).otherwise(F.greatest(F.lit(0), F.col(end) - prev_end))
+    return new_island, contrib
+
+
 def coverages(
     defrag_textreuses: DataFrame,
     defrag_pieces: DataFrame,
@@ -176,10 +212,19 @@ def coverages(
     """Per-document-pair reuse coverage, both directions (reference
     coverages.py:36-165): for each (trs1, trs2) merge the t1-side spans
     (gaps-and-islands) and the t2-side spans, sum merged lengths, join
-    the two aggregate branches and the length dim, emit ratios ×100.
+    the length dims, emit ratios ×100.
 
-    One shuffle per side keyed by the pair; islands machinery is
-    functions/intervals (single window sort per side).
+    Plan shape (round 11): ONE pair-keyed exchange total. Both island
+    directions are computed on the SAME rows via per-row extent
+    contributions (:func:`_island_run_cols` — the telescoping-sum
+    restatement of merge-then-aggregate), so the t2 direction costs one
+    extra in-partition sort instead of a second shuffle + aggregate
+    branch, and the former t1⋈t2 pair-keyed join (a full sort-merge join
+    of two corpus-scale aggregates) is gone: both sides aggregate in a
+    single groupBy that reuses the window's partitioning. The round-10
+    shape (two merge_intervals branches sharing a repartition) never
+    actually shared its exchange — column pruning de-canonicalized the
+    two copies and the edge subtree ran twice.
 
     ``broadcast_lengths``: the lengths dim is one row per DOCUMENT, so
     it scales with the corpus (the reference's production corpus has
@@ -201,27 +246,22 @@ def coverages(
         F.col("trs_end").alias("t2_end"),
     )
     edges = defrag_textreuses.join(p1, "piece1_id").join(p2, "piece2_id")
-    # ONE pair-keyed exchange feeds BOTH island sides: each side's
-    # window only needs clustering by (trs1, trs2) — the per-side sort
-    # orders happen above this shared shuffle, so the edge table crosses
-    # the wire once (full width) instead of twice (half width each).
-    edges = edges.repartition(F.col("trs1_id"), F.col("trs2_id"))
-
-    def side(df: DataFrame, a: str, b: str, start: str, end: str, prefix: str) -> DataFrame:
-        islands = merge_intervals(
-            df.select(a, b, start, end), [a, b], start, end, adjacency_gap=1
-        )
-        return islands.groupBy(a, b).agg(
-            F.sum(F.col("island_end") - F.col("island_start")).alias(
-                f"{prefix}_reuses_length"
-            ),
-            F.count(F.lit(1)).alias(f"{prefix}_num_merged"),
-            F.sum("n_rows").alias(f"{prefix}_num_orig"),
-        )
-
-    t1 = side(edges, "trs1_id", "trs2_id", "t1_start", "t1_end", "t1")
-    t2 = side(edges, "trs1_id", "trs2_id", "t2_start", "t2_end", "t2")
-    both = t1.join(t2, ["trs1_id", "trs2_id"], "left")
+    pair = ["trs1_id", "trs2_id"]
+    n1, c1 = _island_run_cols(pair, "t1_start", "t1_end", adjacency_gap=1)
+    n2, c2 = _island_run_cols(pair, "t2_start", "t2_end", adjacency_gap=1)
+    marked = edges.select(
+        *pair,
+        n1.alias("__n1"),
+        c1.alias("__c1"),
+        n2.alias("__n2"),
+        c2.alias("__c2"),
+    )
+    both = marked.groupBy(*pair).agg(
+        F.sum("__c1").alias("t1_reuses_length"),
+        F.sum("__n1").cast("long").alias("t1_num_merged"),
+        F.sum("__c2").alias("t2_reuses_length"),
+        F.sum("__n2").cast("long").alias("t2_num_merged"),
+    )
 
     hint = F.broadcast if broadcast_lengths else (lambda d: d)
     l1 = hint(
@@ -493,27 +533,27 @@ def reception_coverages(edges_denorm: DataFrame, lengths: DataFrame) -> DataFram
 
     Unlike :func:`coverages` the pair key is DIRECTED (source → later
     destination), so the same two-sided islands machinery runs on the
-    reception fan-out rather than the symmetric hit graph. One shuffle
-    per side keyed by the pair; length dims broadcast."""
-
-    def side(start: str, end: str, prefix: str) -> DataFrame:
-        islands = merge_intervals(
-            edges_denorm.select("src_trs_id", "dst_trs_id", start, end),
-            ["src_trs_id", "dst_trs_id"],
-            start,
-            end,
-            adjacency_gap=1,
-        )
-        return islands.groupBy("src_trs_id", "dst_trs_id").agg(
-            F.count(F.lit(1)).alias(f"num_reuses_{prefix}"),
-            F.sum(F.col("island_end") - F.col("island_start")).alias(
-                f"reuses_{prefix}"
-            ),
-        )
-
-    t1 = side("src_trs_start", "src_trs_end", "src")
-    t2 = side("dst_trs_start", "dst_trs_end", "dst")
-    both = t1.join(t2, ["src_trs_id", "dst_trs_id"], "left")
+    reception fan-out rather than the symmetric hit graph. Both
+    directions share ONE pair-keyed exchange via the per-row island
+    contributions of :func:`_island_run_cols` (second direction = one
+    extra sort, no shuffle, no aggregate-branch join); length dims
+    broadcast."""
+    pair = ["src_trs_id", "dst_trs_id"]
+    n1, c1 = _island_run_cols(pair, "src_trs_start", "src_trs_end", adjacency_gap=1)
+    n2, c2 = _island_run_cols(pair, "dst_trs_start", "dst_trs_end", adjacency_gap=1)
+    marked = edges_denorm.select(
+        *pair,
+        n1.alias("__n1"),
+        c1.alias("__c1"),
+        n2.alias("__n2"),
+        c2.alias("__c2"),
+    )
+    both = marked.groupBy(*pair).agg(
+        F.sum("__n1").cast("long").alias("num_reuses_src"),
+        F.sum("__c1").alias("reuses_src"),
+        F.sum("__n2").cast("long").alias("num_reuses_dst"),
+        F.sum("__c2").alias("reuses_dst"),
+    )
     l1 = F.broadcast(
         lengths.select(
             F.col("trs_id").alias("src_trs_id"),

@@ -74,21 +74,22 @@ def test_reception_detail_broadcasts_selection_and_dim(spark):
 def test_pair_coverage_plan_pinned(spark):
     """Pin the coverages plan so a bench wobble can be classified as
     noise vs regression mechanically (SCALE.md 'Islands / coverages'):
-    ONE pair-key exchange + sort per island side driving both of that
-    side's windows, broadcast (never shuffled) length dims, and no
-    Cartesian anywhere."""
+    round 11's one-pass shape — a SINGLE pair-key exchange drives both
+    island directions (the t2 direction is one extra in-partition sort),
+    the per-pair aggregate reuses the window partitioning (no second
+    exchange), the former t1⋈t2 aggregate-branch join is gone, length
+    dims broadcast (never shuffled), and no Cartesian anywhere."""
     plan = executed_plan(spark, "pair_coverage")
-    # one exchange + one sort per side; each side's two windows (running
-    # max + island-id sum) share them
+    # ONE pair-key exchange total; one sort per island direction
     pair_exchanges = re.findall(r"Exchange hashpartitioning\(trs1_id", plan)
-    assert len(pair_exchanges) == 2, plan.count("Exchange")
+    assert len(pair_exchanges) == 1, plan.count("Exchange")
     assert len(re.findall(r"\bSort \[trs1_id", plan)) == 2
-    assert len(re.findall(r"\bWindow ", plan)) == 4
+    assert len(re.findall(r"\bWindow ", plan)) == 2
+    # no pair-keyed SortMergeJoin survives (the aggregate-branch join)
+    assert "SortMergeJoin" not in plan
     # both length dims broadcast: LeftOuter joins build a broadcast side
     assert len(re.findall(r"BroadcastHashJoin .*LeftOuter", plan)) >= 2
     assert "CartesianProduct" not in plan
-    # the shared edge subtree is computed once (physical reuse)
-    assert "ReusedExchange" in plan
 
 
 def test_vocab_topk_heap_and_partial_agg(spark):

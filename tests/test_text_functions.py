@@ -236,6 +236,12 @@ def test_fold_formulations_match_naive_quadratic_spellings(spark):
         None, "", " ", "\n", "one", "a b", "the the the", "x\nx\nx",
         "nav\nnav\nbody text here\n\n nav", "a b a b c d c d",
         "der die das und der die", "t1 t2 t1 t2 t1 t3",
+        # regex-formulation hazards for stopword_ratio (round 11):
+        # punctuation-attached tokens must NOT count, prefix words must
+        # not shadow longer ones ('a' vs 'and'), tabs/ends are token
+        # boundaries, adjacent stopwords all count
+        "the.", "(the a)", "a\tof", "andy and band", "is",
+        "to the is of and in a", "a a", "of. of, of of",
     ]
     df = spark.createDataFrame(
         [(i, d) for i, d in enumerate(docs)], "id long, text string"
