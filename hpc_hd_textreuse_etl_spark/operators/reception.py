@@ -68,9 +68,11 @@ def reception_edges(
     "key absent from the earliest set" reduces to "this row is not tied
     for its group minimum", so the anti-join collapses into a filter on
     the SAME min-window output both edge sides already share: one
-    group-key exchange drives the whole operator, and the src/dst fan-
-    out join sees both inputs already partitioned by the group (no
-    re-shuffle, no second window subtree). NULL ``order_col`` rows are
+    group-key exchange drives the whole operator (the dst branch's
+    exchange is a runtime ReusedExchange of the src branch's — one scan,
+    one shuffle), and the sort-merge fan-out join consumes both branches
+    already partitioned and sorted by the group — no re-shuffle, no
+    re-sort. NULL ``order_col`` rows are
     never earliest and always non-source — exactly the anti-join's
     treatment (the null-safe filter below preserves it). With duplicate
     keys the two formulations differ (the anti-join removes EVERY row
@@ -90,7 +92,15 @@ def reception_edges(
                 F.col(order_col) != F.col("__min_order"), F.lit(True)
             )
         ).select(F.col(group_col), F.col(member_key).alias(f"dst_{member_key}"))
-        return src.join(dst, group_col)
+        # merge hint: BOTH fan-out sides are corpus-proportional (src ≈
+        # one row per group, dst ≈ all non-earliest members), so letting
+        # the planner broadcast either one is a scale hazard — on the
+        # test data it actually picked the BIGGER dst side from parquet
+        # stats. A sort-merge join on the group key instead reuses the
+        # hashpartitioning + sort both branches already carry from the
+        # min-window: zero additional exchange, and AQE reuses the one
+        # shuffle stage for both branches at runtime.
+        return src.join(dst.hint("merge"), group_col)
     earliest = earliest_in_group(members, [group_col], order_col)
     non_source = non_source_members(
         members, earliest.select(member_key), [member_key]

@@ -92,6 +92,27 @@ def test_pair_coverage_plan_pinned(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_order_reception_edges_single_shuffle_merge_join(spark):
+    """Round 11: the unique-key reception formulation must run on ONE
+    shuffle — the dst branch reuses the src branch's group-key exchange
+    (ReusedExchange) — and the fan-out join must be a sort-merge join
+    that consumes the window partitioning directly. A BroadcastHashJoin
+    here would mean the planner broadcast a corpus-proportional side
+    (both fan-out sides scale with the corpus)."""
+    plan = executed_plan(spark, "order_reception_edges")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # exactly one REAL exchange; the ReusedExchange node restates the
+    # reused exchange's description on its own line, so exclude it
+    real_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "ReusedExchange" not in ln
+    ]
+    assert len(real_exchanges) == 1, plan
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_vocab_topk_heap_and_partial_agg(spark):
     """Corpus vocabulary top-k: map-side-combined DF aggregation feeding
     a TakeOrderedAndProject heap — one exchange total, no global sort."""
