@@ -442,33 +442,58 @@ def sliding_distinct_count(
 
     Spark has no ``COUNT(DISTINCT) OVER (RANGE ...)``, and the obvious
     per-day range join (``report_day BETWEEN day AND day+w-1``) plans a
-    nested loop. The scale shape: dedup to (entity, day) FIRST (the
-    map-side-combinable step that collapses raw event volume), then
-    explode each survivor into the ≤ ``window_days`` report days it
-    covers — bounded fan-out of the already-small distinct set — and
-    finish with one count-distinct shuffle keyed on the report day.
-    Report days are clipped to the observed [min, max] day span via a
-    broadcast 1-row aggregate, never a driver action.
+    nested loop. The scale shape (round 11): ONE corpus-scale shuffle.
+    Raw events collapse map-side into per-entity day SETS (collect_set
+    partials — same shuffle bytes as the old distinct-pairs exchange),
+    then each entity's sorted day array is swept once with a
+    higher-order transform that emits only the NEW report days each
+    activity day contributes (``[max(d_i, d_{i-1}+w), d_i+w-1]`` — the
+    interval-union telescoped onto rows). Because the union is disjoint
+    per entity, every (entity, report_day) pair is emitted EXACTLY once,
+    so the final per-day count is a plain partial-aggregable SUM: the
+    old second exchange — the full count-distinct shuffle of the
+    exploded set, ``window_days`` × the distinct-pairs volume — is
+    replaced by ≤ #days count rows per map partition. Report days are
+    clipped to the observed [min, max] day span via a broadcast 1-row
+    aggregate over the raw scan (min/max need no dedup), never a driver
+    action. NULL entities mirror COUNT(DISTINCT)'s treatment exactly:
+    their covered days surface with weight 0, so a day reached only by
+    NULL-entity windows still reports 0 (as the old formulation did).
 
-    Swap the final exact count for the KMV/HLL sketches in
-    operators/sketches.py when the per-day entity set itself is too hot
-    (a billion distinct users in one shuffle key) — same plan shape,
-    mergeable partials.
+    Swap the exact count for the KMV/HLL sketches in
+    operators/sketches.py when even the per-entity day sets are too hot
+    — same plan shape, mergeable partials.
     """
     ud = df.select(
         F.col(entity_col).alias("__ent"),
         F.date_trunc("day", F.col(ts_col)).cast("date").alias("__day"),
-    ).distinct()
-    span = ud.agg(F.min("__day").alias("__lo"), F.max("__day").alias("__hi"))
-    expl = ud.select(
-        "__ent",
-        F.explode(
-            F.sequence(F.col("__day"), F.date_add(F.col("__day"), window_days - 1))
-        ).alias("report_day"),
     )
+    # min/max over raw rows == min/max over the distinct pairs; partial
+    # aggregation makes this branch a near-free second pass of the scan
+    span = ud.agg(F.min("__day").alias("__lo"), F.max("__day").alias("__hi"))
+    sets = ud.groupBy("__ent").agg(
+        F.sort_array(F.collect_set("__day")).alias("__days")
+    )
+    w = int(window_days)
+    # element_at is 1-based: element_at(__days, i) at 0-based position i
+    # IS the previous element. First interval opens at d itself; later
+    # intervals open past the previous day's coverage (prev + w). Always
+    # non-empty: prev <= d-1  =>  prev + w <= d + w - 1.
+    contrib = F.explode(
+        F.expr(
+            f"""transform(__days, (d, i) -> named_struct(
+                    'lo', CASE WHEN i = 0 THEN d
+                          ELSE greatest(d, date_add(element_at(__days, i), {w})) END,
+                    'hi', date_add(d, {w - 1})))"""
+        )
+    ).alias("__iv")
+    days = sets.select(
+        F.when(F.col("__ent").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("__w"),
+        contrib,
+    ).select("__w", F.explode(F.sequence("__iv.lo", "__iv.hi")).alias("report_day"))
     return (
-        expl.crossJoin(F.broadcast(span))
+        days.crossJoin(F.broadcast(span))
         .where(F.col("report_day").between(F.col("__lo"), F.col("__hi")))
         .groupBy("report_day")
-        .agg(F.count_distinct("__ent").cast("bigint").alias(out_col))
+        .agg(F.sum("__w").cast("bigint").alias(out_col))
     )

@@ -477,3 +477,72 @@ def test_gapfill_subsecond_steps_accepted(spark):
         step="interval 500 milliseconds",
     )
     assert out.count() == 5  # 0.0 .. 2.0 inclusive at 500ms
+
+
+def test_sliding_distinct_matches_count_distinct_spelling(spark):
+    """Round 11: the interval-union rewrite (one corpus shuffle, SUM of
+    exactly-once day emissions) must be row-identical to the original
+    dedup -> explode -> COUNT(DISTINCT) spelling, including the NULL
+    corners: NULL timestamps vanish, NULL entities extend the observed
+    day span and surface covered days with count 0."""
+    import random
+
+    from datetime import datetime as dt
+
+    rng = random.Random(1107)
+    rows = []
+    for _ in range(400):
+        ent = rng.choice([None, 1, 2, 3, 4, 5, 6, 7])
+        day = rng.randrange(1, 28)
+        ts = None if rng.random() < 0.05 else dt(2024, rng.choice([1, 2]), day, rng.randrange(24))
+        rows.append((ent, ts))
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    for w in (1, 3, 7):
+        new = {
+            (str(r["report_day"]), r["active_entities"])
+            for r in sliding_distinct_count(df, "ts", "user_id", w).collect()
+        }
+        ud = df.select(
+            F.col("user_id").alias("e"),
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        ).distinct()
+        span = ud.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        old = {
+            (str(r["report_day"]), r["n"])
+            for r in ud.select(
+                "e",
+                F.explode(
+                    F.sequence(F.col("d"), F.date_add(F.col("d"), w - 1))
+                ).alias("report_day"),
+            )
+            .crossJoin(F.broadcast(span))
+            .where(F.col("report_day").between(F.col("lo"), F.col("hi")))
+            .groupBy("report_day")
+            .agg(F.count_distinct("e").cast("bigint").alias("n"))
+            .collect()
+        }
+        assert new == old, f"window={w}"
+
+
+def test_sliding_distinct_single_corpus_exchange(spark):
+    """Plan pin for the rewrite: exactly one hashpartitioning exchange
+    (the per-entity set build) — the old 7x exploded count-distinct
+    exchange must not reappear."""
+    from datetime import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt(2024, 1, 1)), (2, dt(2024, 1, 5))], "user_id int, ts timestamp"
+    )
+    plan = (
+        sliding_distinct_count(df, "ts", "user_id", 7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one exchange keyed by the entity, one tiny final keyed by day,
+    # one SinglePartition for the 1-row span — but only ONE may carry
+    # the entity key (the old shape had two corpus-scale exchanges)
+    import re
+
+    hashed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    ent_keyed = [h for h in hashed if "__ent" in h]
+    assert len(set(ent_keyed)) <= 1, plan
+    assert "count(distinct" not in plan.lower(), plan
