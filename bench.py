@@ -29,6 +29,9 @@ BENCH_REPEATS = 3
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from hpc_hd_textreuse_etl_spark.functions.checkpoints import (  # noqa: E402
+    release_local_checkpoints,
+)
 from hpc_hd_textreuse_etl_spark.plans.queries import QUERIES  # noqa: E402
 from hpc_hd_textreuse_etl_spark.session import get_spark  # noqa: E402
 
@@ -56,11 +59,24 @@ def main() -> None:
     stddevs: dict[str, float] = {}
     for name in names:
         samples: list[float] = []
-        for _ in range(repeats):
+        for i in range(repeats):
+            spark.sparkContext.setJobDescription(f"bench:{name} [r{i}]")
             start = time.perf_counter()
             df = QUERIES[name].builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - start)
+            # Measurement hygiene (round 11): some operators pin
+            # intermediates internally (persist/localCheckpoint —
+            # defrag's raw mapping, curation survivors). Without this
+            # release, repeat 2+ of such a query silently reuses the
+            # pinned blocks (CacheManager dedupes by plan) instead of
+            # recomputing from parquet, and the leaked blocks accumulate
+            # across the whole bench session, squeezing the heap under
+            # every later query. Each repeat now computes from the
+            # parquet inputs, which is what the bench claims to time.
+            spark.catalog.clearCache()
+            release_local_checkpoints()
+        spark.sparkContext.setJobDescription(None)
         timings[name] = round(min(samples), 4)
         mean = sum(samples) / len(samples)
         stddevs[name] = round(

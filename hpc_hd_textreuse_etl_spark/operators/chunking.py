@@ -69,15 +69,33 @@ def chunk_documents(
             f"overlap_tokens must be in [0, chunk_tokens), got {overlap_tokens}"
         )
     toks = tokens(text_col)
+    # One Project evaluates the tokenizer regex ONCE per document
+    # (whole-stage codegen eliminates the common subexpression across
+    # these aliases). posexplode_OUTER + a null-start filter above the
+    # Generate replaces the non-outer explode, whose inferred
+    # ``size(__starts) > 0`` pre-filter Catalyst pushes BELOW this
+    # projection — re-running the tokenizer expression per row a second
+    # time (and a third, via alias inlining) in an operator with no CSE
+    # against the Project. Semantics are identical: empty-start docs
+    # yield one all-NULL generated row, dropped by the cheap filter.
     with_tok = df.select(
         F.col(id_col),
         toks.alias("__toks"),
+        F.size(toks).alias("__n"),
         chunk_starts(F.size(toks), chunk_tokens, overlap_tokens).alias("__starts"),
     )
     exploded = with_tok.select(
         id_col,
         "__toks",
-        F.posexplode("__starts").alias(chunk_id_col, "__start"),
+        "__n",
+        F.posexplode_outer("__starts").alias(chunk_id_col, "__start"),
+    ).filter(F.col("__start").isNotNull())
+    # window size from counts, not from re-slicing the token array —
+    # consumers that drop chunk_text (e.g. packing) then prune __toks
+    # entirely and the Generate carries two ints instead of the array
+    n_tok = (
+        F.least(F.col("__start") + F.lit(chunk_tokens), F.col("__n"))
+        - F.col("__start")
     )
     window = F.slice(
         F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)
@@ -85,6 +103,6 @@ def chunk_documents(
     return exploded.select(
         id_col,
         F.col(chunk_id_col).cast("int").alias(chunk_id_col),
-        F.size(window).cast("int").alias(n_tokens_col),
+        n_tok.cast("int").alias(n_tokens_col),
         F.array_join(window, " ").alias(chunk_text_col),
     )

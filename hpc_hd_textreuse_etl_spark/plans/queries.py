@@ -166,9 +166,17 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.table("orders")
     li = spark.table("lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # apply the selective BUILDING reduction to orders BEFORE the big
+    # lineitem join, as a SEMI join: customer contributes only the
+    # filter (no output columns), so the reduction carries no payload,
+    # and the lineitem-sized join output is never re-shuffled by
+    # custkey (the old shape's second join did exactly that at scale).
+    # Identical output: c_custkey is customer's key, so inner ≡ semi.
+    orders_building = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders_building, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(revenue, 6, "revenue"))
         .select(
@@ -199,23 +207,38 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def region_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snowflake join with broadcast dims + conditional COUNT(DISTINCT CASE…)
-    (reference shape: assets/source_piece_statistics.py:24-61)."""
+    (reference shape: assets/source_piece_statistics.py:24-61).
+
+    Spelled as a per-custkey pre-aggregation: both COUNT(DISTINCT)s key
+    on the customer, so aggregating orders down to one row per custkey
+    FIRST removes the multi-distinct Expand (which tripled every joined
+    order row through the exchange) and joins the dims against custkey
+    cardinality instead of order cardinality. Exact equivalence relies
+    only on c_custkey being unique in customer (it is the table's key):
+    n_customers = one group row per custkey seen, n_big_spenders = max
+    of the per-order flag, and the decimal partial sums re-sum exactly.
+    """
     region = spark.table("region")
     nation = spark.table("nation")
     cust = spark.table("customer")
     orders = spark.table("orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("__n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)")).alias("__price"),
+        F.max(
+            F.when(F.col("o_totalprice") > 150000, F.lit(1)).otherwise(F.lit(0))
+        ).alias("__big"),
+    )
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.countDistinct("c_custkey").alias("n_customers"),
-            F.countDistinct(
-                F.when(F.col("o_totalprice") > 150000, F.col("o_custkey"))
-            ).alias("n_big_spenders"),
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice"), 4, "total_price"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("__big").cast("bigint").alias("n_big_spenders"),
+            F.sum("__n_orders").cast("bigint").alias("n_orders"),
+            F.sum("__price").cast("double").alias("total_price"),
         )
     )
 
@@ -3431,18 +3454,28 @@ _install_wave4_oracles()
     bench=True,
 )
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical subtotals in one pass: ROLLUP(flag, status) emits
-    leaf groups, per-flag subtotals and the grand total, disambiguated
-    by GROUPING flags (a NULL key value vs a rolled-up level look the
-    same without them). Spark expands grouping sets *before* the
-    aggregate, so it stays a single map-side-combined hash aggregate —
-    no second pass over the data for the subtotal levels."""
+    """Hierarchical subtotals: leaf groups, per-flag subtotals and the
+    grand total, disambiguated by GROUPING flags (a NULL key value vs a
+    rolled-up level look the same without them).
+
+    Spark expands grouping sets BEFORE the aggregate, so a direct
+    ``rollup`` pushes every lineitem row through the hash aggregate
+    once per level (Expand ×3 of the scan). Pre-aggregating to the
+    finest (flag, status) level first and rolling up the handful of
+    leaf rows does the same arithmetic — decimal partial sums re-sum
+    exactly, counts sum — with the full-data pass hashing each row
+    once. GROUPING flags are computed on the tiny second aggregate,
+    where the rollup expansion is free."""
     li = spark.table("lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
+    leaf = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(30,4)")).alias("__qty"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return leaf.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
-        dsum(F.col("l_quantity"), alias="sum_qty"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("__qty").cast("double").alias("sum_qty"),
+        F.sum("__n").cast("bigint").alias("n"),
     ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
 
 

@@ -123,6 +123,32 @@ def test_chunk_plan_no_shuffle(tables):
     assert "Generate" in plan
 
 
+def test_chunk_plan_single_tokenize(tables):
+    """Round-11 shape pin: the tokenizer regex lives in exactly ONE
+    Project (codegen CSE evaluates it once per document there). The
+    non-outer explode used to let Catalyst infer a ``size(starts) > 0``
+    filter and push it BELOW that projection — a second full evaluation
+    of the tokenizer in an operator with no CSE against the Project —
+    so the Generate must be outer with the cheap null-start filter
+    sitting ABOVE it, and when chunk_text is dropped by the consumer
+    the token array itself must be pruned off the Generate."""
+    df = chunk_documents(
+        tables.table("documents"), "doc_id", "text", 24, 8
+    ).select("doc_id", "chunk_id", "n_tokens")  # chunk_text pruned
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every regexp_extract_all occurrence is in the one tokenize Project
+    ops_with_regex = [
+        seg.split("\n")[0]
+        for seg in plan.split("+- ")
+        if "regexp_extract_all" in seg.split("\n")[0]
+    ]
+    assert all("Project" in op for op in ops_with_regex), ops_with_regex
+    # no inferred size(...)>0 filter below the projection
+    assert "Filter (size(" not in plan.replace("*(1) ", "")
+    # token array pruned: posexplode child carries counts, not __toks
+    assert "__toks" not in plan
+
+
 # ---------------------------------------------------------------------------
 # mixture_sample / temperature_rates
 # ---------------------------------------------------------------------------

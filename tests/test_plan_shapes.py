@@ -140,14 +140,22 @@ def test_lsh_blocked_embedding_dedup_is_equi_join(spark):
 
 
 def test_rollup_is_single_expand_aggregate(spark):
-    """ROLLUP/CUBE plan: Expand generates the grouping-set copies and ONE
-    map-side-combined aggregate consumes them — no second scan of the
-    fact table per subtotal level, one exchange total."""
+    """ROLLUP plan (round-11 shape): the fact table is scanned once and
+    pre-aggregated to the finest grouping level with a map-side combine;
+    the Expand that generates the grouping-set copies runs over the
+    LEAF-GROUP rows only (a handful), never over the full scan. Two
+    exchanges total — the leaf pre-aggregation over the data, plus one
+    carrying only leaf-group rows into the rollup."""
     plan = executed_plan(spark, "lineitem_rollup")
     assert "Expand" in plan
     assert "partial" in plan
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert plan.count("Scan parquet") == 1
+    # the Expand must sit BETWEEN the two exchanges (it consumes
+    # pre-aggregated rows, not scan rows): reading the tree top-down,
+    # one exchange above it (rollup side) and one below (leaf agg side)
+    tree = plan.split("(1) Scan parquet")[0]
+    assert tree.index("Exchange") < tree.index("Expand") < tree.rindex("Exchange")
 
 
 def test_unpivot_is_zero_shuffle_expand(spark):
