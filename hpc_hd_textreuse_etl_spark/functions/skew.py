@@ -100,3 +100,31 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     out = b.join(s, [*key_cols, "__salt"], how)
     return out.drop("__salt")
+
+
+def spread_small_input(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition an UNDER-PARTITIONED input before
+    CPU-heavy per-row work — the straggler sibling of key salting
+    (guide §2.5 "input skew: one huge unsplittable file … repartition
+    immediately after the read").
+
+    A single gzip file or single parquet row group arrives as ONE scan
+    task, so every expression evaluated below the first exchange (the
+    MinHash md5-per-shingle pass, tokenizer folds, window-gram builds)
+    runs serially no matter how many cores the cluster has. When the
+    planned partition count is already ≥ ``min_parts`` (the normal case
+    at corpus scale, where inputs arrive as thousands of splits) this
+    returns ``df`` UNCHANGED — no shuffle is added; the repartition only
+    fires for inputs that would otherwise leave the cluster idle, and
+    what it shuffles is exactly the projected columns the caller passes.
+
+    ``min_parts`` defaults to the session's ``defaultParallelism``.
+    The repartition is keyless round-robin — deterministic under retry
+    (sort-before-repartition, SPARK-23207) and immune to key skew.
+    Callers must only rely on it ahead of ORDER-INDEPENDENT work
+    (hash/min/sum aggregations, joins); it changes row order.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -93,9 +93,16 @@ def minhash_signatures(
       non-monotone; a bare linear transform would make every member
       pick the same argmin shingle.
     """
+    from hpc_hd_textreuse_etl_spark.functions.skew import spread_small_input
+
     # array_distinct first: every exploded row costs k hash evaluations
-    # below, so deduplicating shingles up front is map-side reduction
-    shingled = df.select(
+    # below, so deduplicating shingles up front is map-side reduction.
+    # spread_small_input: the shingle hashing below is the pipeline's
+    # dominant CPU and runs BELOW the first exchange — an
+    # under-partitioned input (single row group / gzip file) would
+    # serialize it on one core (guide §2.5); no-op on well-split inputs.
+    base = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+    shingled = base.select(
         F.col(id_col),
         F.explode(F.array_distinct(char_shingles_of(text_col, shingle_size))).alias(
             "shingle"
@@ -419,8 +426,20 @@ def simhash_near_duplicates(
     recall beyond the guarantee for fewer buckets."""
     if hash_family == "portable":
         bits = min(bits, 60)
-    sigs = df.select(
-        F.col(id_col), simhash(text_col, bits, hash_family).alias("sig")
+    from hpc_hd_textreuse_etl_spark.functions.skew import spread_small_input
+
+    # the per-document bit-vote fold is the pipeline's dominant CPU and
+    # runs under the first exchange — an under-partitioned input
+    # serializes it on one core (guide §2.5); no-op on split inputs.
+    # persist: the signature table feeds BOTH sides of the banding
+    # self-join, and the fold projection sits above the shared exchange
+    # on each side — unpinned, the fold evaluated once per side
+    # (the minhash signature-persist pattern; released at the
+    # registry/bench hygiene points).
+    sigs = (
+        spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), simhash(text_col, bits, hash_family).alias("sig"))
+        .persist()
     )
     return signature_near_duplicates(
         sigs, id_col, "sig", max_hamming, band_bits, bits, collapse_identical
@@ -1231,7 +1250,13 @@ def token_window_grams(
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    base = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    from hpc_hd_textreuse_etl_spark.functions.skew import spread_small_input
+
+    # same straggler guard as token_window_keys: tokenize + gram build
+    # run under the first exchange (guide §2.5); no-op on split inputs
+    base = spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), tokens(text_col).alias("_t")
+    )
     t = F.col("_t")
     grams = F.when(
         F.size(t) >= window,
@@ -1267,7 +1292,13 @@ def token_window_keys(
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
-    base = df.select(
+    from hpc_hd_textreuse_etl_spark.functions.skew import spread_small_input
+
+    # the tokenize + per-token/per-window hashing below is the span
+    # pipeline's dominant CPU and runs under the first exchange — an
+    # under-partitioned input serializes it on one core (guide §2.5);
+    # no-op on split inputs
+    base = spread_small_input(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("_h"),
     )

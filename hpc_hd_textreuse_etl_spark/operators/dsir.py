@@ -92,13 +92,20 @@ def hashed_ngram_counts(
     the md5-based cross-engine hash for oracle-gated runs. Buckets are
     non-negative ``[0, num_buckets)`` under both (``pmod`` for the
     signed xxhash64; the portable hash is already non-negative)."""
+    from hpc_hd_textreuse_etl_spark.functions.skew import spread_small_input
+
     gram = F.explode(_grams(text_col)).alias("gram")
     if hash_family == "portable":
         bucket = portable_hash64(F.col("gram")) % num_buckets
     else:
         bucket = F.pmod(F.xxhash64(F.col("gram"), F.lit(seed)), F.lit(num_buckets))
+    # spread_small_input: the tokenize + gram hash + map-side count is
+    # the feature build's whole cost and runs under the first exchange —
+    # an under-partitioned input serializes it on one core (guide §2.5);
+    # no-op on split inputs
     return (
-        df.select(F.col(id_col), gram)
+        spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), gram)
         .select(id_col, bucket.cast("int").alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -59,8 +59,17 @@ def cosine_topk(
     )
     if broadcast_queries:
         q = F.broadcast(q)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+    from hpc_hd_textreuse_etl_spark.functions.skew import spread_small_input
+
+    # the per-pair cosine folds below run on the corpus side of the
+    # broadcast join, under the first exchange — an under-partitioned
+    # corpus (single row group) serializes every fold on one core
+    # (guide §2.5); no-op on split inputs. Spread BEFORE the norm
+    # projection so the fold work itself parallelizes.
+    c = spread_small_input(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col))
+    ).select(
+        F.col("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         vector_norm(F.col(vec_col)).alias("c_norm"),
     )
@@ -383,9 +392,23 @@ def ivf_index(
     for _ in range(lloyd_iters):
         nxt = mean_centroids(_assign_cells(vecs, centroids, assign_strategy))
         if use_checkpoints:
-            nxt = tracked_local_checkpoint(nxt)
-            if prev is not None:
-                release_checkpoint(prev)
+            if assign_strategy == "matmul":
+                # The matmul assign collects the centroids to the driver
+                # anyway (n_cells × dim — the side the fold path
+                # broadcasts), so pin each round as a DRIVER-LOCAL
+                # literal: the collect IS the round's one job, the next
+                # pass reads a LocalRelation (no re-collect job), and
+                # there is no checkpoint block to track or release
+                # (guide §4.3 driver round trips). Exact: a collected
+                # double round-trips bit-identically through
+                # createDataFrame.
+                nxt = corpus.sparkSession.createDataFrame(
+                    nxt.collect(), schema=nxt.schema
+                )
+            else:
+                nxt = tracked_local_checkpoint(nxt)
+                if prev is not None:
+                    release_checkpoint(prev)
         centroids, prev = nxt, nxt
     assignments = _assign_cells(vecs, centroids, assign_strategy).select(
         F.col("vid").alias(id_col), "cell_id"

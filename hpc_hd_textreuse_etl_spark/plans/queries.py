@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hpc_hd_textreuse_etl_spark.catalog import load_testdata
+from hpc_hd_textreuse_etl_spark.functions.skew import spread_small_input
 
 
 @dataclass
@@ -176,7 +177,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
     )
     return (
-        li.join(orders_building, li.l_orderkey == F.col("o_orderkey"))
+        li.join(orders_building, li.l_orderkey == orders_building["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(revenue, 6, "revenue"))
         .select(
@@ -8817,7 +8818,12 @@ def quality_score_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     from hpc_hd_textreuse_etl_spark.functions.text import stopword_ratio
     from hpc_hd_textreuse_etl_spark.operators.evaluation import threshold_sweep
 
-    docs = spark.table("documents").select(
+    # spread before the scorer: the stopword-regex passes are the
+    # corpus-scale CPU and run under the first exchange — serialized on
+    # one core for a single-row-group input (§2.5); no-op on split inputs
+    docs = spread_small_input(
+        spark.table("documents").select("text", "lang")
+    ).select(
         stopword_ratio("text").alias("score"),
         (F.col("lang") == "en").alias("label"),
     )
