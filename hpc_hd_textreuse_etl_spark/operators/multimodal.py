@@ -427,8 +427,18 @@ def perceptual_image_hashes(
                 }
             )
 
-    return df.select(id_col, data_col).mapInPandas(
-        run, schema=f"{id_col} {id_sql}, phash long"
+    # persist: the signature table feeds BOTH sides of the downstream
+    # banding self-join (and the delta legs probe it twice), and
+    # Catalyst cannot CSE through an opaque Python node — unpinned, the
+    # image decode ran once PER CONSUMER SUBTREE (measured: 4
+    # MapInPandas nodes in the near-dup plan), which broke this
+    # docstring's "streams the image bytes ONCE" contract. The pin is
+    # (id, 8-byte phash) rows, released at the registry/bench hygiene
+    # points — the minhash signature-persist pattern (dedup.py).
+    return (
+        df.select(id_col, data_col)
+        .mapInPandas(run, schema=f"{id_col} {id_sql}, phash long")
+        .persist()
     )
 
 
@@ -542,9 +552,18 @@ def audio_fingerprints(
                 rows["n_samples"].append(n)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, data_col).mapInPandas(
-        run,
-        schema=f"{id_col} {id_sql}, afp long, sample_rate int, n_samples long",
+    # persist for the same reason as perceptual_image_hashes: the
+    # fingerprint table feeds both sides of the banding self-join and
+    # Catalyst cannot CSE through the Python decode — unpinned, the WAV
+    # decode ran once per consumer subtree. Released at the
+    # registry/bench hygiene points.
+    return (
+        df.select(id_col, data_col)
+        .mapInPandas(
+            run,
+            schema=f"{id_col} {id_sql}, afp long, sample_rate int, n_samples long",
+        )
+        .persist()
     )
 
 

@@ -322,9 +322,14 @@ def streaming_signature_dedup(
         spark = batch_df.sparkSession
         from hpc_hd_textreuse_etl_spark.catalog import path_exists
 
-        delta_sigs = perceptual_image_hashes(
+        # perceptual_image_hashes persists its own output (round 12);
+        # the rename is a zero-cost projection over that pin, so a
+        # second persist here would just double-register the blocks —
+        # keep ONE pin and release it at the end of the batch.
+        hashes = perceptual_image_hashes(
             batch_df.select(id_col, data_col), id_col, data_col, method
-        ).withColumnRenamed("phash", "sig").persist()
+        )
+        delta_sigs = hashes.withColumnRenamed("phash", "sig")
         if path_exists(spark, sigs_path):
             base = (
                 spark.read.option("basePath", sigs_path).parquet(sigs_path)
@@ -343,7 +348,7 @@ def streaming_signature_dedup(
         delta_sigs.write.mode("overwrite").option("compression", "zstd").parquet(
             os.path.join(sigs_path, f"batch_id={batch_id}")
         )
-        delta_sigs.unpersist()
+        hashes.unpersist()
         if (
             compact_every_n_batches
             and batch_id > 0
