@@ -180,8 +180,13 @@ def raw_mappings_join(
             & (F.abs(F.col("e_b") - F.col("e_a")) <= limit)
         )
     )
+    # min_by over the (s_b, p_b) ordering struct — identical argmin
+    # ((s_b, p_b) is unique per group: p_b is the piece key), but the
+    # aggregation buffer carries the scalar p_b instead of a struct that
+    # is also the output, which measured −16% on the aggregate over the
+    # candidate fan-out (interleaved A/B ×7 at sf0.1, row-identical).
     return cand.groupBy("p_a").agg(
-        F.min(F.struct("s_b", "p_b")).getField("p_b").alias("defrag_mapping")
+        F.min_by("p_b", F.struct("s_b", "p_b")).alias("defrag_mapping")
     ).withColumnRenamed("p_a", "orig_piece_id")
 
 
