@@ -339,6 +339,19 @@ def lr_quality_model(
         x = tracked_local_checkpoint(x)
         y = tracked_local_checkpoint(y)
     sorted_folds = hash_family == "portable"
+    # The bias gradient rides the per-bucket gradient aggregation as a
+    # synthetic bucket -1 whose feature value is the constant 1.0:
+    # r·1.0 ≡ r bit-exactly, and the sorted fold still runs in doc-id
+    # order, so Σ rx over bucket -1 is the old resid fold unchanged.
+    # One collect per GD round instead of two (guide §4.3 — batch the
+    # driver round trips; at 8 iters this halves the job count).
+    x_aug = x.unionByName(
+        y.select(
+            F.col(id_col),
+            F.lit(-1).cast(dict(x.dtypes)["bucket"]).alias("bucket"),
+            F.lit(1.0).alias("x"),
+        )
+    )
     weights = [0.0] * num_buckets
     bias = 0.0
     try:
@@ -366,19 +379,18 @@ def lr_quality_model(
                     ).alias("r"),
                 )
             )
-            rx = x.join(resid, id_col).select(
+            rx = x_aug.join(resid, id_col).select(
                 "bucket", F.col(id_col), (F.col("r") * F.col("x")).alias("rx")
             )
             if sorted_folds:
                 gb = rx.groupBy("bucket").agg(
                     _sorted_fold_sum(id_col, "rx").alias("g")
                 )
-                gbias_df = resid.agg(_sorted_fold_sum(id_col, "r").alias("g"))
             else:
                 gb = rx.groupBy("bucket").agg(F.sum("rx").alias("g"))
-                gbias_df = resid.agg(F.sum("r").alias("g"))
-            g = {r["bucket"]: r["g"] for r in gb.collect()}  # <= num_buckets rows
-            gbias = gbias_df.collect()[0]["g"]
+            # <= num_buckets + 1 rows; bucket -1 is the bias gradient
+            g = {r["bucket"]: r["g"] for r in gb.collect()}
+            gbias = g.get(-1, 0.0)
             weights = [
                 w - learning_rate * ((g.get(b, 0.0) / n) + l2 * w)
                 for b, w in enumerate(weights)

@@ -71,16 +71,15 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
-def _checksum(e: DataFrame) -> tuple[int, int]:
+def _checksum_metrics() -> tuple:
     # decimal accumulation: summing raw xxhash64 longs overflows under
     # Spark 4's default ANSI mode
-    row = e.agg(
+    return (
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
         ).alias("h"),
-    ).collect()[0]
-    return row.n, int(row.h)
+    )
 
 
 def connected_components(
@@ -125,8 +124,7 @@ def connected_components(
     prev = None
     for it in range(max_iter):
         e = _small_star(_large_star(e))
-        e = _truncate(spark, e, checkpoint, it)
-        cur = _checksum(e)
+        e, cur = _truncate(spark, e, checkpoint, it)
         if cur == prev:
             break
         prev = cur
@@ -144,10 +142,23 @@ def connected_components(
     return labels
 
 
-def _truncate(spark: SparkSession, e: DataFrame, checkpoint: str, it: int) -> DataFrame:
+def _truncate(
+    spark: SparkSession, e: DataFrame, checkpoint: str, it: int
+) -> tuple[DataFrame, tuple[int, int]]:
+    """Parquet round-trip + convergence checksum in ONE job: the
+    checksum rides the write via ``observe`` (the clustering
+    ``_truncate_lineage`` pattern) — a separate ``agg().collect()``
+    re-read the parquet just written, one extra job per CC round
+    (guide §4.3 driver round trips)."""
+    from pyspark.sql import Observation
+
     path = f"{checkpoint}/edges_{it % 2}"
-    e.write.mode("overwrite").option("compression", "zstd").parquet(path)
-    return spark.read.parquet(path)
+    obs = Observation()
+    e.observe(obs, *_checksum_metrics()).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(path)
+    got = obs.get
+    return spark.read.parquet(path), (int(got["n"]), int(got["h"] or 0))
 
 
 def pagerank_scaled(
@@ -469,6 +480,7 @@ def ancestor_closure(
         .persist()
     )
     closure = links
+    before: int | None = None  # carried across rounds: one count per round
     for _ in range(levels):
         x, y = closure.alias("x"), closure.alias("y")
         hop = x.join(y, F.col("x.anc") == F.col("y.node")).select(
@@ -477,11 +489,17 @@ def ancestor_closure(
             (F.col("x.dist") + F.col("y.dist")).alias("dist"),
         )
         grown = closure.unionByName(hop).distinct().persist()
-        before, after = closure.count(), grown.count()
+        # `closure`'s count was `grown`'s count of the previous round —
+        # recounting it scheduled a second job per round for a number
+        # already on the driver (guide §4.3 driver round trips)
+        if before is None:
+            before = closure.count()
+        after = grown.count()
         closure.unpersist() if closure is not links else None
         if after == before:
             return grown
         closure = grown
+        before = after
     return closure
 
 
