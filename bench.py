@@ -57,6 +57,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     stddevs: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in names:
         samples: list[float] = []
         for i in range(repeats):
@@ -75,12 +76,23 @@ def main() -> None:
             # every later query. Each repeat now computes from the
             # parquet inputs, which is what the bench claims to time.
             spark.catalog.clearCache()
-            release_local_checkpoints()
+            # blocking: block eviction must not overlap the next
+            # repeat's timed region (round-12 hygiene)
+            release_local_checkpoints(blocking=True)
         spark.sparkContext.setJobDescription(None)
         timings[name] = round(min(samples), 4)
         mean = sum(samples) / len(samples)
         stddevs[name] = round(
             math.sqrt(sum((s - mean) ** 2 for s in samples) / len(samples)), 4
+        )
+        mid = sorted(samples)
+        medians[name] = round(
+            (
+                mid[len(mid) // 2]
+                if len(mid) % 2
+                else (mid[len(mid) // 2 - 1] + mid[len(mid) // 2]) / 2
+            ),
+            4,
         )
 
     loadavg_post = [round(v, 2) for v in os.getloadavg()]
@@ -105,6 +117,13 @@ def main() -> None:
                 "busy_host_warning": loadavg_pre[0] > 1.0,
                 "cpus": cpus,
                 "query_stddev": stddevs,
+                # round 12 (additions-only, VERDICT item 6): median
+                # alongside the min statistic — on a shared host min
+                # favors whichever run got a quiet moment; the median
+                # makes that visible. `value`/`queries` stay min-based
+                # for round-over-round comparability.
+                "query_median": medians,
+                "value_median": round(sum(medians.values()), 4),
             }
         )
     )

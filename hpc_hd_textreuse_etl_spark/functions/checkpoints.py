@@ -55,18 +55,20 @@ def release_checkpoint(ck: DataFrame) -> bool:
     return ok
 
 
-def release_local_checkpoints() -> int:
+def release_local_checkpoints(blocking: bool = False) -> int:
     """Unpersist every tracked checkpoint's underlying RDD blocks and
     clear the registry; returns how many were released. Call only after
     all consumers of the checkpointed plans have materialized their
     outputs — later reads fail loudly (see module docstring). Handles
-    from an already-stopped session are skipped."""
+    from an already-stopped session are skipped. ``blocking=True`` waits
+    for block eviction to finish — the bench loop uses it so cleanup
+    cannot overlap the next repeat's timed region."""
     released = 0
     for ck in _LIVE:
         try:
             # the checkpointed Dataset's analyzed plan is a LogicalRDD
             # over the persisted internal RDD — unpersist exactly it
-            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
             released += 1
         except Exception:
             pass  # session stopped / blocks already gone — nothing to free
