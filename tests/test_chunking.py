@@ -6,6 +6,8 @@ via the doc_token_chunks / mixture_sampled_docs contract queries
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -136,16 +138,21 @@ def test_chunk_plan_single_tokenize(tables):
         tables.table("documents"), "doc_id", "text", 24, 8
     ).select("doc_id", "chunk_id", "n_tokens")  # chunk_text pruned
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # every regexp_extract_all occurrence is in the one tokenize Project
+    # structural pins (round-12, per ADVICE: anchor on node-level facts
+    # rather than codegen-formatting prefixes):
+    # 1. the tokenizer expression evaluates in exactly ONE operator, a
+    #    Project — the duplicated-evaluation bug planned it in a Filter
+    #    AND a Project
     ops_with_regex = [
         seg.split("\n")[0]
         for seg in plan.split("+- ")
         if "regexp_extract_all" in seg.split("\n")[0]
     ]
     assert all("Project" in op for op in ops_with_regex), ops_with_regex
-    # no inferred size(...)>0 filter below the projection
-    assert "Filter (size(" not in plan.replace("*(1) ", "")
-    # token array pruned: posexplode child carries counts, not __toks
+    assert len(ops_with_regex) == 1, ops_with_regex
+    # 2. no Filter node references the tokenizer's size() anywhere
+    assert not re.search(r"Filter [^\n]*size\(", plan), "inferred size-filter"
+    # 3. token array pruned: posexplode child carries counts, not __toks
     assert "__toks" not in plan
 
 

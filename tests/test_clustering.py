@@ -3,6 +3,8 @@ known graph shapes (FIXTURES.md §8: disjoint cliques + bridging chain)."""
 
 from __future__ import annotations
 
+import pytest
+
 import itertools
 
 from hpc_hd_textreuse_etl_spark.operators.clustering import (
@@ -62,6 +64,7 @@ def test_resume_matches_uninterrupted_run(spark, tmp_path):
     assert resumed_iters == straight_iters
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 def test_tie_freeze_converges_where_reference_semantics_never_do(spark):
     """Round-8 convergence fix: a bridge vertex tied between two stable
     equal cliques votes 1-1 forever — under the reference's semantics

@@ -282,6 +282,7 @@ def test_compact_state_fold_must_drop_batch_id(spark, tmp_path):
         compact_state(spark, path, upto_batch=2, fold=lambda df: df)
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 def test_auto_compaction_soak_bounds_partitions_and_survives_replay(
     spark, tmp_path
 ):
@@ -349,6 +350,7 @@ def test_auto_compaction_soak_bounds_partitions_and_survives_replay(
     assert again == want
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 def test_auto_compaction_minhash_sink_bounded(spark, tmp_path):
     """Minhash twin of the soak: pairs stay exactly the batch pipeline's
     while both trees' partition counts stay bounded."""

@@ -44,6 +44,7 @@ def test_curate_monotone_and_disjoint(spark, split_docs):
     assert extra == 0
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 def test_curate_deterministic_under_repartition(spark, split_docs):
     corpus, bench = split_docs
     a = sorted((r.doc_id, r.split) for r in curate(corpus, bench, cfg=CFG).collect())
@@ -98,6 +99,7 @@ def test_quality_gate_is_streaming_safe(spark, tmp_path, split_docs):
     assert stream_ids == batch_ids and len(batch_ids) > 0
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 def test_curate_dsir_selection_stage(spark, split_docs):
     """The opt-in DSIR stage keeps exactly dsir_keep survivors, all of
     them survivors of the base chain, and requires a target predicate."""

@@ -307,6 +307,7 @@ def test_sssp_frontier_equals_full_relaxation(spark):
         )
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 def test_sssp_partition_independence(spark):
     edges = [(i, i + 1, (i * 7) % 5 + 1) for i in range(30)]
     e = spark.createDataFrame(edges, "src long, dst long, weight long")
@@ -458,6 +459,7 @@ edges_st = st.lists(
 )
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 @given(edges_st, st.integers(1, 4))
 @settings(max_examples=12, deadline=None)
 def test_kcore_random_equivalence(spark, edges, k):

@@ -4,6 +4,8 @@ pins the *semantics* against an independent implementation)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -26,6 +28,7 @@ intervals_strategy = st.lists(
 )
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 @given(st.lists(intervals_strategy, min_size=1, max_size=4), st.integers(0, 5))
 @settings(max_examples=60, deadline=None)
 def test_merge_intervals_matches_brute_force(spark, groups, gap):

@@ -11,6 +11,29 @@ from tests.oracle_utils import compare_spark_duckdb, duckdb_connection
 
 ORACLE_QUERIES = sorted(n for n, s in QUERIES.items() if s.oracle)
 
+#: Parameterizations costing >30 s EACH at sf0.001 (iterative
+#: trainer / CW / composed-curation chains — the cost is their pinned
+#: iteration counts, not the data). Default-off via the `slow` marker
+#: so the driver's pytest window completes (round-12); their value is
+#: re-proven every round by the external driver's own DuckDB gate and
+#: the builder's full-registry replica at sf0.01 (examples/
+#: correctness.py), which run the SAME comparison at a larger SF.
+_SLOW = {
+    "cw_intra_edge_fraction",
+    "curated_corpus",
+    "semantic_dedup_verdicts",
+    "cw_component_invariant",
+    "minhash_delta_near_duplicates",
+    "chinese_whispers_clusters",
+}
+
+
+def _params(names):
+    return [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW else n
+        for n in names
+    ]
+
 
 @pytest.fixture(scope="module")
 def duck():
@@ -28,7 +51,7 @@ def _assert_no_raw_timestamps(name, df):
     assert not ts, f"{name}: raw timestamp output columns {ts} — emit unix_micros"
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+@pytest.mark.parametrize("name", _params(ORACLE_QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     spec = QUERIES[name]
     df = spec.builder(spark, SF_SMOKE)
@@ -37,7 +60,7 @@ def test_query_matches_oracle(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE_QUERIES)))
+@pytest.mark.parametrize("name", _params(sorted(set(QUERIES) - set(ORACLE_QUERIES))))
 def test_query_runs(spark, name):
     """Non-SQL-expressible operators: rows-only smoke (driver parity)."""
     df = QUERIES[name].builder(spark, SF_SMOKE)

@@ -159,6 +159,7 @@ def test_golden_value_hash_handles_nulls_and_ignores_order(spark):
     assert golden_value_hash(changed)[0] != digest
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 def test_composed_pipeline_harness_tiny(spark, tmp_path, monkeypatch):
     """The composed-DAG harness (examples/pipeline_scale.py) caught two
     real bugs in round 7 (job-unstable dense ids, CW cache thrash) —

@@ -7,6 +7,8 @@ reference and re-imported on the worker)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import subprocess
 import sys
@@ -67,6 +69,7 @@ def test_zip_is_importable_as_sys_path_root():
     assert out.stdout.strip() == "ok"
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 def test_retry_determinism_under_injected_task_failures():
     """SCALE.md's retry claim, executed: with master local[8,2] every
     task of the input stage fails its first attempt, and the seeded

@@ -148,6 +148,7 @@ contain_sets_st = st.lists(
 )
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 @given(contain_sets_st, st.sampled_from([300, 500, 800, 1000]))
 @settings(max_examples=15, deadline=None)
 def test_containment_random_equivalence(spark, els, t_milli):

@@ -65,6 +65,7 @@ def test_brute_force_equivalence(spark, ndims):
         assert got == _brute_skyline(rows, dims, directions)
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 def test_2d_matches_general(spark):
     rng = random.Random(7)
     rows = [

@@ -3,6 +3,8 @@ brute-force per-row scan, across directions, ties, tolerance and NULLs."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -51,6 +53,7 @@ rights_st = st.lists(
 
 @given(lefts_st, rights_st, st.sampled_from(["backward", "forward"]),
        st.one_of(st.none(), st.integers(0, 10)))
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 @settings(max_examples=40, deadline=None)
 def test_asof_matches_brute_force(spark, lefts, rights, direction, tolerance):
     lrows = [(k, t, i) for i, (k, t) in enumerate(lefts)]
@@ -142,6 +145,7 @@ iv_st = st.lists(
 )
 
 
+@pytest.mark.slow  # soak tier, default-off (round-12 verify-window fix; run with -m slow)
 @given(iv_st, iv_st, st.sampled_from([3, 7, 64]))
 @settings(max_examples=25, deadline=None)
 def test_interval_join_matches_brute_force(spark, livs, rivs, width):
